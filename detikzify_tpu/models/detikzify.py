@@ -1,0 +1,165 @@
+"""Composite DeTikZify model: SigLIP vision + connector + LLaMA decoder.
+
+Functional re-design of reference ``detikzify/model/modeling_detikzify.py``:
+
+  * ``connector``      -- 3->1 patch concatenation + bias-free projection
+                          (reference ``DetikzifyConnector``, :73-86)
+  * ``merge_inputs``   -- vectorized scatter of image embeddings into the
+                          ``<image>`` token slots (reference ``inputs_merger``,
+                          :165-179, reimplemented as a masked gather -- no
+                          boolean fancy-indexing, jit-safe)
+  * ``forward``        -- training/eval pass with masked shifted-CE loss
+                          (reference :320-389)
+  * ``encode_image`` / ``prefill`` / ``decode_step`` -- inference engine
+    entry points; vision runs ONCE per generation (reference caches
+    image_hidden_states across decode steps, :455-464 -- here the split into
+    explicit prefill/decode makes that structural).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import DetikzifyConfig
+from .layers import dense_init, linear
+from . import llama, siglip
+from .llama import KVCache
+from .siglip import AdapterInputs
+
+
+class Params(NamedTuple):
+    vision: dict
+    connector: dict
+    text: dict
+
+
+def init(rng: jax.Array, cfg: DetikzifyConfig, dtype=jnp.float32) -> Params:
+    kv, kc, kt = jax.random.split(rng, 3)
+    return Params(
+        vision=siglip.init(kv, cfg.vision, dtype),
+        connector={"proj": dense_init(kc, cfg.projection_in,
+                                      cfg.text.hidden_size, bias=False,
+                                      dtype=dtype)},
+        text=llama.init(kt, cfg.text, dtype),
+    )
+
+
+def connector(params: Params, image_hidden: jnp.ndarray,
+              concat_factor: int) -> jnp.ndarray:
+    """[B, N, Dv] -> [B, N/cf, Dv*cf] -> [B, N/cf, Dt]."""
+    b, n, d = image_hidden.shape
+    x = image_hidden.reshape(b, n // concat_factor, d * concat_factor)
+    return linear(params.connector["proj"], x)
+
+
+def encode_image(params: Params, cfg: DetikzifyConfig,
+                 pixel_values: jnp.ndarray, *,
+                 adapter: Optional[AdapterInputs] = None,
+                 attn_impl: str = "auto") -> jnp.ndarray:
+    """pixel_values [B,H,W,C] -> projected image tokens [B, image_seq_len, Dt]."""
+    out = siglip.apply(params.vision, cfg.vision, pixel_values,
+                       adapter=adapter, attn_impl=attn_impl)
+    return connector(params, out["last_hidden_state"], cfg.concat_factor)
+
+
+def merge_inputs(cfg: DetikzifyConfig, input_ids: jnp.ndarray,
+                 inputs_embeds: jnp.ndarray,
+                 image_embeds: jnp.ndarray) -> jnp.ndarray:
+    """Scatter image embeddings into the <image> token positions.
+
+    jit-safe equivalent of the reference's boolean-mask assignment
+    (``inputs_merger``): for each sequence position, if it is the k-th
+    ``<image>`` token of its row, take image_embeds[row, k].
+    """
+    is_image = input_ids == cfg.image_token_id                   # [B, S]
+    # k-th image token of the row (0-based); positions beyond the number of
+    # provided image tokens clamp into range (mask makes them inert).
+    k = jnp.cumsum(is_image.astype(jnp.int32), axis=-1) - 1
+    k = jnp.clip(k, 0, image_embeds.shape[1] - 1)
+    idx = jnp.broadcast_to(k[..., None], k.shape + (image_embeds.shape[-1],))
+    gathered = jnp.take_along_axis(image_embeds, idx, axis=1)    # [B, S, D]
+    return jnp.where(is_image[..., None],
+                     gathered.astype(inputs_embeds.dtype), inputs_embeds)
+
+
+def forward(
+    params: Params,
+    cfg: DetikzifyConfig,
+    input_ids: jnp.ndarray,                     # [B, S]
+    pixel_values: Optional[jnp.ndarray] = None,  # [B, H, W, C]
+    *,
+    attention_mask: Optional[jnp.ndarray] = None,   # [B, S] bool
+    labels: Optional[jnp.ndarray] = None,           # [B, S], -100 = ignore
+    adapter: Optional[AdapterInputs] = None,
+    attn_impl: str = "auto",
+):
+    """Full forward. Returns (logits [B,S,V] fp32, loss or None)."""
+    embeds = llama.embed(params.text, input_ids)
+    if pixel_values is not None:
+        image_embeds = encode_image(params, cfg, pixel_values,
+                                    adapter=adapter, attn_impl=attn_impl)
+        embeds = merge_inputs(cfg, input_ids, embeds, image_embeds)
+    hidden = llama.forward(params.text, cfg.text, embeds,
+                           attention_mask=attention_mask,
+                           attn_impl=attn_impl)
+    logits = llama.unembed(params.text, hidden)
+
+    loss = None
+    if labels is not None:
+        # attention-mask-aware shift (reference modeling_detikzify.py:357-376)
+        shift_logits = logits[:, :-1]
+        shift_labels = labels[:, 1:]
+        valid = shift_labels != -100
+        if attention_mask is not None:
+            valid &= attention_mask[:, 1:]
+        safe_labels = jnp.where(valid, shift_labels, 0)
+        logp = jax.nn.log_softmax(shift_logits, axis=-1)
+        token_lp = jnp.take_along_axis(logp, safe_labels[..., None],
+                                       axis=-1)[..., 0]
+        loss = -jnp.sum(jnp.where(valid, token_lp, 0.0)) / \
+            jnp.maximum(jnp.sum(valid), 1)
+    return logits, loss
+
+
+# ---------------------------------------------------------------------------
+# inference entry points (used by detikzify_tpu.engine)
+# ---------------------------------------------------------------------------
+
+def prefill(
+    params: Params,
+    cfg: DetikzifyConfig,
+    input_ids: jnp.ndarray,          # [B, S] (padded block)
+    image_embeds: Optional[jnp.ndarray],  # [B, image_seq_len, Dt] or None
+    start: jnp.ndarray,              # [B] write offsets
+    seq_len: jnp.ndarray,            # [B] valid lengths in this block
+    cache: KVCache,
+    *,
+    attn_impl: str = "auto",
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Prefill a token block; returns (last-valid-token logits [B,V], cache)."""
+    embeds = llama.embed(params.text, input_ids)
+    if image_embeds is not None:
+        embeds = merge_inputs(cfg, input_ids, embeds, image_embeds)
+    hidden, cache = llama.prefill(params.text, cfg.text, embeds, start,
+                                  seq_len, cache, attn_impl=attn_impl)
+    last_idx = jnp.maximum(seq_len - 1, 0)  # index within block
+    idx = jnp.broadcast_to(last_idx[:, None, None],
+                           (hidden.shape[0], 1, hidden.shape[-1]))
+    last = jnp.take_along_axis(hidden, idx, axis=1)[:, 0]
+    return llama.unembed(params.text, last), cache
+
+
+def decode_step(
+    params: Params,
+    cfg: DetikzifyConfig,
+    token_ids: jnp.ndarray,          # [B]
+    positions: jnp.ndarray,          # [B]
+    cache: KVCache,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """One decode step; returns (logits [B, V] fp32, new cache)."""
+    embeds = llama.embed(params.text, token_ids)
+    hidden, cache = llama.decode_step(params.text, cfg.text, embeds,
+                                      positions, cache)
+    return llama.unembed(params.text, hidden), cache

@@ -1,0 +1,279 @@
+"""LLaMA-family decoder, TPU-native, with first-class KV-cache entry points.
+
+Replaces the reference's transformers ``AutoModel`` text tower + HF
+``GenerationMixin``/``DynamicCache`` decode path (reference
+``detikzify/model/modeling_detikzify.py:251-260`` and ``infer/generate.py:
+218-227``) with three jit-friendly pure functions:
+
+  * ``forward``      -- full-sequence causal pass (training / no-cache eval)
+  * ``prefill``      -- writes K/V for a token block into a preallocated
+                        cache at a per-slot offset (supports prefix reuse:
+                        restore a cached prefix, then prefill only the tail)
+  * ``decode_step``  -- one token for every active slot, batched
+
+The KV cache is a contiguous pytree ``{'k': [L, B, T, NKV, Hd], 'v': ...}``
+preallocated once; slots are rows of the B axis (continuous batching).
+Layers are scanned (stacked params) for fast compiles and layer-axis FSDP.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import TextConfig
+from ..ops.attention import attend, decode_attend
+from .layers import (ACTIVATIONS, apply_rope, dense_init, linear, rms_init,
+                     rms_norm, rope_cos_sin, rope_inv_freq)
+
+
+class KVCache(NamedTuple):
+    k: jnp.ndarray  # [n_layers, B, T, n_kv_heads, head_dim]
+    v: jnp.ndarray
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+    @property
+    def batch(self) -> int:
+        return self.k.shape[1]
+
+
+def init_cache(cfg: TextConfig, batch: int, max_len: int,
+               dtype=jnp.bfloat16) -> KVCache:
+    shape = (cfg.num_hidden_layers, batch, max_len,
+             cfg.num_key_value_heads, cfg.head_dim)
+    return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def init(rng: jax.Array, cfg: TextConfig, dtype=jnp.float32) -> dict:
+    keys = iter(jax.random.split(rng, 8))
+    d, i, hd = cfg.hidden_size, cfg.intermediate_size, cfg.head_dim
+    nh, nkv, L = cfg.num_attention_heads, cfg.num_key_value_heads, \
+        cfg.num_hidden_layers
+
+    def layer(k):
+        ks = iter(jax.random.split(k, 8))
+        bias = cfg.attention_bias
+        return {
+            "input_ln": rms_init(d, dtype),
+            "attn": {
+                "q": dense_init(next(ks), d, nh * hd, bias=bias, dtype=dtype),
+                "k": dense_init(next(ks), d, nkv * hd, bias=bias, dtype=dtype),
+                "v": dense_init(next(ks), d, nkv * hd, bias=bias, dtype=dtype),
+                "o": dense_init(next(ks), nh * hd, d, bias=False, dtype=dtype),
+            },
+            "post_ln": rms_init(d, dtype),
+            "mlp": {
+                "gate": dense_init(next(ks), d, i, bias=False, dtype=dtype),
+                "up": dense_init(next(ks), d, i, bias=False, dtype=dtype),
+                "down": dense_init(next(ks), i, d, bias=False, dtype=dtype),
+            },
+        }
+
+    def stack():
+        return jax.tree.map(lambda *xs: jnp.stack(xs),
+                            *[layer(k) for k in jax.random.split(next(keys), L)])
+
+    params = {
+        "embed_tokens": jax.random.normal(
+            next(keys), (cfg.vocab_size, d), dtype) * 0.02,
+        "layers": stack(),
+        "norm": rms_init(d, dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = dense_init(next(keys), d, cfg.vocab_size,
+                                       bias=False, dtype=dtype)
+    return params
+
+
+def embed(params: dict, token_ids: jnp.ndarray) -> jnp.ndarray:
+    return params["embed_tokens"][token_ids]
+
+
+def unembed(params: dict, hidden: jnp.ndarray) -> jnp.ndarray:
+    """Final-norm'd hidden -> fp32 logits."""
+    if "lm_head" in params:
+        kernel = params["lm_head"]["kernel"]
+    else:
+        kernel = params["embed_tokens"].T
+    return jnp.einsum("...d,dv->...v", hidden, kernel,
+                      preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# layer bodies
+# ---------------------------------------------------------------------------
+
+def _qkv(lp, x, cfg: TextConfig, cos, sin):
+    b, s, _ = x.shape
+    hd, nh, nkv = cfg.head_dim, cfg.num_attention_heads, cfg.num_key_value_heads
+    q = linear(lp["attn"]["q"], x).reshape(b, s, nh, hd)
+    k = linear(lp["attn"]["k"], x).reshape(b, s, nkv, hd)
+    v = linear(lp["attn"]["v"], x).reshape(b, s, nkv, hd)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    return q, k, v
+
+
+def _mlp(lp, x, act):
+    return linear(lp["mlp"]["down"],
+                  act(linear(lp["mlp"]["gate"], x)) * linear(lp["mlp"]["up"], x))
+
+
+# ---------------------------------------------------------------------------
+# full-sequence forward (training / evaluation)
+# ---------------------------------------------------------------------------
+
+def forward(
+    params: dict,
+    cfg: TextConfig,
+    inputs_embeds: jnp.ndarray,          # [B, S, D]
+    *,
+    positions: Optional[jnp.ndarray] = None,   # [B, S]
+    attention_mask: Optional[jnp.ndarray] = None,  # [B, S] bool, True=valid
+    attn_impl: str = "auto",
+) -> jnp.ndarray:
+    """Causal full-sequence pass; returns final-norm'd hidden [B, S, D]."""
+    b, s, _ = inputs_embeds.shape
+    act = ACTIVATIONS[cfg.hidden_act]
+    if positions is None:
+        if attention_mask is not None:
+            positions = jnp.maximum(
+                jnp.cumsum(attention_mask.astype(jnp.int32), axis=-1) - 1, 0)
+        else:
+            positions = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
+    inv_freq = rope_inv_freq(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
+    cos, sin = rope_cos_sin(positions, inv_freq)
+
+    def block(x, lp):
+        residual = x
+        h = rms_norm(lp["input_ln"], x, cfg.rms_norm_eps)
+        q, k, v = _qkv(lp, h, cfg, cos, sin)
+        h = attend(q, k, v, causal=True, kv_mask=attention_mask,
+                   implementation=attn_impl)
+        h = linear(lp["attn"]["o"], h.reshape(b, s, -1))
+        x = residual + h
+        residual = x
+        h = rms_norm(lp["post_ln"], x, cfg.rms_norm_eps)
+        return residual + _mlp(lp, h, act), None
+
+    x, _ = jax.lax.scan(block, inputs_embeds, params["layers"])
+    return rms_norm(params["norm"], x, cfg.rms_norm_eps)
+
+
+# ---------------------------------------------------------------------------
+# prefill: write a token block into the cache at per-slot offsets
+# ---------------------------------------------------------------------------
+
+def prefill(
+    params: dict,
+    cfg: TextConfig,
+    inputs_embeds: jnp.ndarray,     # [B, S, D]
+    start: jnp.ndarray,             # [B] int32 -- write offset per slot
+    seq_len: jnp.ndarray,           # [B] int32 -- valid tokens in this block
+    cache: KVCache,
+    *,
+    attn_impl: str = "auto",
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Process a (padded) token block, attending to cache[0:start] + causal
+    self-attention within the block. Returns (hidden [B,S,D], new cache).
+
+    Invalid tail positions (i >= seq_len[b]) still write to the cache but are
+    overwritten by later prefills/decodes and masked by `lengths` everywhere.
+    """
+    b, s, _ = inputs_embeds.shape
+    act = ACTIVATIONS[cfg.hidden_act]
+    max_len = cache.max_len
+
+    positions = start[:, None] + jnp.arange(s)[None, :]          # [B, S]
+    inv_freq = rope_inv_freq(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
+    cos, sin = rope_cos_sin(positions, inv_freq)
+
+    # additive bias [B, 1, S, T]: key t visible to query i iff t <= start+i
+    # and t < start + seq_len (cache rows beyond current content invalid).
+    kpos = jnp.arange(max_len)[None, None, None, :]
+    qpos = positions[:, None, :, None]
+    visible = kpos <= qpos
+    visible &= kpos[..., 0:1, :] < (start + seq_len)[:, None, None, None]
+    bias = jnp.where(visible, 0.0, -0.7 * jnp.finfo(jnp.float32).max)
+
+    def write(cache_layer, kv, start):
+        """scatter kv [B,S,...] into cache_layer [B,T,...] at per-slot start."""
+        def one(slot_cache, slot_kv, s0):
+            return jax.lax.dynamic_update_slice(
+                slot_cache, slot_kv.astype(slot_cache.dtype), (s0, 0, 0))
+        return jax.vmap(one)(cache_layer, kv, start)
+
+    def block(x, scanned):
+        lp, kc, vc = scanned
+        residual = x
+        h = rms_norm(lp["input_ln"], x, cfg.rms_norm_eps)
+        q, k, v = _qkv(lp, h, cfg, cos, sin)
+        kc = write(kc, k, start)
+        vc = write(vc, v, start)
+        h = attend(q, kc, vc, bias=bias, implementation=attn_impl)
+        h = linear(lp["attn"]["o"], h.reshape(b, s, -1))
+        x = residual + h
+        residual = x
+        h = rms_norm(lp["post_ln"], x, cfg.rms_norm_eps)
+        return residual + _mlp(lp, h, act), (kc, vc)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        block, inputs_embeds, (params["layers"], cache.k, cache.v))
+    return rms_norm(params["norm"], x, cfg.rms_norm_eps), KVCache(new_k, new_v)
+
+
+# ---------------------------------------------------------------------------
+# decode: one token per active slot
+# ---------------------------------------------------------------------------
+
+def decode_step(
+    params: dict,
+    cfg: TextConfig,
+    inputs_embeds: jnp.ndarray,   # [B, D] -- embedding of the newest token
+    positions: jnp.ndarray,       # [B] int32 -- position of the new token
+    cache: KVCache,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """One decode step for all slots; returns (hidden [B,D], new cache)."""
+    b, d = inputs_embeds.shape
+    act = ACTIVATIONS[cfg.hidden_act]
+    hd, nh, nkv = cfg.head_dim, cfg.num_attention_heads, cfg.num_key_value_heads
+
+    inv_freq = rope_inv_freq(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
+    cos, sin = rope_cos_sin(positions, inv_freq)        # [B, hd]
+    lengths = positions + 1
+
+    def write(cache_layer, kv, pos):
+        def one(slot_cache, slot_kv, p):
+            return jax.lax.dynamic_update_slice(
+                slot_cache, slot_kv.astype(slot_cache.dtype)[None], (p, 0, 0))
+        return jax.vmap(one)(cache_layer, kv, pos)
+
+    def block(x, scanned):
+        lp, kc, vc = scanned
+        residual = x
+        h = rms_norm(lp["input_ln"], x, cfg.rms_norm_eps)
+        q = linear(lp["attn"]["q"], h).reshape(b, nh, hd)
+        k = linear(lp["attn"]["k"], h).reshape(b, nkv, hd)
+        v = linear(lp["attn"]["v"], h).reshape(b, nkv, hd)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        kc = write(kc, k, positions)
+        vc = write(vc, v, positions)
+        h = decode_attend(q, kc, vc, lengths)
+        h = linear(lp["attn"]["o"], h.reshape(b, -1))
+        x = residual + h
+        residual = x
+        h = rms_norm(lp["post_ln"], x, cfg.rms_norm_eps)
+        return residual + _mlp(lp, h, act), (kc, vc)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        block, inputs_embeds, (params["layers"], cache.k, cache.v))
+    return rms_norm(params["norm"], x, cfg.rms_norm_eps), KVCache(new_k, new_v)

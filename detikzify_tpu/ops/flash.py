@@ -1,0 +1,137 @@
+"""Pallas TPU fused attention kernel.
+
+The workload's sequences are short (vision: 900 patches; decoder: 300 image
+tokens + TikZ code, ~2k max -- SURVEY §5 "long-context absent by design"), so
+the fastest TPU strategy is a *fused block* kernel: keep one (batch, kv-head)
+worth of K/V resident in VMEM and sweep query blocks over it on the MXU,
+rather than a streaming flash loop designed for 100k-token contexts. VMEM
+budget at T=4096, Hd=128, bf16: K+V 2MB + fp32 logits 2MB per 256-row q block.
+
+Numerics: QK^T and softmax in fp32, PV in input dtype on the MXU.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pltpu only imports on TPU-capable installs; guard for CPU test envs
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PLTPU = True
+except ImportError:  # pragma: no cover
+    pltpu = None
+    _HAS_PLTPU = False
+
+_NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+_MAX_FUSED_T = 8192  # beyond this, VMEM-resident K/V no longer fits
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def supported(q, k, v, *, bias=None, causal=False) -> bool:
+    """Whether the fused Pallas kernel can serve this attention call."""
+    if not _HAS_PLTPU or bias is not None:
+        return False
+    if jax.default_backend() not in ("tpu",):
+        return False
+    if q.shape[-1] > 128 or k.shape[1] > _MAX_FUSED_T:
+        return False
+    if q.shape[2] % k.shape[2] != 0:
+        return False
+    return True
+
+
+def _fused_attn_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref,
+                       *, scale: float, causal: bool, q_offset: int,
+                       block_q: int):
+    """One (batch, head, q-block) tile: full logits over VMEM-resident K/V."""
+    q = q_ref[0, 0].astype(jnp.float32)          # [bq, hd]
+    k = k_ref[0, 0]                              # [T, hd]
+    logits = jax.lax.dot_general(
+        q, k.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale  # [bq, T]
+
+    mask = mask_ref[0] > 0                       # [T] (padded keys pre-masked)
+    logits = jnp.where(mask[None, :], logits, _NEG_INF)
+    if causal:
+        qi = pl.program_id(2)
+        qpos = (qi * block_q
+                + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
+                + q_offset)
+        kpos = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(kpos <= qpos, logits, _NEG_INF)
+
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    unnorm = jnp.exp(logits - m)
+    denom = jnp.sum(unnorm, axis=-1, keepdims=True)
+    probs = (unnorm / denom).astype(v_ref.dtype)
+    out = jax.lax.dot_general(
+        probs, v_ref[0, 0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    out_ref[0, 0] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("causal", "scale", "interpret"))
+def flash_attention(
+    q: jnp.ndarray,                      # [B, S, NH, Hd]
+    k: jnp.ndarray,                      # [B, T, NKV, Hd]
+    v: jnp.ndarray,
+    *,
+    causal: bool = False,
+    kv_mask: Optional[jnp.ndarray] = None,   # [B, T] bool
+    scale: Optional[float] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    b, s, nh, hd = q.shape
+    t, nkv = k.shape[1], k.shape[2]
+    groups = nh // nkv
+    scale = (hd ** -0.5) if scale is None else float(scale)
+
+    hd_p = _round_up(hd, 128)
+    s_p = _round_up(s, 128)
+    t_p = _round_up(t, 128)
+    block_q = min(256, s_p)
+    s_p = _round_up(s_p, block_q)
+
+    # Layout: [B, H, S, Hd] so the last two dims tile cleanly on the MXU.
+    qt = jnp.transpose(q, (0, 2, 1, 3))
+    kt = jnp.transpose(k, (0, 2, 1, 3))
+    vt = jnp.transpose(v, (0, 2, 1, 3))
+    qt = jnp.pad(qt, ((0, 0), (0, 0), (0, s_p - s), (0, hd_p - hd)))
+    kt = jnp.pad(kt, ((0, 0), (0, 0), (0, t_p - t), (0, hd_p - hd)))
+    vt = jnp.pad(vt, ((0, 0), (0, 0), (0, t_p - t), (0, hd_p - hd)))
+
+    if kv_mask is None:
+        kv_mask = jnp.ones((b, t), dtype=jnp.bool_)
+    mask_i32 = jnp.pad(kv_mask.astype(jnp.int32), ((0, 0), (0, t_p - t)))
+
+    grid = (b, nh, s_p // block_q)
+    kernel = functools.partial(
+        _fused_attn_kernel, scale=scale, causal=causal,
+        q_offset=t - s, block_q=block_q)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, hd_p), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, t_p, hd_p),
+                         lambda bi, hi, qi, g=groups: (bi, hi // g, 0, 0)),
+            pl.BlockSpec((1, 1, t_p, hd_p),
+                         lambda bi, hi, qi, g=groups: (bi, hi // g, 0, 0)),
+            pl.BlockSpec((1, t_p), lambda bi, hi, qi: (bi, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, hd_p),
+                               lambda bi, hi, qi: (bi, hi, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, nh, s_p, hd_p), q.dtype),
+        interpret=interpret,
+    )(qt, kt, vt, mask_i32)
+
+    out = out[:, :, :s, :hd]
+    return jnp.transpose(out, (0, 2, 1, 3))
