@@ -1,0 +1,415 @@
+"""TikZ compile/render runtime.
+
+Host-side service replacing reference ``detikzify/infer/tikz.py:21-168``
+(behavior-compatible ``TikzDocument``) re-architected for the TPU pipeline:
+compilation runs in an **async worker pool** (`CompileService`) so LaTeX
+never blocks the device decode loop — the reference compiles inline inside
+the MCTS expansion (``infer/generate.py:319``), serializing rollouts.
+
+Pluggable backends:
+  * ``LatexmkBackend`` -- real toolchain: latexmk engine chain
+    [pdflatex, lualatex, xelatex], keep the attempt whose first error is
+    latest (reference tikz.py:89-131); rasterize via pdftoppm/pymupdf.
+  * ``FakeBackend``    -- deterministic hermetic stub mapping
+    code -> (status, error lines, rendered image). Makes MCTS testable
+    and benchmarkable without TeX Live (SURVEY §4 "fake LaTeX compiler").
+
+Select via ``set_backend()`` or env ``DETIKZIFY_TPU_COMPILER=fake|latexmk``.
+"""
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import io
+import os
+import re
+import shutil
+import subprocess
+import tempfile
+from concurrent.futures import Future, ThreadPoolExecutor
+from functools import cached_property
+from typing import Dict, Optional
+
+from PIL import Image, ImageDraw
+
+from ..utils.image import expand
+from ..utils.subprocess import run as run_killpg
+
+DEFAULT_TIMEOUT = 60  # seconds, reference infer/generate.py:153
+
+
+@dataclasses.dataclass
+class CompileResult:
+    status: int                      # 0 ok, 1 recoverable errors, 2 fatal
+    log: str = ""
+    pdf: Optional[bytes] = None
+    image: Optional[Image.Image] = None   # fake backend renders directly
+
+    @property
+    def compiled(self) -> bool:
+        return self.pdf is not None or self.image is not None
+
+
+# ---------------------------------------------------------------------------
+# error-log parsing
+# ---------------------------------------------------------------------------
+
+_FILE_LINE_ERR = re.compile(r"^(?:\./)?[^\s:]+\.tex:(\d+):\s*(.+)$", re.M)
+_BANG_ERR = re.compile(r"^!\s*(.+)$", re.M)
+
+
+def parse_errors(log: str) -> Dict[int, str]:
+    """latexmk/pdflatex ``-file-line-error`` log -> {line: message}.
+
+    Unlocatable errors map to line 0 (reference tikz.py:54-73).
+    """
+    errors: Dict[int, str] = {}
+    for match in _FILE_LINE_ERR.finditer(log):
+        line = int(match.group(1))
+        errors.setdefault(line, match.group(2).strip())
+    if not errors:
+        for match in _BANG_ERR.finditer(log):
+            msg = match.group(1).strip()
+            if msg and not msg.startswith("="):
+                errors.setdefault(0, msg)
+                break
+    return errors
+
+
+def first_error_line(log: str) -> Optional[int]:
+    errs = parse_errors(log)
+    return min(errs) if errs else None
+
+
+# ---------------------------------------------------------------------------
+# backends
+# ---------------------------------------------------------------------------
+
+class LatexmkBackend:
+    """Real LaTeX toolchain driver.
+
+    Engine chain with best-attempt selection like reference tikz.py:89-131:
+    run each engine, keep the attempt whose first error appears latest in
+    the source (more of the program compiled). ``\\thispagestyle{empty}``
+    is injected to suppress page numbers (tikz.py:94-95).
+    """
+
+    ENGINES = ("pdflatex", "lualatex", "xelatex")
+
+    @staticmethod
+    def available() -> bool:
+        return shutil.which("latexmk") is not None
+
+    def compile(self, code: str, timeout: float = DEFAULT_TIMEOUT) -> CompileResult:
+        doc = self._prepare(code)
+        best: Optional[CompileResult] = None
+        best_line = -1
+        for engine in self.ENGINES:
+            result = self._run_engine(doc, engine, timeout)
+            if result.status == 0 and result.pdf:
+                return result
+            line = first_error_line(result.log)
+            score = 10 ** 9 if line is None else line
+            if result.pdf is not None:
+                score += 10 ** 6  # prefer salvageable attempts
+            if score > best_line:
+                best, best_line = result, score
+        return best or CompileResult(status=2, log="no engine available")
+
+    def _prepare(self, code: str) -> str:
+        if "\\documentclass" not in code:
+            code = ("\\documentclass[tikz]{standalone}\n" + code)
+        if "\\thispagestyle{empty}" not in code and "\\begin{document}" in code:
+            code = code.replace("\\begin{document}",
+                                "\\begin{document}\\thispagestyle{empty}", 1)
+        return code
+
+    def _run_engine(self, code: str, engine: str, timeout: float) -> CompileResult:
+        with tempfile.TemporaryDirectory() as tmp:
+            tex = os.path.join(tmp, "doc.tex")
+            with open(tex, "w") as f:
+                f.write(code)
+            cmd = ["latexmk", "-f", "-nobibtex", "-norc", "-file-line-error",
+                   "-interaction=nonstopmode", f"-{engine}",
+                   "-output-directory=" + tmp, tex]
+            try:
+                proc = run_killpg(cmd, timeout=timeout, cwd=tmp)
+                log = (proc.stdout + proc.stderr).decode("utf-8", "ignore")
+            except subprocess.TimeoutExpired:
+                return CompileResult(status=2, log="timeout")
+            logfile = os.path.join(tmp, "doc.log")
+            if os.path.exists(logfile):
+                with open(logfile, "rb") as f:
+                    log = f.read().decode("utf-8", "ignore")
+            pdf_path = os.path.join(tmp, "doc.pdf")
+            pdf = None
+            if os.path.exists(pdf_path):
+                with open(pdf_path, "rb") as f:
+                    pdf = f.read()
+            errors = parse_errors(log)
+            status = 0 if (pdf and not errors) else (1 if pdf else 2)
+            return CompileResult(status=status, log=log, pdf=pdf)
+
+    def rasterize(self, pdf: bytes, size: int = 420) -> Optional[Image.Image]:
+        """PDF -> square PIL image via pdftoppm or pymupdf (last page wins,
+        matching the reference's salvage-last-page behavior, tikz.py:103-109)."""
+        try:
+            import fitz  # pymupdf
+
+            doc = fitz.open(stream=pdf, filetype="pdf")
+            page = doc[-1]
+            pix = page.get_pixmap(dpi=200)
+            img = Image.frombytes("RGB", (pix.width, pix.height), pix.samples)
+            return expand(img, size, do_trim=True)
+        except ImportError:
+            pass
+        if shutil.which("pdftoppm"):
+            with tempfile.TemporaryDirectory() as tmp:
+                pdf_path = os.path.join(tmp, "doc.pdf")
+                with open(pdf_path, "wb") as f:
+                    f.write(pdf)
+                run_killpg(["pdftoppm", "-png", "-r", "200", "-l", "99",
+                            pdf_path, os.path.join(tmp, "page")], timeout=60)
+                pages = sorted(p for p in os.listdir(tmp) if p.endswith(".png"))
+                if pages:
+                    img = Image.open(os.path.join(tmp, pages[-1]))
+                    return expand(img, size, do_trim=True)
+        return None
+
+
+class FakeBackend:
+    """Deterministic hermetic compiler double (SURVEY §4).
+
+    Semantics (stable across runs, content-addressed):
+      * a line containing ``\\errorline`` fails at that 1-based line
+      * unbalanced ``{``/``}`` or ``\\begin{...}`` without matching
+        ``\\end{...}`` at EOF fails at the offending line
+      * otherwise compiles; renders a synthetic image whose content is a
+        hash-derived pattern of the code (so different programs score
+        differently under perceptual metrics)
+    """
+
+    def __init__(self, size: int = 420, latency: float = 0.0):
+        self.size = size
+        self.latency = latency
+
+    @staticmethod
+    def available() -> bool:
+        return True
+
+    def compile(self, code: str, timeout: float = DEFAULT_TIMEOUT) -> CompileResult:
+        if self.latency:
+            import time
+
+            time.sleep(min(self.latency, timeout))
+        lines = code.split("\n")
+        depth = 0
+        env_stack = []
+        for i, line in enumerate(lines, start=1):
+            if "\\errorline" in line:
+                return CompileResult(
+                    status=2, log=f"./doc.tex:{i}: Injected error.\n")
+            depth += line.count("{") - line.count("}")
+            if depth < 0:
+                return CompileResult(
+                    status=2, log=f"./doc.tex:{i}: Too many }}'s.\n")
+            for env in re.findall(r"\\begin\{(\w+)\}", line):
+                env_stack.append((env, i))
+            for env in re.findall(r"\\end\{(\w+)\}", line):
+                if env_stack and env_stack[-1][0] == env:
+                    env_stack.pop()
+                else:
+                    return CompileResult(
+                        status=2,
+                        log=f"./doc.tex:{i}: \\end{{{env}}} without matching "
+                            f"\\begin.\n")
+        if env_stack:
+            env, line = env_stack[-1]
+            return CompileResult(
+                status=1,
+                log=f"./doc.tex:{line}: \\begin{{{env}}} ended by end of "
+                    f"file.\n",
+                image=self._render(code))
+        if depth != 0:
+            return CompileResult(
+                status=1,
+                log=f"./doc.tex:{len(lines)}: File ended while scanning.\n",
+                image=self._render(code))
+        return CompileResult(status=0, log="", image=self._render(code))
+
+    def _render(self, code: str) -> Image.Image:
+        """Hash-derived deterministic drawing: same code -> same image."""
+        img = Image.new("RGB", (self.size, self.size), "white")
+        draw = ImageDraw.Draw(img)
+        digest = hashlib.sha256(code.encode()).digest()
+        s = self.size
+        for j in range(0, 24, 6):
+            x0, y0, x1, y1 = (digest[j] * s // 256, digest[j + 1] * s // 256,
+                              digest[j + 2] * s // 256, digest[j + 3] * s // 256)
+            color = (digest[j + 4] % 200, digest[j + 5] % 200,
+                     (digest[j + 4] + digest[j + 5]) % 200)
+            shape = digest[j] % 3
+            box = (min(x0, x1), min(y0, y1), max(x0, x1) + 8, max(y0, y1) + 8)
+            if shape == 0:
+                draw.rectangle(box, outline=color, width=3)
+            elif shape == 1:
+                draw.ellipse(box, outline=color, width=3)
+            else:
+                draw.line((x0, y0, x1, y1), fill=color, width=3)
+        return img
+
+    def rasterize(self, pdf, size: int = 420):  # pragma: no cover
+        return None
+
+
+_BACKEND = None
+
+
+def get_backend():
+    global _BACKEND
+    if _BACKEND is None:
+        choice = os.environ.get("DETIKZIFY_TPU_COMPILER", "auto")
+        if choice == "fake":
+            _BACKEND = FakeBackend()
+        elif choice == "latexmk":
+            _BACKEND = LatexmkBackend()
+        else:
+            _BACKEND = (LatexmkBackend() if LatexmkBackend.available()
+                        else FakeBackend())
+    return _BACKEND
+
+
+def set_backend(backend) -> None:
+    global _BACKEND
+    _BACKEND = backend
+
+
+# ---------------------------------------------------------------------------
+# TikzDocument
+# ---------------------------------------------------------------------------
+
+class TikzDocument:
+    """A TikZ program with lazy compile / error-parse / rasterize.
+
+    Same user surface as reference ``TikzDocument`` (tikz.py:21-168):
+    ``.compile()``, ``.errors``, ``.compiled_with_errors``,
+    ``.is_rasterizable``, ``.has_content``, ``.rasterize()``, ``.save()``.
+    """
+
+    def __init__(self, code: str, timeout: float = DEFAULT_TIMEOUT,
+                 backend=None):
+        self.code = code
+        self.timeout = timeout
+        self.backend = backend or get_backend()
+
+    def __eq__(self, other):
+        return isinstance(other, TikzDocument) and self.code == other.code
+
+    def __hash__(self):
+        return hash(self.code)
+
+    @cached_property
+    def output(self) -> CompileResult:
+        return self.backend.compile(self.code, self.timeout)
+
+    def compile(self) -> CompileResult:
+        return self.output
+
+    @property
+    def status(self) -> int:
+        return self.output.status
+
+    @property
+    def log(self) -> str:
+        return self.output.log
+
+    @cached_property
+    def errors(self) -> Dict[int, str]:
+        return parse_errors(self.output.log)
+
+    @property
+    def compiled_with_errors(self) -> bool:
+        return self.output.compiled and bool(self.errors)
+
+    @cached_property
+    def _raster(self) -> Optional[Image.Image]:
+        out = self.output
+        if out.image is not None:
+            return out.image
+        if out.pdf is not None:
+            return self.backend.rasterize(out.pdf)
+        return None
+
+    @property
+    def is_rasterizable(self) -> bool:
+        return self._raster is not None
+
+    @property
+    def has_content(self) -> bool:
+        """Rendered output is not blank (reference tikz.py:79-83)."""
+        img = self._raster
+        if img is None:
+            return False
+        extrema = img.convert("L").getextrema()
+        return extrema[0] != extrema[1]
+
+    def rasterize(self, size: int = 420) -> Optional[Image.Image]:
+        img = self._raster
+        if img is None:
+            return None
+        return expand(img, size)
+
+    def save(self, path: str) -> None:
+        ext = os.path.splitext(path)[1].lower()
+        if ext == ".tex":
+            with open(path, "w") as f:
+                f.write(self.code)
+        elif ext == ".pdf":
+            if self.output.pdf is None:
+                raise ValueError("document did not produce a PDF")
+            with open(path, "wb") as f:
+                f.write(self.output.pdf)
+        else:
+            img = self.rasterize()
+            if img is None:
+                raise ValueError("document is not rasterizable")
+            img.save(path)
+
+
+# ---------------------------------------------------------------------------
+# async compile service
+# ---------------------------------------------------------------------------
+
+class CompileService:
+    """Async compile pool overlapping LaTeX with TPU decode.
+
+    The reference compiles synchronously inside each MCTS expansion; here
+    rollouts enqueue compiles and the tree update consumes futures, keeping
+    the device busy (SURVEY §3.3 hot-spot (3), §7 stage 4).
+    """
+
+    def __init__(self, workers: int = 4, backend=None,
+                 timeout: float = DEFAULT_TIMEOUT):
+        self.pool = ThreadPoolExecutor(max_workers=workers,
+                                       thread_name_prefix="tikz-compile")
+        self.backend = backend or get_backend()
+        self.timeout = timeout
+
+    def submit(self, code: str) -> "Future[TikzDocument]":
+        doc = TikzDocument(code, timeout=self.timeout, backend=self.backend)
+
+        def work() -> TikzDocument:
+            doc.compile()   # force lazy compile in the pool
+            doc.rasterize()
+            return doc
+
+        return self.pool.submit(work)
+
+    def shutdown(self) -> None:
+        self.pool.shutdown(wait=False, cancel_futures=True)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.shutdown()

@@ -1,0 +1,134 @@
+"""Decode engine tests: correctness of continuous batching + prefix reuse.
+
+The invariant under test: whatever path tokens take through the engine
+(one-shot, staggered joins, prefix restore), greedy decoding must produce
+the same continuation as a plain full forward pass.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from detikzify_tpu.config import tiny_test_config
+from detikzify_tpu.engine import DecodeEngine
+from detikzify_tpu.models import detikzify, llama
+from detikzify_tpu.ops.sampling import SamplingParams
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_test_config(vocab_size=128)
+    params = detikzify.init(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def greedy_reference(params, cfg, prompt, n_steps, banned, eos):
+    """Reference greedy continuation via repeated full forwards (no cache)."""
+    ids = list(prompt)
+    out = []
+    for step in range(n_steps):
+        logits, _ = detikzify.forward(params, cfg,
+                                      jnp.asarray([ids]), None,
+                                      attn_impl="xla")
+        row = np.array(logits[0, -1])
+        row[list(banned)] = -np.inf
+        if step == 0:
+            row[eos] = -np.inf
+        tok = int(row.argmax())
+        ids.append(tok)
+        out.append(tok)
+    return out
+
+
+def test_engine_matches_full_forward_greedy(setup):
+    cfg, params = setup
+    eng = DecodeEngine(params, cfg, num_slots=4, max_len=96,
+                       sampling=SamplingParams(temperature=0.0))
+    prompt = [cfg.bos_token_id, 5, 6, 7, 8]
+    ro = eng.start(prompt, max_new_tokens=10)
+    eng.run()
+    got = ro.token_ids[len(prompt):]
+    want = greedy_reference(params, cfg, prompt, len(got),
+                            banned=(cfg.image_token_id,),
+                            eos=eng.eos_token_id)
+    assert got == want
+
+
+def test_engine_staggered_batch(setup):
+    """Slots joining at different times must not perturb each other."""
+    cfg, params = setup
+    eng = DecodeEngine(params, cfg, num_slots=4, max_len=96,
+                       sampling=SamplingParams(temperature=0.0))
+    p1 = [cfg.bos_token_id, 11, 12]
+    p2 = [cfg.bos_token_id, 21, 22, 23, 24, 25]
+    r1 = eng.start(p1, max_new_tokens=8)
+    for _ in range(3):
+        eng.step()
+    r2 = eng.start(p2, max_new_tokens=8)
+    eng.run()
+    w1 = greedy_reference(params, cfg, p1, len(r1.token_ids) - len(p1),
+                          (cfg.image_token_id,), eng.eos_token_id)
+    w2 = greedy_reference(params, cfg, p2, len(r2.token_ids) - len(p2),
+                          (cfg.image_token_id,), eng.eos_token_id)
+    assert r1.token_ids[len(p1):] == w1
+    assert r2.token_ids[len(p2):] == w2
+
+
+def test_prefix_reuse_exact(setup):
+    """Restoring a stored prefix must reproduce the no-reuse continuation."""
+    cfg, params = setup
+    eng = DecodeEngine(params, cfg, num_slots=4, max_len=96,
+                       sampling=SamplingParams(temperature=0.0))
+    prompt = [cfg.bos_token_id, 31, 32, 33]
+
+    r1 = eng.start(prompt, max_new_tokens=6)
+    eng.run()
+    full_seq = list(r1.token_ids)
+    eng.store_prefix("node-a", r1, length=len(prompt) + 3)
+    eng.release(r1)
+
+    # continue from the stored node with prefix restore
+    node_ids = full_seq[:len(prompt) + 3]
+    key_sp = eng.best_prefix(node_ids)
+    assert key_sp is not None
+    _, sp = key_sp
+    assert sp.length == len(node_ids)
+    r2 = eng.start(node_ids, max_new_tokens=3, prefix=sp)
+    eng.run()
+    # same greedy continuation as the uncached path
+    assert r2.token_ids[:len(full_seq)] == full_seq[:len(r2.token_ids)]
+
+    # and identical to a fresh rollout without reuse
+    r3 = eng.start(node_ids, max_new_tokens=3)
+    eng.run()
+    assert r2.token_ids == r3.token_ids
+
+
+def test_engine_with_image_prompt(setup):
+    """Image-token prompts route vision features; output differs by image."""
+    cfg, params = setup
+    eng = DecodeEngine(params, cfg, num_slots=2, max_len=96,
+                       sampling=SamplingParams(temperature=0.0))
+    rng = np.random.default_rng(0)
+    pix1 = jnp.asarray(rng.standard_normal(
+        (1, cfg.vision.image_size, cfg.vision.image_size, 3)),
+        jnp.float32)
+    emb1 = eng.encode_image(pix1)
+    emb2 = eng.encode_image(pix1 * 0.0)
+
+    prompt = [cfg.image_token_id] * cfg.image_seq_len + [cfg.bos_token_id]
+    r1 = eng.start(prompt, image_embeds=emb1, max_new_tokens=6)
+    eng.run()
+    eng.release(r1)
+    r2 = eng.start(prompt, image_embeds=emb2, max_new_tokens=6)
+    eng.run()
+    assert r1.token_ids != r2.token_ids
+
+
+def test_eos_suppressed_on_first_token(setup):
+    """begin_suppress: first sampled token is never EOS even if argmax."""
+    cfg, params = setup
+    eng = DecodeEngine(params, cfg, num_slots=1, max_len=64,
+                       sampling=SamplingParams(temperature=0.0))
+    ro = eng.start([cfg.bos_token_id], max_new_tokens=4)
+    assert ro.token_ids[1] != eng.eos_token_id
