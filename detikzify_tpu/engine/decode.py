@@ -56,6 +56,7 @@ class StoredPrefix:
     v: jnp.ndarray
     length: int          # valid tokens
     token_ids: tuple     # full token prefix (host copy, for exact matching)
+    namespace: object = None   # scope (e.g. per-image); prevents cross-matches
 
     @property
     def bucket(self) -> int:
@@ -205,15 +206,17 @@ class DecodeEngine:
     # ------------------------------------------------------------------
 
     def store_prefix(self, key, rollout: Rollout,
-                     length: Optional[int] = None) -> Optional[StoredPrefix]:
+                     length: Optional[int] = None,
+                     namespace: object = None) -> Optional[StoredPrefix]:
         """Save rollout's first ``length`` tokens of KV under ``key``."""
         length = rollout.length if length is None else length
         bucket = _bucket(length, self.max_len)
         if key in self._prefix_store:
             return self._prefix_store[key]
-        k, v = self._save_prefix(self.cache, rollout.slot, bucket)
+        k, v = self._save_prefix(self.cache, jnp.int32(rollout.slot), bucket)
         sp = StoredPrefix(k=k, v=v, length=length,
-                          token_ids=tuple(rollout.token_ids[:length]))
+                          token_ids=tuple(rollout.token_ids[:length]),
+                          namespace=namespace)
         self._prefix_bytes += sp.nbytes()
         self._prefix_store[key] = sp
         self._prefix_lru.append(key)
@@ -231,15 +234,27 @@ class DecodeEngine:
             self._prefix_lru.append(key)
         return sp
 
-    def best_prefix(self, token_ids: Sequence[int]) -> Optional[Tuple[object, StoredPrefix]]:
-        """Longest stored prefix that exactly matches ``token_ids[:len]``."""
+    def best_prefix(self, token_ids: Sequence[int], namespace: object = None
+                    ) -> Optional[Tuple[object, StoredPrefix]]:
+        """Longest stored prefix in ``namespace`` matching ``token_ids[:len]``."""
         best = None
         ids = tuple(token_ids)
         for key, sp in self._prefix_store.items():
+            if sp.namespace != namespace:
+                continue
             if sp.length <= len(ids) and sp.token_ids == ids[:sp.length]:
                 if best is None or sp.length > best[1].length:
                     best = (key, sp)
         return best
+
+    def drop_namespace(self, namespace: object) -> None:
+        """Evict all prefixes belonging to one generator/image."""
+        for key in [k for k, sp in self._prefix_store.items()
+                    if sp.namespace == namespace]:
+            sp = self._prefix_store.pop(key)
+            self._prefix_bytes -= sp.nbytes()
+            if key in self._prefix_lru:
+                self._prefix_lru.remove(key)
 
     # ------------------------------------------------------------------
     # rollout lifecycle

@@ -1,0 +1,377 @@
+"""MCTS-driven TikZ generation against the TPU decode engine.
+
+Search semantics match reference ``detikzify/infer/generate.py:145-353``
+(progressive widening, line-boundary segmentation, failed-rollout caching,
+error-line-bounded expansion, dynamic score normalization) but the execution
+model is TPU-native:
+
+  * rollouts run on ``DecodeEngine`` slots with **tree-prefix KV reuse** --
+    a child rollout restores its deepest stored ancestor's KV and prefills
+    only the tail, instead of re-prefilling image + prompt + prefix every
+    time (the reference's dominant cost, SURVEY §3.3);
+  * LaTeX compiles run through the async ``CompileService`` worker pool;
+  * SelfSim scoring is a jitted batched encoder pass (``evaluate.imagesim``).
+"""
+from __future__ import annotations
+
+import dataclasses
+import itertools
+import time
+from collections import deque
+from math import sqrt
+from typing import Dict, Generator, List, Optional, Tuple
+
+import numpy as np
+
+from ..engine import DecodeEngine
+from ..mcts import MonteCarlo, Node, Normalizer
+from ..ops.sampling import make_newline_table
+from ..processing import DetikzifyProcessor
+from ..utils.functools import cache_cast
+from .tikz import CompileService, TikzDocument
+
+Numeric = float
+
+
+@dataclasses.dataclass(frozen=True)
+class NodeState:
+    token_ids: Tuple[int, ...]
+    num_lines: int = 0
+
+    def __eq__(self, other):
+        return (isinstance(other, NodeState)
+                and self.token_ids == other.token_ids)
+
+    def __hash__(self):
+        return hash(self.token_ids)
+
+
+class WideNode(Node):
+    """Node with progressive widening: every real node carries a paired
+    widen-node child, a standing arm that means "sample a fresh rollout
+    from this state" (reference ``WideNode``, generate.py:49-82)."""
+
+    def __init__(self, state: NodeState, exploration: float = 0.6,
+                 is_widen_node: bool = False):
+        super().__init__(state, exploration)
+        self.is_widen_node = is_widen_node
+        self.update_policy_value(1.0)
+        if not is_widen_node:
+            self.add_child(WideNode(state, exploration, is_widen_node=True))
+
+    def add_child(self, child: "Node") -> None:
+        self.expanded = self.expanded or not child.is_widen_node
+        super().add_child(child)
+
+    @property
+    def token_ids(self) -> Tuple[int, ...]:
+        return self.state.token_ids
+
+    @property
+    def num_lines(self) -> int:
+        return self.state.num_lines
+
+
+class ExplicitAbort:
+    """Cross-thread cancellation flag (reference util/generation.py:7-23)."""
+
+    def __init__(self):
+        self.should_stop = False
+
+    def reset(self) -> "ExplicitAbort":
+        self.should_stop = False
+        return self
+
+    def abort(self) -> None:
+        self.should_stop = True
+
+
+_gen_counter = itertools.count()
+
+
+class DetikzifyGenerator:
+    """One image/text -> TikZ search session."""
+
+    def __init__(
+        self,
+        engine: DecodeEngine,
+        processor: DetikzifyProcessor,
+        image=None,                     # preprocessed PIL image or None
+        text: Optional[str] = None,
+        metric=None,                    # ImageSim-like or None (fast mode)
+        compile_timeout: float = 60.0,
+        mcts_timeout: Optional[float] = None,
+        exploration: float = 0.6,
+        strict: bool = False,
+        control: Optional[ExplicitAbort] = None,
+        compile_service: Optional[CompileService] = None,
+        max_length: Optional[int] = None,
+        on_token=None,                  # per-token streaming callback
+    ):
+        self.engine = engine
+        self.processor = processor
+        self.image = image
+        self.text = text
+        self.metric = metric
+        self.compile_timeout = compile_timeout
+        self.mcts_timeout = mcts_timeout
+        self.exploration = exploration
+        self.strict = strict
+        self.control = control or ExplicitAbort()
+        self.compiler = compile_service or CompileService(
+            timeout=compile_timeout)
+        self._own_compiler = compile_service is None
+        self.on_token = on_token
+        self.namespace = ("gen", next(_gen_counter))
+
+        out = processor(images=image, text=None if image is not None else "",
+                        add_bos_token=True)
+        root_ids = tuple(int(t) for t in out.input_ids[0])
+        self.max_length = min(max_length or processor.model_max_length,
+                              engine.max_len - 1)
+        self.image_embeds = None
+        if out.pixel_values is not None:
+            import jax.numpy as jnp
+
+            self.image_embeds = engine.encode_image(
+                jnp.asarray(out.pixel_values))
+
+        self.solution: deque = deque(maxlen=1)
+        self.failed_rollouts: Dict[NodeState, List[WideNode]] = {}
+        self.norm = Normalizer()
+        self.montecarlo = MonteCarlo(
+            WideNode(NodeState(root_ids, 0), exploration=exploration))
+        self.montecarlo.child_finder = self.child_finder
+
+        self._newline = self._build_newline_table()
+        self._pending_rollout = None    # engine Rollout awaiting prefix save
+
+        self.decode = cache_cast(lambda ids: tuple(ids))(self.decode)
+        self.score = cache_cast(lambda img: img.tobytes())(self.score)
+
+        # observability (SURVEY §5): per-rollout timing + token counts
+        self.stats = {"rollouts": 0, "rollout_tokens": 0,
+                      "rollout_time": 0.0, "compile_time": 0.0,
+                      "score_time": 0.0, "prefix_hits": 0,
+                      "prefix_tokens_saved": 0}
+
+    def close(self) -> None:
+        self.engine.drop_namespace(self.namespace)
+        if self._own_compiler:
+            self.compiler.shutdown()
+
+    # ------------------------------------------------------------------
+
+    def _build_newline_table(self):
+        tok = self.processor.tokenizer
+        vocab_size = getattr(tok, "vocab_size", None) or len(tok.get_vocab())
+        counts, ends = make_newline_table(tok, vocab_size)
+        return {i: (int(counts[i]), bool(ends[i]))
+                for i in np.nonzero(counts)[0]}
+
+    @property
+    def root(self) -> WideNode:
+        return self.montecarlo.root_node  # type: ignore[return-value]
+
+    # ------------------------------------------------------------------
+    # rollout: stream tokens from the engine, yield line-boundary prefixes
+    # ------------------------------------------------------------------
+
+    def rollout(self, state: NodeState
+                ) -> Generator[Tuple[Tuple[int, ...], int], None, None]:
+        ids = list(state.token_ids)
+        eos = self.engine.eos_token_id
+        if (ids and ids[-1] == eos) or len(ids) >= self.max_length:
+            return  # terminal state: nothing to extend
+
+        t0 = time.time()
+        self.control.reset()
+        found = self.engine.best_prefix(ids, namespace=self.namespace)
+        prefix = found[1] if found else None
+        if prefix is not None:
+            self.stats["prefix_hits"] += 1
+            self.stats["prefix_tokens_saved"] += prefix.length
+
+        ro = self.engine.start(
+            ids, image_embeds=self.image_embeds,
+            max_new_tokens=self.max_length - len(ids),
+            prefix=prefix, on_token=self.on_token)
+        self._pending_rollout = ro
+
+        boundary: List[int] = list(ids)   # cumulative prefix at last boundary
+        line: List[int] = []
+        num_lines, continuation = state.num_lines, False
+        processed = len(ids)
+        try:
+            while True:
+                for tok in ro.token_ids[processed:]:
+                    line.append(tok)
+                    info = self._newline.get(tok)
+                    if info:
+                        n, trailing = info
+                        num_lines += n - continuation
+                        continuation = not trailing
+                        boundary = boundary + line
+                        line = []
+                        yield tuple(boundary), num_lines
+                processed = len(ro.token_ids)
+                if ro.finished:
+                    break
+                if self.control.should_stop:
+                    self.engine.abort(ro)
+                self.engine.step()
+            if line:
+                yield tuple(boundary + line), num_lines - continuation
+        except GeneratorExit:
+            self.control.abort()
+            self.engine.abort(ro)
+            while not ro.finished:
+                self.engine.step()
+            raise
+        finally:
+            self.stats["rollouts"] += 1
+            self.stats["rollout_tokens"] += ro.new_tokens
+            self.stats["rollout_time"] += time.time() - t0
+
+    # ------------------------------------------------------------------
+
+    def decode(self, token_ids) -> TikzDocument:
+        code = self.processor.decode(
+            list(token_ids)[len(self.root.token_ids):],
+            skip_special_tokens=True)
+        return TikzDocument(code, timeout=self.compile_timeout,
+                            backend=self.compiler.backend)
+
+    def score(self, image) -> Numeric:
+        assert self.metric is not None
+        t0 = time.time()
+        value = float(self.metric.score(image, self.image))
+        self.stats["score_time"] += time.time() - t0
+        return value
+
+    def sample(self) -> TikzDocument:
+        """One-shot sampling (no tree search)."""
+        last = self.root.token_ids
+        lines = 0
+        for prefix_ids, lines in self.rollout(self.root.state):
+            last = prefix_ids
+        doc = self.decode(last)
+        self._finish_rollout([])
+        return doc
+
+    # ------------------------------------------------------------------
+    # MCTS expansion policy (semantics: reference generate.py:305-353)
+    # ------------------------------------------------------------------
+
+    def child_finder(self, node: WideNode, montecarlo: MonteCarlo) -> None:
+        new_nodes: List[WideNode] = []
+        rollout_gen = self.rollout(node.state)
+        for token_ids, num_lines in rollout_gen:
+            new_node = WideNode(NodeState(token_ids, num_lines),
+                                exploration=self.exploration)
+            if new_node.state in self.failed_rollouts:
+                # replay a known-failing suffix instead of regenerating
+                new_nodes.extend(self.failed_rollouts[new_node.state])
+                rollout_gen.close()
+                break
+            new_nodes.append(new_node)
+
+        if node.is_widen_node:
+            node.visits += 1
+            node, new_nodes = self._merge(node.parent, new_nodes)
+
+        t0 = time.time()
+        tikz = self.decode((new_nodes or [node])[-1].token_ids)
+        tikz.compile()
+        self.stats["compile_time"] += time.time() - t0
+
+        skip_idx = round(sqrt(len(new_nodes)))
+        scorable = tikz.is_rasterizable and not (
+            self.strict and tikz.compiled_with_errors)
+
+        attached: List[WideNode] = []
+        if scorable:
+            for new_node in new_nodes[:skip_idx]:
+                node.add_child(new_node)
+                node = new_node
+                attached.append(new_node)
+        else:
+            errorln = min(tikz.errors or [0])
+            if errorln:
+                # attach only prefixes strictly before the error line; cache
+                # the failing suffix so future rollouts skip regeneration
+                for idx, new_node in enumerate(new_nodes):
+                    info = self._newline.get(new_node.token_ids[-1])
+                    ends_eol = bool(info and info[1])
+                    if new_node.num_lines < errorln and idx < skip_idx:
+                        node.add_child(new_node)
+                        node = new_node
+                        attached.append(new_node)
+                    elif (new_node.num_lines > errorln
+                          or (new_node.num_lines == errorln and ends_eol)):
+                        self.failed_rollouts[new_node.state] = new_nodes[idx:]
+                        break
+
+        self._finish_rollout(attached)
+
+        if self.metric is not None:
+            score = self.score(tikz.rasterize()) if scorable else -1
+            node.update_win_value(
+                self.norm(score) if scorable else score)
+        else:
+            # fast mode: compiler diagnostics in {-1, 0, 1}
+            score = int(scorable) - int(tikz.compiled_with_errors)
+            node.update_win_value(score)
+        self.solution.append((score, tikz))
+
+    def _merge(self, node: WideNode, nodes_to_merge: List[WideNode]
+               ) -> Tuple[WideNode, List[WideNode]]:
+        """Fold a widen-node rollout into existing children where states
+        already exist (reference generate.py:345-353)."""
+        for merge_node in nodes_to_merge:
+            for child in node.children:
+                if child.state == merge_node.state:
+                    node, nodes_to_merge = child, nodes_to_merge[1:]
+                    break
+            else:
+                break
+        return node, nodes_to_merge
+
+    def _finish_rollout(self, attached: List[WideNode]) -> None:
+        """Store KV prefixes for newly attached tree nodes, then free the
+        slot. This is what makes child expansions re-prefill only tails."""
+        ro = self._pending_rollout
+        self._pending_rollout = None
+        if ro is None:
+            return
+        # always keep the rollout's own start state (covers the root
+        # image+prompt prefill: computed once, reused by every later rollout)
+        prompt_ids = tuple(ro.token_ids[:ro.prompt_len])
+        self.engine.store_prefix((self.namespace, prompt_ids), ro,
+                                 length=ro.prompt_len,
+                                 namespace=self.namespace)
+        for new_node in attached:
+            n = len(new_node.token_ids)
+            if (n <= ro.length
+                    and tuple(ro.token_ids[:n]) == new_node.token_ids):
+                self.engine.store_prefix(
+                    (self.namespace, new_node.state), ro, length=n,
+                    namespace=self.namespace)
+        self.engine.release(ro)
+
+    # ------------------------------------------------------------------
+
+    def simulate(self, expansions: Optional[float] = 1
+                 ) -> Generator[Tuple[Numeric, TikzDocument], None, None]:
+        """Run MCTS expansions, yielding every rollout's (score, document)."""
+        start = time.time()
+        budget = expansions
+        while budget is None or (budget := budget - 1) >= 0:
+            self.montecarlo.simulate()
+            if self.solution:
+                yield self.solution.pop()
+            if (self.mcts_timeout is not None
+                    and time.time() - start > self.mcts_timeout):
+                return
+
+    __call__ = simulate

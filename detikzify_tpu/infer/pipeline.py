@@ -1,0 +1,138 @@
+"""User-facing inference pipeline.
+
+API surface matches reference ``DetikzifyPipeline``
+(``detikzify/infer/generate.py:356-467``): ``sample()`` for one-shot
+generation, ``simulate()`` for MCTS refinement yielding (score, TikzDocument)
+tuples. Default hyperparameters are the reference's (T=0.8, top-p 0.95,
+top-k 0; compile timeout 60 s; exploration 0.6).
+
+Unlike the reference, one ``DecodeEngine`` (KV cache pool + compiled decode
+programs) is shared across calls, so repeated sampling/simulation pays no
+re-jit or re-allocation cost.
+"""
+from __future__ import annotations
+
+from typing import Generator, Optional, Tuple, Union
+
+from PIL import Image
+
+from ..config import DetikzifyConfig
+from ..engine import DecodeEngine
+from ..evaluate.imagesim import ImageSim
+from ..models.detikzify import Params
+from ..ops.sampling import SamplingParams
+from ..processing import DetikzifyProcessor
+from ..utils.image import expand, load
+from .generator import DetikzifyGenerator, ExplicitAbort
+from .tikz import CompileService, TikzDocument
+
+Numeric = Union[int, float]
+
+
+class DetikzifyPipeline:
+    def __init__(
+        self,
+        params: Params,
+        cfg: DetikzifyConfig,
+        processor: DetikzifyProcessor,
+        *,
+        # hyperparams based on "a systematic evaluation of large language
+        # models of code" (reference generate.py:360-365)
+        temperature: float = 0.8,
+        top_p: float = 0.95,
+        top_k: int = 0,
+        compile_timeout: float = 60.0,   # same as old overleaf
+        metric: Union[str, object] = "model",
+        num_slots: int = 8,
+        max_len: Optional[int] = None,
+        exploration: float = 0.6,
+        compile_workers: int = 4,
+        engine: Optional[DecodeEngine] = None,
+    ):
+        self.cfg = cfg
+        self.processor = processor
+        self.compile_timeout = compile_timeout
+        self.exploration = exploration
+        self.engine = engine or DecodeEngine(
+            params, cfg, num_slots=num_slots,
+            max_len=max_len or min(processor.model_max_length,
+                                   cfg.model_max_length),
+            sampling=SamplingParams(temperature=temperature, top_p=top_p,
+                                    top_k=top_k))
+        if metric == "model":   # SelfSim on the model's own vision tower
+            self.metric = ImageSim.from_detikzify(params, cfg)
+        elif metric == "fast":  # compiler diagnostics only
+            self.metric = None
+        else:
+            self.metric = metric
+        self.compiler = CompileService(workers=compile_workers,
+                                       timeout=compile_timeout)
+
+    # ------------------------------------------------------------------
+
+    def load(self, image: Union[Image.Image, str], preprocess: bool = True
+             ) -> Image.Image:
+        image = load(image)
+        if preprocess:
+            return expand(image, max(image.size), do_trim=True)
+        return image
+
+    def check_inputs(self, image, text) -> None:
+        if text is not None and self.cfg.adapter is None:
+            raise ValueError(
+                "You need to load an adapter for textual inputs!")
+        if image is None and text is None:
+            raise ValueError("Either image or text (or both) required!")
+
+    def _generator(self, image, text, preprocess, *, metric=None,
+                   mcts_timeout=None, control=None, on_token=None,
+                   **kw) -> DetikzifyGenerator:
+        self.check_inputs(image, text)
+        return DetikzifyGenerator(
+            engine=self.engine,
+            processor=self.processor,
+            image=self.load(image, preprocess) if image is not None else None,
+            text=text,
+            metric=metric,
+            compile_timeout=self.compile_timeout,
+            mcts_timeout=mcts_timeout,
+            exploration=self.exploration,
+            compile_service=self.compiler,
+            control=control,
+            on_token=on_token,
+            **kw,
+        )
+
+    def sample(
+        self,
+        image: Optional[Union[Image.Image, str]] = None,
+        text: Optional[str] = None,
+        preprocess: bool = True,
+        **kw,
+    ) -> TikzDocument:
+        """DeTikZify a raster image: sample a single TikZ program."""
+        gen = self._generator(image, text, preprocess, **kw)
+        try:
+            return gen.sample()
+        finally:
+            gen.close()
+
+    def simulate(
+        self,
+        image: Optional[Union[Image.Image, str]] = None,
+        text: Optional[str] = None,
+        preprocess: bool = True,
+        expansions: Optional[Numeric] = None,
+        timeout: Optional[Numeric] = None,
+        **kw,
+    ) -> Generator[Tuple[Numeric, TikzDocument], None, None]:
+        """DeTikZify with MCTS refinement: yields (score, doc) per rollout."""
+        gen = self._generator(image, text, preprocess, metric=self.metric,
+                              mcts_timeout=timeout or None, **kw)
+        try:
+            yield from gen.simulate(expansions or None)
+        finally:
+            gen.close()
+
+    def __call__(self, *args, **kw) -> TikzDocument:
+        return self.sample(*args, **kw)

@@ -1,0 +1,102 @@
+"""End-to-end pipeline tests: sample() and MCTS simulate() on a tiny model
+with the hermetic fake compiler (SURVEY §4 test strategy)."""
+import numpy as np
+import jax
+import pytest
+from PIL import Image, ImageDraw
+
+from detikzify_tpu.config import tiny_test_config
+from detikzify_tpu.infer import DetikzifyPipeline, FakeBackend, set_backend
+from detikzify_tpu.infer.tikz import TikzDocument
+from detikzify_tpu.models import detikzify
+from detikzify_tpu.processing import ByteTokenizer, DetikzifyProcessor
+
+
+@pytest.fixture(scope="module", autouse=True)
+def fake_compiler():
+    set_backend(FakeBackend())
+    yield
+    set_backend(None)
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    cfg = tiny_test_config(vocab_size=512)
+    params = detikzify.init(jax.random.PRNGKey(7), cfg)
+    tok = ByteTokenizer(vocab_size=512, image_token_id=cfg.image_token_id,
+                        bos_token_id=cfg.bos_token_id,
+                        eos_token_id=cfg.eos_token_id, model_max_length=96)
+    processor = DetikzifyProcessor(tok, cfg)
+    return DetikzifyPipeline(params, cfg, processor, num_slots=4, max_len=96)
+
+
+@pytest.fixture(scope="module")
+def figure():
+    img = Image.new("RGB", (180, 120), "white")
+    d = ImageDraw.Draw(img)
+    d.rectangle([10, 10, 170, 110], outline="black", width=2)
+    d.ellipse([40, 30, 140, 90], outline="red", width=2)
+    return img
+
+
+def test_sample_returns_document(pipeline, figure):
+    doc = pipeline.sample(image=figure)
+    assert isinstance(doc, TikzDocument)
+    assert isinstance(doc.code, str)
+
+
+def test_simulate_yields_scored_documents(pipeline, figure):
+    results = list(pipeline.simulate(image=figure, expansions=3))
+    assert len(results) == 3
+    for score, doc in results:
+        assert isinstance(doc, TikzDocument)
+        assert isinstance(score, (int, float))
+        if doc.is_rasterizable:
+            assert -1.0 <= score <= 1.0   # SelfSim cosine range
+        else:
+            assert score == -1
+
+
+def test_simulate_fast_mode(pipeline, figure):
+    """metric='fast' scores from compiler diagnostics in {-1, 0, 1}."""
+    pipe = DetikzifyPipeline(pipeline.engine.params, pipeline.cfg,
+                             pipeline.processor, metric="fast",
+                             engine=pipeline.engine)
+    results = list(pipe.simulate(image=figure, expansions=2))
+    assert len(results) == 2
+    assert all(score in (-1, 0, 1) for score, _ in results)
+
+
+def test_mcts_grows_tree_and_reuses_prefixes(pipeline, figure):
+    gen = pipeline._generator(figure, None, True, metric=pipeline.metric)
+    try:
+        for _ in gen.simulate(expansions=4):
+            pass
+        root = gen.root
+        # the root always carries its widen child; expansions attach more
+        assert len(root.children) >= 1
+        assert gen.montecarlo.stats_expansion_count == 4
+        assert gen.stats["rollouts"] >= 1
+        # after the first expansion, later rollouts must restore stored
+        # prefixes (at minimum the root-adjacent nodes) instead of
+        # re-prefilling from scratch
+        if any(not c.is_widen_node for c in root.children):
+            assert gen.stats["prefix_hits"] >= 1
+    finally:
+        gen.close()
+
+
+def test_simulate_respects_timeout(pipeline, figure):
+    results = list(pipeline.simulate(image=figure, expansions=50,
+                                     timeout=1e-6))
+    assert len(results) <= 1
+
+
+def test_text_without_adapter_rejected(pipeline):
+    with pytest.raises(ValueError):
+        pipeline.sample(text="a caption")
+
+
+def test_requires_some_input(pipeline):
+    with pytest.raises(ValueError):
+        pipeline.sample()
