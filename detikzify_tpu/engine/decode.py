@@ -6,21 +6,24 @@ rollout (``detikzify/infer/generate.py:218-227,246-282``; SURVEY §3.3 hot
 spots) -- with a TPU-native engine:
 
   * a fixed pool of **slots** (rows of a preallocated contiguous KV cache);
-    rollouts join/leave mid-flight, all slots advance in ONE jitted decode
-    step per token (batch = all active rollouts, not 1);
-  * **bucketed prefill** (powers-of-two block lengths -> a handful of
-    compiled programs, no shape churn);
+    rollouts join/leave mid-flight and all slots advance together
+    (batch = all active rollouts, not 1);
+  * **block decoding**: ``decode_block`` steps run inside ONE jitted
+    ``lax.scan`` per host round-trip; slots that hit EOS mid-block freeze
+    (writes divert to a trash row). Essential when dispatch latency is
+    non-trivial (remote TPU tunnels) and still a win on local hosts;
+  * **fused start**: prefix-restore + bucketed prefill + first-token
+    sampling execute as a single device program; starts are **lazy** (no
+    host sync) so many rollouts can be enqueued back-to-back and overlap;
   * **prefix store**: any slot's KV prefix can be saved on device and
     restored into another slot, so an MCTS child rollout re-prefills only
-    the tokens *below* its tree node instead of the whole prompt. The root
-    (image + bos) prefill happens exactly once per image;
+    the tokens *below* its tree node. The root (image + bos) prefill
+    happens exactly once per image;
   * sampling (temperature/top-p/top-k, image-token ban, first-step EOS
-    suppression) fused into the decode step on device;
-  * async host streaming: step N+1 is dispatched before step N's tokens are
-    fetched, hiding transfer latency behind compute.
+    suppression) fused on device.
 
-All device code is functional; the engine object owns the (donated) cache
-and per-slot host bookkeeping.
+Per-slot token/position state lives on device; the host keeps plain-int
+mirrors that are updated from fetched results (never read back eagerly).
 """
 from __future__ import annotations
 
@@ -97,11 +100,13 @@ class DecodeEngine:
         sampling: SamplingParams = SamplingParams(),
         eos_token_id: Optional[int] = None,
         prefix_budget_bytes: int = 2 << 30,
+        decode_block: int = 16,
     ):
         self.params = params
         self.cfg = cfg
         self.num_slots = num_slots
-        # last cache row is a trash row for inactive slots' masked writes
+        self.decode_block = decode_block
+        # last cache row is a trash row for frozen/inactive slots' writes
         self.max_len = (max_len or cfg.model_max_length) + 1
         self.sampling = sampling
         self.eos_token_id = (cfg.eos_token_id if eos_token_id is None
@@ -112,11 +117,11 @@ class DecodeEngine:
 
         self._rollouts: Dict[int, Rollout] = {}
         self._free_slots = list(range(num_slots))
-        # device-mirrored per-slot state (host copies)
-        self._positions = np.zeros((num_slots,), np.int32)
-        self._tokens = np.zeros((num_slots,), np.int32)
-        self._active = np.zeros((num_slots,), bool)
-        self._is_first = np.zeros((num_slots,), bool)
+        # device-resident per-slot state
+        self._tok_dev = jnp.zeros((num_slots,), jnp.int32)
+        self._pos_dev = jnp.zeros((num_slots,), jnp.int32)
+        self._active = np.zeros((num_slots,), bool)       # host-controlled
+        self._first_pending: Dict[int, jnp.ndarray] = {}  # slot -> dev scalar
 
         self._prefix_store: Dict[object, StoredPrefix] = {}
         self._prefix_bytes = 0
@@ -131,38 +136,91 @@ class DecodeEngine:
 
     def _build_jit(self):
         cfg = self.cfg
+        max_len = self.max_len
+        eos = self.eos_token_id
 
-        @functools.partial(jax.jit, donate_argnums=(1,))
-        def prefill_slot(params, cache, slot, ids, image_embeds, start,
-                         seq_len):
-            """ids [1, bucket]; returns (last logits [V], cache)."""
+        def restore(cache, slot, pk, pv):
+            def upd(big, small):
+                cur = jax.lax.dynamic_slice_in_dim(big, slot, 1, axis=1)
+                cur = jax.lax.dynamic_update_slice(
+                    cur, small[:, None].astype(cur.dtype), (0, 0, 0, 0, 0))
+                return jax.lax.dynamic_update_slice_in_dim(
+                    big, cur, slot, axis=1)
+
+            return KVCache(upd(cache.k, pk), upd(cache.v, pv))
+
+        def prefill_and_sample(params, cache, tok_dev, pos_dev, slot, ids,
+                               image_embeds, start, seq_len, rng, sampling,
+                               banned, suppress):
             small = KVCache(
                 jax.lax.dynamic_slice_in_dim(cache.k, slot, 1, axis=1),
                 jax.lax.dynamic_slice_in_dim(cache.v, slot, 1, axis=1))
             logits, small = detikzify.prefill(
                 params, cfg, ids, image_embeds, start[None], seq_len[None],
                 small)
-            new_k = jax.lax.dynamic_update_slice_in_dim(
-                cache.k, small.k, slot, axis=1)
-            new_v = jax.lax.dynamic_update_slice_in_dim(
-                cache.v, small.v, slot, axis=1)
-            return logits[0], KVCache(new_k, new_v)
+            cache = KVCache(
+                jax.lax.dynamic_update_slice_in_dim(cache.k, small.k, slot,
+                                                    axis=1),
+                jax.lax.dynamic_update_slice_in_dim(cache.v, small.v, slot,
+                                                    axis=1))
+            rng, sub = jax.random.split(rng)
+            first = sample(logits, sub, params=sampling, banned_tokens=banned,
+                           suppress_begin_tokens=suppress,
+                           is_first=jnp.ones((1,), bool))[0]
+            tok_dev = tok_dev.at[slot].set(first)
+            pos_dev = pos_dev.at[slot].set(start + seq_len)
+            return cache, tok_dev, pos_dev, rng, first
 
         @functools.partial(
-            jax.jit, donate_argnums=(1,),
+            jax.jit, donate_argnums=(1, 2, 3),
             static_argnames=("sampling", "banned", "suppress"))
-        def decode_all(params, cache, tokens, positions, active, is_first,
-                       rng, sampling, banned, suppress):
-            # inactive slots write their k/v into the trash row
-            pos = jnp.where(active, positions, self.max_len - 1)
-            logits, cache = detikzify.decode_step(params, cfg, tokens, pos,
-                                                  cache)
-            rng, sub = jax.random.split(rng)
-            next_tokens = sample(logits, sub, params=sampling,
-                                 banned_tokens=banned,
-                                 suppress_begin_tokens=suppress,
-                                 is_first=is_first)
-            return next_tokens, cache, rng
+        def start_slot(params, cache, tok_dev, pos_dev, slot, ids,
+                       image_embeds, start, seq_len, rng,
+                       sampling, banned, suppress):
+            return prefill_and_sample(params, cache, tok_dev, pos_dev, slot,
+                                      ids, image_embeds, start, seq_len, rng,
+                                      sampling, banned, suppress)
+
+        @functools.partial(
+            jax.jit, donate_argnums=(1, 2, 3),
+            static_argnames=("sampling", "banned", "suppress"))
+        def start_slot_prefix(params, cache, tok_dev, pos_dev, slot, ids,
+                              image_embeds, start, seq_len, rng, pk, pv,
+                              sampling, banned, suppress):
+            cache = restore(cache, slot, pk, pv)
+            return prefill_and_sample(params, cache, tok_dev, pos_dev, slot,
+                                      ids, image_embeds, start, seq_len, rng,
+                                      sampling, banned, suppress)
+
+        @functools.partial(
+            jax.jit, donate_argnums=(1, 2, 3),
+            static_argnames=("k", "sampling", "banned", "suppress"))
+        def decode_many(params, cache, tok_dev, pos_dev, active, rng,
+                        k, sampling, banned, suppress):
+            """k decode steps for all slots inside one jitted scan: one host
+            round-trip per k*slots tokens. Slots that emit EOS mid-scan
+            freeze: their writes divert to the trash row, they re-emit EOS,
+            and their position stops advancing."""
+
+            def body(carry, _):
+                tokens, positions, done, cache, rng = carry
+                write_pos = jnp.where(done, max_len - 1,
+                                      jnp.minimum(positions, max_len - 1))
+                logits, cache = detikzify.decode_step(params, cfg, tokens,
+                                                      write_pos, cache)
+                rng, sub = jax.random.split(rng)
+                nxt = sample(logits, sub, params=sampling,
+                             banned_tokens=banned,
+                             suppress_begin_tokens=suppress, is_first=None)
+                nxt = jnp.where(done, eos, nxt)
+                new_done = done | (nxt == eos)
+                positions = jnp.where(done, positions, positions + 1)
+                return (nxt, positions, new_done, cache, rng), nxt
+
+            done0 = ~active | (tok_dev == eos)
+            (tok_dev, pos_dev, _, cache, rng), toks = jax.lax.scan(
+                body, (tok_dev, pos_dev, done0, cache, rng), None, length=k)
+            return toks, cache, tok_dev, pos_dev, rng
 
         @functools.partial(jax.jit, static_argnames=("bucket",))
         def save_prefix(cache, slot, bucket: int):
@@ -170,36 +228,15 @@ class DecodeEngine:
             v = jax.lax.dynamic_slice_in_dim(cache.v, slot, 1, axis=1)[:, 0]
             return k[:, :bucket], v[:, :bucket]
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def restore_prefix(cache, slot, pk, pv):
-            def upd(big, small):
-                cur = jax.lax.dynamic_slice_in_dim(big, slot, 1, axis=1)
-                cur = jax.lax.dynamic_update_slice(
-                    cur, small[:, None].astype(cur.dtype), (0, 0, 0, 0, 0))
-                return jax.lax.dynamic_update_slice_in_dim(
-                    big, cur, slot, axis=1)
-            return KVCache(upd(cache.k, pk), upd(cache.v, pv))
-
         @jax.jit
         def encode_image(params, pixel_values):
             return detikzify.encode_image(params, cfg, pixel_values)
 
-        @functools.partial(
-            jax.jit, static_argnames=("sampling", "banned", "suppress"))
-        def sample_only(logits, rng, is_first, sampling, banned, suppress):
-            rng, sub = jax.random.split(rng)
-            tok = sample(logits[None], sub, params=sampling,
-                         banned_tokens=banned,
-                         suppress_begin_tokens=suppress,
-                         is_first=is_first[None])
-            return tok[0], rng
-
-        self._prefill_slot = prefill_slot
-        self._decode_all = decode_all
+        self._start_slot = start_slot
+        self._start_slot_prefix = start_slot_prefix
+        self._decode_many = decode_many
         self._save_prefix = save_prefix
-        self._restore_prefix = restore_prefix
         self._encode_image = encode_image
-        self._sample_only = sample_only
 
     # ------------------------------------------------------------------
     # prefix store
@@ -220,7 +257,8 @@ class DecodeEngine:
         self._prefix_bytes += sp.nbytes()
         self._prefix_store[key] = sp
         self._prefix_lru.append(key)
-        while self._prefix_bytes > self._prefix_budget and len(self._prefix_lru) > 1:
+        while (self._prefix_bytes > self._prefix_budget
+               and len(self._prefix_lru) > 1):
             old = self._prefix_lru.pop(0)
             dropped = self._prefix_store.pop(old, None)
             if dropped is not None:
@@ -268,11 +306,14 @@ class DecodeEngine:
         max_new_tokens: int = 1024,
         on_token: Optional[Callable[[int], None]] = None,
         prefix: Optional[StoredPrefix] = None,
+        lazy: bool = False,
     ) -> Rollout:
         """Begin generating after ``token_ids``. Returns a Rollout handle.
 
-        If ``prefix`` is given (a StoredPrefix whose token_ids match the
-        head of ``token_ids``), only the tail is prefilled.
+        The prefill + first-token sample run as one fused device program.
+        With ``lazy=True`` the first token is not fetched to the host until
+        the next ``step()``/``flush()`` -- callers can enqueue many starts
+        back-to-back with zero host syncs.
         """
         if not self._free_slots:
             raise RuntimeError("no free slots")
@@ -280,52 +321,64 @@ class DecodeEngine:
         slot = self._free_slots.pop()
         ro = Rollout(slot=slot, prompt_len=len(token_ids),
                      token_ids=list(token_ids),
-                     max_new_tokens=max_new_tokens, on_token=on_token)
+                     max_new_tokens=max(
+                         min(max_new_tokens,
+                             self.max_len - 1 - len(token_ids)), 1),
+                     on_token=on_token)
 
         start_pos = 0
         if prefix is not None:
             assert tuple(token_ids[:prefix.length]) == prefix.token_ids, \
                 "prefix mismatch"
-            self.cache = self._restore_prefix(
-                self.cache, jnp.int32(slot), prefix.k, prefix.v)
-            start_pos = prefix.length
-            if start_pos >= len(token_ids):
-                # prefix covers the whole prompt: re-prefill the final token
-                # (overwrites its own KV row) to obtain next-token logits.
-                start_pos = len(token_ids) - 1
+            start_pos = min(prefix.length, len(token_ids) - 1)
 
         tail = token_ids[start_pos:]
-        max_new = min(max_new_tokens,
-                      self.max_len - 1 - len(token_ids))
-        ro.max_new_tokens = max(max_new, 0)
+        bucket = _bucket(len(tail), self.max_len)
+        ids = np.zeros((1, bucket), np.int32)
+        ids[0, :len(tail)] = tail
+        if image_embeds is None:
+            image_embeds = jnp.zeros(
+                (1, self.cfg.image_seq_len, self.cfg.text.hidden_size),
+                self.params.text["embed_tokens"].dtype)
 
-        if tail:
-            bucket = _bucket(len(tail), self.max_len)
-            ids = np.zeros((1, bucket), np.int32)
-            ids[0, :len(tail)] = tail
-            if image_embeds is None:
-                image_embeds_in = jnp.zeros(
-                    (1, self.cfg.image_seq_len, self.cfg.text.hidden_size),
-                    self.params.text["embed_tokens"].dtype)
-            else:
-                image_embeds_in = image_embeds
-            logits, self.cache = self._prefill_slot(
-                self.params, self.cache, jnp.int32(slot), jnp.asarray(ids),
-                image_embeds_in, jnp.int32(start_pos), jnp.int32(len(tail)))
-            first_tok, self.rng = self._sample_only(
-                logits, self.rng, jnp.asarray(True),
-                self.sampling, self._banned(), self._suppress())
-            first_tok = int(first_tok)
-        else:  # pragma: no cover - start_pos adjustment guarantees a tail
-            raise AssertionError("empty prefill tail")
+        args = (self.params, self.cache, self._tok_dev, self._pos_dev,
+                jnp.int32(slot), jnp.asarray(ids), image_embeds,
+                jnp.int32(start_pos), jnp.int32(len(tail)), self.rng)
+        if prefix is not None:
+            (self.cache, self._tok_dev, self._pos_dev, self.rng,
+             first) = self._start_slot_prefix(
+                *args, prefix.k, prefix.v, sampling=self.sampling,
+                banned=self._banned(), suppress=self._suppress())
+        else:
+            (self.cache, self._tok_dev, self._pos_dev, self.rng,
+             first) = self._start_slot(
+                *args, sampling=self.sampling, banned=self._banned(),
+                suppress=self._suppress())
 
         self._rollouts[slot] = ro
-        self._positions[slot] = len(token_ids)
-        self._tokens[slot] = first_tok
         self._active[slot] = True
-        self._is_first[slot] = False  # eos-suppression consumed at prefill
-        self._accept_token(ro, first_tok)
+        self._first_pending[slot] = first
+        if not lazy:
+            self.flush()
         return ro
+
+    def flush(self) -> List[Rollout]:
+        """Fetch pending first tokens to the host; returns rollouts that
+        finished as a result (eos/abort/budget)."""
+        if not self._first_pending:
+            return []
+        slots = list(self._first_pending)
+        values = jax.device_get([self._first_pending[s] for s in slots])
+        self._first_pending.clear()
+        finished = []
+        for slot, tok in zip(slots, values):
+            ro = self._rollouts.get(slot)
+            if ro is None:
+                continue
+            self._accept_token(ro, int(tok))
+            if ro.finished:
+                finished.append(ro)
+        return finished
 
     def _banned(self) -> tuple:
         return (self.cfg.image_token_id,)
@@ -351,9 +404,10 @@ class DecodeEngine:
         ro.aborted = True
 
     def release(self, ro: Rollout) -> None:
-        if ro.slot in self._rollouts:
+        if ro.slot in self._rollouts and self._rollouts[ro.slot] is ro:
             del self._rollouts[ro.slot]
             self._active[ro.slot] = False
+            self._first_pending.pop(ro.slot, None)
             self._free_slots.append(ro.slot)
 
     @property
@@ -364,33 +418,48 @@ class DecodeEngine:
     # stepping
     # ------------------------------------------------------------------
 
-    def step(self) -> List[Rollout]:
-        """One decode step for all active slots. Returns finished rollouts."""
+    def step(self, k: Optional[int] = None) -> List[Rollout]:
+        """Decode up to ``k`` tokens for all active slots in one device call,
+        with ONE host sync covering both pending first tokens and the decode
+        block. Returns rollouts that finished."""
         if not self._active.any():
-            return []
-        next_tokens, self.cache, self.rng = self._decode_all(
-            self.params, self.cache,
-            jnp.asarray(self._tokens), jnp.asarray(self._positions),
-            jnp.asarray(self._active), jnp.asarray(self._is_first),
-            self.rng, self.sampling, self._banned(), self._suppress())
-        toks = np.asarray(jax.device_get(next_tokens))
+            return self.flush()
+        k = self.decode_block if k is None else k
+        toks_dev, self.cache, self._tok_dev, self._pos_dev, self.rng = \
+            self._decode_many(
+                self.params, self.cache, self._tok_dev, self._pos_dev,
+                jnp.asarray(self._active), self.rng,
+                k, self.sampling, self._banned(), self._suppress())
+        first_slots = list(self._first_pending)
+        firsts, toks = jax.device_get(
+            ([self._first_pending[s] for s in first_slots], toks_dev))
+        self._first_pending.clear()
+        toks = np.asarray(toks)                         # [k, S]
+
         finished = []
-        for slot, ro in list(self._rollouts.items()):
-            if not self._active[slot]:
+        for slot, tok in zip(first_slots, firsts):
+            ro = self._rollouts.get(slot)
+            if ro is None:
                 continue
-            self._positions[slot] += 1
-            self._tokens[slot] = toks[slot]
-            self._is_first[slot] = False
-            self._accept_token(ro, int(toks[slot]))
+            self._accept_token(ro, int(tok))
             if ro.finished:
                 finished.append(ro)
+        for slot, ro in list(self._rollouts.items()):
+            if not self._active[slot] or ro.finished:
+                continue
+            for i in range(k):
+                tok = int(toks[i, slot])
+                self._accept_token(ro, tok)
+                if ro.finished:
+                    finished.append(ro)
+                    break
         return finished
 
     def run(self, max_steps: Optional[int] = None) -> List[Rollout]:
         """Step until every rollout finishes; returns them all."""
         done: List[Rollout] = []
         steps = 0
-        while self._active.any():
+        while self._active.any() or self._first_pending:
             done.extend(self.step())
             steps += 1
             if max_steps is not None and steps >= max_steps:

@@ -195,7 +195,7 @@ class DetikzifyGenerator:
         ro = self.engine.start(
             ids, image_embeds=self.image_embeds,
             max_new_tokens=self.max_length - len(ids),
-            prefix=prefix, on_token=self.on_token)
+            prefix=prefix, on_token=self.on_token, lazy=True)
         self._pending_rollout = ro
 
         boundary: List[int] = list(ids)   # cumulative prefix at last boundary

@@ -1,0 +1,133 @@
+"""Sharded training step (pjit over a ('data','model') mesh).
+
+TPU-native replacement for the reference's HF-Trainer + DDP/DeepSpeed stack
+(``detikzify/train/train.py:105-147``, ``train/pretrain.py:70-97``):
+
+  * gradient accumulation happens INSIDE the jitted step (lax.scan over
+    microbatches) -- no WORLD_SIZE bookkeeping (reference train.py:82-83);
+  * parameter freezing (projector-only pretraining, reference
+    pretrain.py:50-60) is an optax partition: frozen subtrees get
+    ``set_to_zero`` updates -- one step function serves both stages;
+  * optimizer-state sharding (ZeRO 1/2 equivalent) falls out of param
+    shardings; FSDP via ``shard_params(fsdp=True)``.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import DetikzifyConfig
+from ..models import detikzify
+from ..models.detikzify import Params
+
+
+class TrainState(NamedTuple):
+    params: Params
+    opt_state: object
+    step: jnp.ndarray
+
+
+def label_smoothing_free_loss(params, cfg, batch, attn_impl="auto"):
+    _, loss = detikzify.forward(
+        params, cfg,
+        batch["input_ids"],
+        batch.get("pixel_values"),
+        attention_mask=batch.get("attention_mask"),
+        labels=batch["labels"],
+        attn_impl=attn_impl,
+    )
+    return loss
+
+
+def trainable_mask(params: Params, mode: str):
+    """'all' | 'projector' (stage-1 pretraining trains only the connector)."""
+    if mode == "all":
+        return jax.tree.map(lambda _: "train", params)
+    if mode == "projector":
+        mask = jax.tree.map(lambda _: "freeze", params)
+        return mask._replace(
+            connector=jax.tree.map(lambda _: "train", params.connector))
+    raise ValueError(mode)
+
+
+def make_optimizer(
+    learning_rate: float,
+    *,
+    total_steps: int,
+    warmup_ratio: float = 0.03,
+    weight_decay: float = 0.0,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    grad_clip: float = 1.0,
+    trainable: Optional[object] = None,    # pytree of 'train'/'freeze'
+) -> optax.GradientTransformation:
+    """AdamW + cosine schedule with linear warmup (reference hyperparams:
+    cosine schedule, warmup_ratio 0.03 -- train/train.py:116-121)."""
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=0.0, peak_value=learning_rate,
+        warmup_steps=max(int(total_steps * warmup_ratio), 1),
+        decay_steps=total_steps, end_value=0.0)
+    opt = optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adamw(schedule, b1=b1, b2=b2, weight_decay=weight_decay),
+    )
+    if trainable is not None:
+        opt = optax.multi_transform(
+            {"train": opt, "freeze": optax.set_to_zero()}, trainable)
+    return opt
+
+
+def make_train_step(
+    cfg: DetikzifyConfig,
+    optimizer: optax.GradientTransformation,
+    *,
+    grad_accum: int = 1,
+    attn_impl: str = "auto",
+    loss_fn: Optional[Callable] = None,
+):
+    """Build a jittable (state, batch) -> (state, metrics) step.
+
+    ``batch`` arrays have leading dim ``grad_accum * micro_batch``; the step
+    scans over ``grad_accum`` microbatches, averaging grads on device.
+    """
+    loss_fn = loss_fn or label_smoothing_free_loss
+
+    def compute_grads(params, batch):
+        return jax.value_and_grad(
+            lambda p: loss_fn(p, cfg, batch, attn_impl))(params)
+
+    def train_step(state: TrainState, batch) -> tuple:
+        params = state.params
+        if grad_accum == 1:
+            loss, grads = compute_grads(params, batch)
+        else:
+            def micro(carry, mb):
+                loss, grads = compute_grads(params, mb)
+                acc_loss, acc_grads = carry
+                return (acc_loss + loss,
+                        jax.tree.map(jnp.add, acc_grads, grads)), None
+
+            zeros = jax.tree.map(jnp.zeros_like, params)
+            split = jax.tree.map(
+                lambda x: x.reshape((grad_accum, -1) + x.shape[1:]), batch)
+            (loss, grads), _ = jax.lax.scan(micro, (0.0, zeros), split)
+            loss = loss / grad_accum
+            grads = jax.tree.map(lambda g: g / grad_accum, grads)
+
+        updates, opt_state = optimizer.update(grads, state.opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+        }
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step
+
+
+def init_state(params: Params, optimizer) -> TrainState:
+    return TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
