@@ -1,0 +1,143 @@
+"""Training subsystem tests: tokenize masking, augment determinism,
+trainer loop with resume, projector freezing, checkpointing."""
+import os
+
+import numpy as np
+import jax
+import pytest
+from PIL import Image, ImageDraw
+
+from detikzify_tpu.config import tiny_test_config
+from detikzify_tpu.models import detikzify
+from detikzify_tpu.processing import ByteTokenizer, DetikzifyProcessor
+from detikzify_tpu.train import data as tdata
+from detikzify_tpu.train import (TrainConfig, Trainer, get_last_checkpoint,
+                                 make_optimizer, make_train_step,
+                                 init_state, trainable_mask, save_params_npz)
+from detikzify_tpu.data.augment import (EditCutMix, EditCutOut, EditMixUp,
+                                        FullErase, SketchAugment)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_test_config(vocab_size=512)
+    params = detikzify.init(jax.random.PRNGKey(0), cfg)
+    tok = ByteTokenizer(vocab_size=512, image_token_id=cfg.image_token_id,
+                        bos_token_id=cfg.bos_token_id,
+                        eos_token_id=cfg.eos_token_id, model_max_length=64)
+    return cfg, params, DetikzifyProcessor(tok, cfg)
+
+
+def _figure(seed=0):
+    img = Image.new("RGB", (96, 64), "white")
+    d = ImageDraw.Draw(img)
+    d.rectangle([5 + seed, 5, 90, 58], outline="black", width=2)
+    return img
+
+
+def test_tokenize_masks_image_and_pad(setup):
+    cfg, _, processor = setup
+    batch = tdata.tokenize_batch(
+        processor, texts=["abc", "defgh"], images=[_figure(), _figure(1)])
+    ids, labels = batch["input_ids"], batch["labels"]
+    assert (labels[ids == cfg.image_token_id] == -100).all()
+    # padding masked
+    assert (labels[~batch["attention_mask"]] == -100).all()
+    # code tokens keep their ids
+    code_mask = batch["attention_mask"] & (ids != cfg.image_token_id)
+    assert (labels[code_mask] == ids[code_mask]).all()
+    # eos appended
+    assert (ids == cfg.eos_token_id).sum() == 2
+
+
+def test_fits_in_context(setup):
+    cfg, _, processor = setup
+    assert tdata.fits_in_context(processor, "short", 64)
+    assert not tdata.fits_in_context(processor, "x" * 100, 64)
+
+
+def test_sketch_augment_deterministic():
+    a = SketchAugment(seed=3)(_figure())
+    b = SketchAugment(seed=3)(_figure())
+    assert list(a.getdata()) == list(b.getdata())
+    assert a.size == _figure().size
+
+
+def test_edit_augments():
+    img, other = _figure(), _figure(5)
+    assert FullErase()(img).getextrema() == ((255, 255), (255, 255),
+                                             (255, 255))
+    assert EditCutOut(seed=0)(img).size == img.size
+    assert EditMixUp(seed=0)(img, other).size == img.size
+    assert EditCutMix(seed=0)(img, other).size == img.size
+
+
+def test_sketch_dataset_epoch_swap(setup):
+    ds = tdata.SketchDataset(
+        [{"image": _figure(), "text": "t"}], sketch_ratio=1.0, seed=0)
+    ds.set_epoch(0)
+    a = ds[0]["image"]
+    ds.set_epoch(1)
+    b = ds[0]["image"]
+    assert list(a.getdata()) != list(_figure().getdata())  # augmented
+    assert list(a.getdata()) != list(b.getdata())          # per-epoch differs
+
+
+def test_trainer_loss_decreases_and_resumes(setup, tmp_path):
+    cfg, params, processor = setup
+    dataset = [{"image": _figure(i % 3), "text": f"code{i % 3};"}
+               for i in range(16)]
+    tc = TrainConfig(
+        output_dir=str(tmp_path / "run"), learning_rate=2e-3, epochs=2,
+        micro_batch_size=4, grad_accum=2, max_length=32,
+        save_epoch_fraction=0.5, logging_steps=1, trainable="all",
+        fsdp=False, model_axis=1)
+    losses = []
+    trainer = Trainer(params, cfg, processor, dataset, tc,
+                      log_fn=lambda m: losses.append(m))
+    state = trainer.train()
+    assert int(state.step) == trainer.total_steps
+    assert get_last_checkpoint(str(tmp_path / "run")) is not None
+
+    # resume from checkpoint: new trainer starts at saved step
+    trainer2 = Trainer(params, cfg, processor, dataset, tc,
+                       log_fn=lambda m: None)
+    assert trainer2._resume() == trainer.total_steps
+
+
+def test_projector_freeze(setup):
+    cfg, params, _ = setup
+    mask = trainable_mask(params, "projector")
+    opt = make_optimizer(1e-2, total_steps=4, trainable=mask)
+    step = make_train_step(cfg, opt, grad_accum=1, attn_impl="xla")
+    state = init_state(params, opt)
+
+    ids = np.full((2, cfg.image_seq_len + 6), 65, np.int32)
+    ids[:, :cfg.image_seq_len] = cfg.image_token_id
+    batch = {
+        "input_ids": ids,
+        "labels": np.where(ids == cfg.image_token_id, -100, ids),
+        "pixel_values": np.zeros(
+            (2, cfg.vision.image_size, cfg.vision.image_size, 3),
+            np.float32),
+    }
+    jit_step = jax.jit(step)
+    new_state, metrics = jit_step(state, batch)
+    new_state, metrics = jit_step(new_state, batch)  # step 0 has lr=0 (warmup)
+    # connector moved, text tower untouched
+    delta_conn = float(jax.numpy.abs(
+        new_state.params.connector["proj"]["kernel"]
+        - params.connector["proj"]["kernel"]).max())
+    delta_text = float(jax.numpy.abs(
+        new_state.params.text["embed_tokens"]
+        - params.text["embed_tokens"]).max())
+    assert delta_conn > 0
+    assert delta_text == 0
+
+
+def test_save_params_npz(setup, tmp_path):
+    _, params, _ = setup
+    path = str(tmp_path / "proj.npz")
+    save_params_npz(path, params, only="connector")
+    loaded = tdata.np.load(path)
+    assert "proj/kernel" in loaded.files
