@@ -43,6 +43,7 @@ def _cos(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 def sinkhorn_emd2(cost: jnp.ndarray, reg: float = 0.01,
                   iters: int = 200) -> jnp.ndarray:
     """Entropy-regularized EMD (uniform marginals). cost: [..., N, M]."""
+    cost = jnp.asarray(cost, jnp.float32)
     n, m = cost.shape[-2:]
     log_a = -jnp.log(n) * jnp.ones(cost.shape[:-1])           # [..., N]
     log_b = -jnp.log(m) * jnp.ones(cost.shape[:-2] + (m,))    # [..., M]

@@ -148,6 +148,39 @@ def import_vision(src: _Src, cfg: VisionConfig, dtype=jnp.bfloat16,
     }
 
 
+def import_siglip_text(src: _Src, cfg: VisionConfig, dtype=jnp.bfloat16,
+                       prefix: str = "text_model") -> dict:
+    """SigLIP text tower (for the two-tower ClipScore metric)."""
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        base = f"{prefix}.encoder.layers.{i}"
+        layers.append({
+            "ln1": _ln(src, f"{base}.layer_norm1", dtype),
+            "attn": {
+                "q": _lin(src, f"{base}.self_attn.q_proj", dtype),
+                "k": _lin(src, f"{base}.self_attn.k_proj", dtype),
+                "v": _lin(src, f"{base}.self_attn.v_proj", dtype),
+                "o": _lin(src, f"{base}.self_attn.out_proj", dtype),
+            },
+            "ln2": _ln(src, f"{base}.layer_norm2", dtype),
+            "mlp": {
+                "fc1": _lin(src, f"{base}.mlp.fc1", dtype),
+                "fc2": _lin(src, f"{base}.mlp.fc2", dtype),
+            },
+        })
+    return {
+        "embeddings": {
+            "token": jnp.asarray(
+                src(f"{prefix}.embeddings.token_embedding.weight"), dtype),
+            "position": jnp.asarray(
+                src(f"{prefix}.embeddings.position_embedding.weight"), dtype),
+        },
+        "layers": _stack(layers),
+        "final_ln": _ln(src, f"{prefix}.final_layer_norm", dtype),
+        "head": _lin(src, f"{prefix}.head", dtype),
+    }
+
+
 def import_text(src: _Src, cfg, dtype=jnp.bfloat16,
                 prefix: str = "text_model") -> dict:
     layers = []

@@ -198,3 +198,55 @@ def apply(
     pooled = (pooled + h)[:, 0]
 
     return {"last_hidden_state": x, "pooler_output": pooled}
+
+
+# ---------------------------------------------------------------------------
+# SigLIP text tower (two-tower scoring: ClipScore / KID text side)
+# ---------------------------------------------------------------------------
+
+def init_text(rng: jax.Array, cfg: VisionConfig, vocab_size: int = 32000,
+              max_positions: int = 64, dtype=jnp.float32) -> dict:
+    """Text encoder sharing the vision layer geometry (SigLIP-style)."""
+    base = init(rng, cfg, dtype)
+    k1, k2, k3 = jax.random.split(rng, 3)
+    d = cfg.hidden_size
+    return {
+        "embeddings": {
+            "token": jax.random.normal(k1, (vocab_size, d), dtype) * 0.02,
+            "position": jax.random.normal(k2, (max_positions, d),
+                                          dtype) * 0.02,
+        },
+        "layers": base["layers"],
+        "final_ln": ln_init(d, dtype),
+        "head": dense_init(k3, d, d, dtype=dtype),
+    }
+
+
+def apply_text(params: dict, cfg: VisionConfig, input_ids: jnp.ndarray,
+               *, attn_impl: str = "auto") -> dict:
+    """input_ids [B, T] -> {'last_hidden_state', 'pooler_output'}.
+
+    Pooling follows SigLIP: the LAST token's hidden state through the head
+    projection (sequences are padded to a fixed length by the tokenizer).
+    """
+    act = ACTIVATIONS[cfg.hidden_act]
+    eps = cfg.layer_norm_eps
+    nh = cfg.num_attention_heads
+
+    x = params["embeddings"]["token"][input_ids]
+    x = x + params["embeddings"]["position"][:input_ids.shape[1]]
+
+    def block(x, lp):
+        residual = x
+        h = layer_norm(lp["ln1"], x, eps)
+        h = _mha(lp["attn"], h, h, nh, impl=attn_impl)
+        x = residual + h
+        residual = x
+        h = layer_norm(lp["ln2"], x, eps)
+        h = linear(lp["mlp"]["fc2"], act(linear(lp["mlp"]["fc1"], h)))
+        return residual + h, None
+
+    x, _ = jax.lax.scan(block, x, params["layers"])
+    x = layer_norm(params["final_ln"], x, eps)
+    pooled = linear(params["head"], x[:, -1])
+    return {"last_hidden_state": x, "pooler_output": pooled}
