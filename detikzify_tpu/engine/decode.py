@@ -232,6 +232,19 @@ class DecodeEngine:
         def encode_image(params, pixel_values):
             return detikzify.encode_image(params, cfg, pixel_values)
 
+        if cfg.adapter is not None:
+            from ..models.siglip import AdapterInputs
+
+            @jax.jit
+            def encode_image_adapter(params, pixel_values, adapter_layers,
+                                     cross_states, cross_mask):
+                ai = AdapterInputs(adapter_layers, cfg.adapter,
+                                   cross_states, cross_mask)
+                return detikzify.encode_image(params, cfg, pixel_values,
+                                              adapter=ai)
+
+            self._encode_image_adapter = encode_image_adapter
+
         self._start_slot = start_slot
         self._start_slot_prefix = start_slot_prefix
         self._decode_many = decode_many
@@ -470,6 +483,14 @@ class DecodeEngine:
     # helpers
     # ------------------------------------------------------------------
 
-    def encode_image(self, pixel_values: jnp.ndarray) -> jnp.ndarray:
-        """[B,H,W,C] -> projected image tokens (vision runs once/image)."""
-        return self._encode_image(self.params, pixel_values)
+    def encode_image(self, pixel_values: jnp.ndarray,
+                     adapter_inputs=None) -> jnp.ndarray:
+        """[B,H,W,C] -> projected image tokens (vision runs once/image).
+
+        With ``adapter_inputs`` (an ``AdapterInputs``), the vision tower is
+        caption-conditioned through the TikZero cross-attention blocks."""
+        if adapter_inputs is None:
+            return self._encode_image(self.params, pixel_values)
+        return self._encode_image_adapter(
+            self.params, pixel_values, adapter_inputs.params,
+            adapter_inputs.cross_states, adapter_inputs.cross_mask)

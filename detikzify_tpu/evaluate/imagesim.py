@@ -15,23 +15,27 @@ Modes (reference :102-125):
                     fixed-iteration scheme that converges to the same optimum
                     as regularization -> 0 and runs entirely on device.
 
+Text-conditioned scoring (TikZero): with an ``AdapterBundle``, either side
+may be conditioned on a caption through the gated cross-attention blocks
+(reference's adapter-aware cast, imagesim.py:70-85); an absent image is
+replaced by ``DUMMY_IMAGE``.
+
 Metric state follows the torchmetrics update/compute/reset contract with
 ``sum``-reduction semantics so distributed eval can psum the state
 (reference relies on torchmetrics ``dist_reduce_fx``).
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from PIL import Image
 
 from ..config import DetikzifyConfig
 from ..models import siglip
 from ..processing import preprocess_image
+from ..utils.image import DUMMY_IMAGE
 
 
 def _cos(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -69,69 +73,105 @@ class ImageSim:
     higher_is_better = True
 
     def __init__(self, vision_params: dict, cfg: DetikzifyConfig,
-                 mode: str = "cos", preprocess: bool = True):
+                 mode: str = "cos", preprocess: bool = True,
+                 adapter=None):
         assert mode in ("cos", "cos_avg", "emd")
         self.vision_params = vision_params
         self.cfg = cfg
         self.mode = mode
         self.preprocess = preprocess
+        self.adapter = adapter
         self._sum = 0.0
         self._n = 0
         self._build()
 
     @classmethod
     def from_detikzify(cls, params, cfg: DetikzifyConfig, mode: str = "cos",
-                       **kw) -> "ImageSim":
-        """Build from a composite model's params (reference :61-89)."""
-        return cls(params.vision, cfg, mode=mode, **kw)
+                       adapter=None, **kw) -> "ImageSim":
+        """Build from a composite model's params (reference :61-89); pass the
+        model's AdapterBundle for text-conditioned (TikZero) scoring."""
+        return cls(params.vision, cfg, mode=mode, adapter=adapter, **kw)
 
     def _build(self):
         vcfg = self.cfg.vision
         mode = self.mode
+        pooled = mode == "cos"
+
+        def _post(out):
+            return out["pooler_output"] if pooled \
+                else out["last_hidden_state"]
 
         @jax.jit
         def embed(params, pixels):  # [B,H,W,C]
-            out = siglip.apply(params, vcfg, pixels)
-            if mode == "cos":
-                return out["pooler_output"]
-            return out["last_hidden_state"]
+            return _post(siglip.apply(params, vcfg, pixels))
+
+        self._embed = embed
+
+        if self.adapter is not None:
+            acfg = self.adapter.adapter_cfg
+
+            @jax.jit
+            def embed_adapter(params, pixels, alayers, cross, mask):
+                ai = siglip.AdapterInputs(alayers, acfg, cross, mask)
+                return _post(siglip.apply(params, vcfg, pixels, adapter=ai))
+
+            self._embed_adapter = embed_adapter
 
         @jax.jit
-        def score_pairs(params, pix1, pix2):
-            e1, e2 = embed(params, pix1), embed(params, pix2)
+        def pair_score(e1, e2):
             if mode == "cos":
                 return _cos(e1, e2)
             if mode == "cos_avg":
                 return _cos(e1.mean(axis=1), e2.mean(axis=1))
-            # emd over patch embeddings
             a = e1 / (jnp.linalg.norm(e1, axis=-1, keepdims=True) + 1e-8)
             b = e2 / (jnp.linalg.norm(e2, axis=-1, keepdims=True) + 1e-8)
             cost = 1.0 - jnp.einsum("bnd,bmd->bnm", a, b)
-            emd2 = sinkhorn_emd2(cost)
-            return 2.0 * jnp.tanh(-emd2) + 1.0
+            return 2.0 * jnp.tanh(-sinkhorn_emd2(cost)) + 1.0
 
-        self._score_pairs = score_pairs
+        self._pair_score = pair_score
+
+    # ------------------------------------------------------------------
 
     def _pixels(self, img) -> np.ndarray:
+        if img is None:
+            img = DUMMY_IMAGE
         if isinstance(img, np.ndarray) and img.ndim == 3:
             return img.astype(np.float32)
         return preprocess_image(img, self.cfg.vision.image_size,
                                 do_trim=self.preprocess)
 
-    def score(self, img1, img2) -> float:
-        return float(self.score_batch([img1], [img2])[0])
+    def features(self, image=None, text: Optional[str] = None) -> jnp.ndarray:
+        """Vision features for one (image, text) input; either may be None."""
+        if image is None and text is None:
+            raise ValueError("image or text required")
+        pixels = jnp.asarray(self._pixels(image))[None]
+        if text is not None:
+            if self.adapter is None:
+                raise ValueError("text-conditioned scoring needs an adapter")
+            ai = self.adapter.adapter_inputs([text])
+            return self._embed_adapter(self.vision_params, pixels,
+                                       ai.params, ai.cross_states,
+                                       ai.cross_mask)
+        return self._embed(self.vision_params, pixels)
+
+    def score(self, img1=None, img2=None, text1: Optional[str] = None,
+              text2: Optional[str] = None) -> float:
+        e1 = self.features(img1, text1)
+        e2 = self.features(img2, text2)
+        return float(jax.device_get(self._pair_score(e1, e2))[0])
 
     def score_batch(self, imgs1, imgs2) -> np.ndarray:
-        """Batched scoring -- the TPU-native MCTS fast path."""
+        """Batched image-pair scoring -- the TPU-native MCTS fast path."""
         pix1 = jnp.asarray(np.stack([self._pixels(i) for i in imgs1]))
         pix2 = jnp.asarray(np.stack([self._pixels(i) for i in imgs2]))
-        return np.asarray(jax.device_get(
-            self._score_pairs(self.vision_params, pix1, pix2)))
+        e1 = self._embed(self.vision_params, pix1)
+        e2 = self._embed(self.vision_params, pix2)
+        return np.asarray(jax.device_get(self._pair_score(e1, e2)))
 
     # torchmetrics-style stateful interface -------------------------------
 
-    def update(self, img1, img2, **_) -> None:
-        self._sum += self.score(img1, img2)
+    def update(self, img1=None, img2=None, text1=None, text2=None) -> None:
+        self._sum += self.score(img1, img2, text1, text2)
         self._n += 1
 
     def compute(self) -> float:
@@ -142,5 +182,5 @@ class ImageSim:
     def reset(self) -> None:
         self._sum, self._n = 0.0, 0
 
-    def __call__(self, img1, img2) -> float:
-        return self.score(img1, img2)
+    def __call__(self, img1=None, img2=None, **kw) -> float:
+        return self.score(img1, img2, **kw)

@@ -107,6 +107,7 @@ class DetikzifyGenerator:
         compile_service: Optional[CompileService] = None,
         max_length: Optional[int] = None,
         on_token=None,                  # per-token streaming callback
+        adapter=None,                   # AdapterBundle for text conditioning
     ):
         self.engine = engine
         self.processor = processor
@@ -124,17 +125,38 @@ class DetikzifyGenerator:
         self.on_token = on_token
         self.namespace = ("gen", next(_gen_counter))
 
-        out = processor(images=image, text=None if image is not None else "",
+        import jax.numpy as jnp
+
+        if text is not None and adapter is None:
+            raise ValueError("textual inputs require an adapter bundle")
+        out = processor(images=image if image is not None else None,
+                        text=None if image is not None else "",
                         add_bos_token=True)
         root_ids = tuple(int(t) for t in out.input_ids[0])
         self.max_length = min(max_length or processor.model_max_length,
                               engine.max_len - 1)
-        self.image_embeds = None
-        if out.pixel_values is not None:
-            import jax.numpy as jnp
+        self.adapter = adapter
 
+        adapter_inputs = None
+        pixel_values = out.pixel_values
+        if text is not None:
+            adapter_inputs = adapter.adapter_inputs([text])
+            if pixel_values is None:
+                # text-only generation: the adapter's learnable blank image
+                from ..models.adapter import dummy_pixels
+
+                pixel_values = dummy_pixels(adapter.adapter_params, 1)
+                prompt_out = processor(
+                    images=None, text="", add_bos_token=True,
+                    image_seq_len=processor.image_seq_len)
+                root_ids = tuple(
+                    [processor.image_token_id] * processor.image_seq_len
+                    + [int(t) for t in prompt_out.input_ids[0]])
+
+        self.image_embeds = None
+        if pixel_values is not None:
             self.image_embeds = engine.encode_image(
-                jnp.asarray(out.pixel_values))
+                jnp.asarray(pixel_values), adapter_inputs=adapter_inputs)
 
         self.solution: deque = deque(maxlen=1)
         self.failed_rollouts: Dict[NodeState, List[WideNode]] = {}
@@ -245,7 +267,11 @@ class DetikzifyGenerator:
     def score(self, image) -> Numeric:
         assert self.metric is not None
         t0 = time.time()
-        value = float(self.metric.score(image, self.image))
+        try:
+            value = float(self.metric.score(img1=image, img2=self.image,
+                                            text2=self.text))
+        except TypeError:   # custom metrics without text support
+            value = float(self.metric.score(image, self.image))
         self.stats["score_time"] += time.time() - t0
         return value
 

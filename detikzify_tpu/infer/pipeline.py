@@ -48,11 +48,13 @@ class DetikzifyPipeline:
         exploration: float = 0.6,
         compile_workers: int = 4,
         engine: Optional[DecodeEngine] = None,
+        adapter=None,                      # AdapterBundle (TikZero)
     ):
         self.cfg = cfg
         self.processor = processor
         self.compile_timeout = compile_timeout
         self.exploration = exploration
+        self.adapter = adapter
         self.engine = engine or DecodeEngine(
             params, cfg, num_slots=num_slots,
             max_len=max_len or min(processor.model_max_length,
@@ -60,7 +62,8 @@ class DetikzifyPipeline:
             sampling=SamplingParams(temperature=temperature, top_p=top_p,
                                     top_k=top_k))
         if metric == "model":   # SelfSim on the model's own vision tower
-            self.metric = ImageSim.from_detikzify(params, cfg)
+            self.metric = ImageSim.from_detikzify(params, cfg,
+                                                  adapter=adapter)
         elif metric == "fast":  # compiler diagnostics only
             self.metric = None
         else:
@@ -78,7 +81,7 @@ class DetikzifyPipeline:
         return image
 
     def check_inputs(self, image, text) -> None:
-        if text is not None and self.cfg.adapter is None:
+        if text is not None and self.adapter is None:
             raise ValueError(
                 "You need to load an adapter for textual inputs!")
         if image is None and text is None:
@@ -100,6 +103,7 @@ class DetikzifyPipeline:
             compile_service=self.compiler,
             control=control,
             on_token=on_token,
+            adapter=self.adapter,
             **kw,
         )
 

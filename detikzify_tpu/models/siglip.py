@@ -149,8 +149,11 @@ def apply(
     *,
     adapter: Optional[AdapterInputs] = None,
     attn_impl: str = "auto",
+    output_hidden_states: bool = False,
 ) -> dict:
-    """Returns {'last_hidden_state': [B,N,D], 'pooler_output': [B,D]}."""
+    """Returns {'last_hidden_state': [B,N,D], 'pooler_output': [B,D]} plus
+    'hidden_states' [L,B,N,D] (post-block, pre-final-LN) when requested --
+    used by the TikZero adapter's per-layer distillation loss."""
     act = ACTIVATIONS[cfg.hidden_act]
     eps = cfg.layer_norm_eps
     nh = cfg.num_attention_heads
@@ -175,7 +178,8 @@ def apply(
         residual = x
         h = layer_norm(lp["ln2"], x, eps)
         h = linear(lp["mlp"]["fc2"], act(linear(lp["mlp"]["fc1"], h)))
-        return residual + h, None
+        out = residual + h
+        return out, (out if output_hidden_states else None)
 
     layers = dict(params["layers"])
     if adapter is not None:
@@ -185,7 +189,7 @@ def apply(
         layers["adapter_active"] = jnp.array(
             [(idx + 1) % every == 0 for idx in range(nlayers)])
     layer_ids = jnp.arange(cfg.num_hidden_layers)
-    x, _ = jax.lax.scan(block, x, (layers, layer_ids))
+    x, hidden_states = jax.lax.scan(block, x, (layers, layer_ids))
 
     x = layer_norm(params["post_ln"], x, eps)
 
@@ -197,7 +201,10 @@ def apply(
     h = linear(hp["mlp"]["fc2"], act(linear(hp["mlp"]["fc1"], h)))
     pooled = (pooled + h)[:, 0]
 
-    return {"last_hidden_state": x, "pooler_output": pooled}
+    out = {"last_hidden_state": x, "pooler_output": pooled}
+    if output_hidden_states:
+        out["hidden_states"] = hidden_states
+    return out
 
 
 # ---------------------------------------------------------------------------

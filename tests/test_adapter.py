@@ -1,0 +1,183 @@
+"""TikZero adapter tests: gated cross-attention wiring, text-conditioned
+generation, distillation pretraining, and end-to-end LLM fine-tune step."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from PIL import Image, ImageDraw
+
+from detikzify_tpu.config import AdapterConfig, tiny_test_config
+from detikzify_tpu.infer import DetikzifyPipeline, FakeBackend, set_backend
+from detikzify_tpu.models import adapter as adapter_mod
+from detikzify_tpu.models import detikzify, llama, siglip
+from detikzify_tpu.models.embedding import AdapterBundle
+from detikzify_tpu.processing import ByteTokenizer, DetikzifyProcessor
+from detikzify_tpu.processing_adapter import AdapterProcessor
+from detikzify_tpu.train.adapter import (DistillLossConfig, DistillState,
+                                         embedding_similarity_loss,
+                                         make_distill_step,
+                                         make_adapter_train_step,
+                                         tokenize_adapter_batch)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def fake_compiler():
+    set_backend(FakeBackend())
+    yield
+    set_backend(None)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    acfg = AdapterConfig(embedding_hidden_size=48, num_attention_heads=4)
+    cfg = tiny_test_config(vocab_size=512).replace(adapter=acfg)
+    params = detikzify.init(jax.random.PRNGKey(0), cfg)
+    aparams = adapter_mod.init(jax.random.PRNGKey(1), cfg.vision, acfg)
+
+    from detikzify_tpu.config import TextConfig
+
+    embed_cfg = TextConfig(vocab_size=512, hidden_size=48,
+                           intermediate_size=96, num_hidden_layers=2,
+                           num_attention_heads=4, num_key_value_heads=2,
+                           max_position_embeddings=256, rope_theta=10000.0)
+    embed_params = llama.init(jax.random.PRNGKey(2), embed_cfg)
+    tok = ByteTokenizer(vocab_size=512, image_token_id=cfg.image_token_id,
+                        bos_token_id=cfg.bos_token_id,
+                        eos_token_id=cfg.eos_token_id, model_max_length=96)
+    bundle = AdapterBundle(adapter_params=aparams, adapter_cfg=acfg,
+                           embed_params=embed_params, embed_cfg=embed_cfg,
+                           tokenizer=tok, max_length=32)
+    processor = DetikzifyProcessor(tok, cfg)
+    return cfg, params, bundle, processor
+
+
+def _figure():
+    img = Image.new("RGB", (100, 80), "white")
+    ImageDraw.Draw(img).ellipse([10, 10, 90, 70], outline="blue", width=2)
+    return img
+
+
+def test_adapter_conditions_vision(setup):
+    """Caption cross-attention must change the encoder output (gates start
+    at sigmoid(0)=0.5, so the effect is immediate)."""
+    cfg, params, bundle, _ = setup
+    pix = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, cfg.vision.image_size, cfg.vision.image_size, 3)), jnp.float32)
+    plain = siglip.apply(params.vision, cfg.vision, pix)
+    ai1 = bundle.adapter_inputs(["a scatter plot"])
+    ai2 = bundle.adapter_inputs(["completely different caption text"])
+    cond1 = siglip.apply(params.vision, cfg.vision, pix, adapter=ai1)
+    cond2 = siglip.apply(params.vision, cfg.vision, pix, adapter=ai2)
+    d_plain = float(jnp.abs(cond1["pooler_output"]
+                            - plain["pooler_output"]).max())
+    d_caption = float(jnp.abs(cond1["pooler_output"]
+                              - cond2["pooler_output"]).max())
+    assert d_plain > 1e-4       # adapter active
+    assert d_caption > 1e-6     # caption-dependent
+
+
+def test_adapter_processor(setup):
+    cfg, _, bundle, processor = setup
+    ap = AdapterProcessor(processor, bundle.tokenizer, max_length=16)
+    out = ap(text="a caption")
+    assert out.adapter_input_ids is not None
+    assert out.pixel_values is not None          # DUMMY_IMAGE substituted
+    assert out.input_ids.shape[1] == cfg.image_seq_len + 1
+    both = ap(images=_figure(), text="cap")
+    assert both.pixel_values.shape[0] == 1
+    with pytest.raises(ValueError):
+        ap()
+
+
+def test_text_conditioned_pipeline(setup):
+    """Full TikZero path: text-only and text+image generation."""
+    cfg, params, bundle, processor = setup
+    pipe = DetikzifyPipeline(params, cfg, processor, num_slots=2,
+                             max_len=96, adapter=bundle)
+    doc = pipe.sample(text="a diagram of a cycle")
+    assert isinstance(doc.code, str)
+    doc2 = pipe.sample(image=_figure(), text="a blue ellipse")
+    assert isinstance(doc2.code, str)
+    # scored simulate with text conditioning
+    results = list(pipe.simulate(text="a blue ellipse", expansions=2))
+    assert len(results) == 2
+
+
+def test_embedding_similarity_loss_zero_for_identical():
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 5, 8)),
+                    jnp.float32)
+    assert float(embedding_similarity_loss(x, x, "cosine")) < 1e-6
+    assert float(embedding_similarity_loss(x, x, "l2")) == 0.0
+    assert float(embedding_similarity_loss(x, x, "cosine",
+                                           relational=True)) < 1e-6
+
+
+def test_distill_step_trains_adapter(setup):
+    cfg, params, bundle, _ = setup
+    import optax
+
+    optimizer = optax.adam(1e-3)
+    step = jax.jit(make_distill_step(cfg, params.vision, optimizer,
+                                     DistillLossConfig()))
+    state = DistillState(bundle.adapter_params,
+                         optimizer.init(bundle.adapter_params),
+                         jnp.zeros((), jnp.int32))
+    size = cfg.vision.image_size
+    hidden, mask = bundle.embed_captions(["caption one", "caption two"])
+    rng = np.random.default_rng(0)
+    batch = {
+        "teacher_pixels": jnp.asarray(
+            rng.standard_normal((2, size, size, 3)), jnp.float32),
+        "student_pixels": jnp.zeros((2, size, size, 3), jnp.float32),
+        "caption_hidden": hidden,
+        "caption_mask": mask,
+    }
+    losses = []
+    for _ in range(5):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]          # distillation makes progress
+    assert metrics["per_layer"].shape == (cfg.vision.num_hidden_layers,)
+
+
+def test_tokenize_caption_condition(setup):
+    cfg, _, bundle, processor = setup
+    ap = AdapterProcessor(processor, bundle.tokenizer, max_length=16)
+    batch = tokenize_adapter_batch(
+        ap, captions=["cap"], codes=["xy;"], caption_condition=True)
+    ids, labels = batch["input_ids"][0], batch["labels"][0]
+    seq = processor.image_seq_len
+    cap_len = len(bundle.tokenizer.encode("cap"))
+    sep = seq + 1 + cap_len
+    assert ids[sep] == cfg.bos_token_id
+    assert (labels[:sep + 1] == -100).all()        # caption + separator masked
+    code_ids = bundle.tokenizer.encode("xy;")
+    assert list(labels[sep + 1:sep + 1 + len(code_ids)]) == code_ids
+
+
+def test_adapter_llm_step_freezes_everything_but_text(setup):
+    cfg, params, bundle, processor = setup
+    import optax
+
+    optimizer = optax.adam(1e-2)
+    step = jax.jit(make_adapter_train_step(cfg, params, bundle, optimizer,
+                                           attn_impl="xla"))
+    from detikzify_tpu.train.adapter.train import AdapterLLMState
+
+    state = AdapterLLMState(params.text, optimizer.init(params.text),
+                            jnp.zeros((), jnp.int32))
+    ap = AdapterProcessor(processor, bundle.tokenizer, max_length=16)
+    batch = tokenize_adapter_batch(
+        ap, captions=["cap"], codes=["xy;"], caption_condition=True)
+    hidden, mask = bundle.embed_captions(["cap"])
+    batch.pop("adapter_input_ids")
+    batch.pop("adapter_attention_mask")
+    batch["caption_hidden"] = hidden
+    batch["caption_mask"] = mask
+    batch["pixel_values"] = np.asarray(
+        adapter_mod.dummy_pixels(bundle.adapter_params, 1))
+    new_state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    delta = float(jnp.abs(new_state.text_params["embed_tokens"]
+                          - params.text["embed_tokens"]).max())
+    assert delta > 0
