@@ -72,18 +72,7 @@ class WideNode(Node):
         return self.state.num_lines
 
 
-class ExplicitAbort:
-    """Cross-thread cancellation flag (reference util/generation.py:7-23)."""
-
-    def __init__(self):
-        self.should_stop = False
-
-    def reset(self) -> "ExplicitAbort":
-        self.should_stop = False
-        return self
-
-    def abort(self) -> None:
-        self.should_stop = True
+from ..utils.generation import ExplicitAbort  # noqa: E402  (re-export)
 
 
 _gen_counter = itertools.count()

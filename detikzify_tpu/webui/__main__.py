@@ -1,0 +1,32 @@
+"""CLI entry: ``python -m detikzify_tpu.webui`` (reference
+``detikzify/webui/__main__.py:6-52``)."""
+import argparse
+
+from .strings import ALGORITHMS, MODELS
+from .webui import build_ui
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(
+        description="DeTikZify-TPU web UI")
+    parser.add_argument("--model", default=next(iter(MODELS)),
+                        choices=list(MODELS),
+                        help="initially selected model")
+    parser.add_argument("--algorithm", default="mcts",
+                        choices=list(ALGORITHMS))
+    parser.add_argument("--lock", action="store_true",
+                        help="serialize generation runs")
+    parser.add_argument("--share", action="store_true",
+                        help="create a public gradio link")
+    parser.add_argument("--light", action="store_true",
+                        help="force light theme")
+    parser.add_argument("--timeout", type=int, default=600,
+                        help="MCTS wall-clock budget in seconds")
+    return parser.parse_args()
+
+
+if __name__ == "__main__":
+    args = parse_args()
+    demo = build_ui(model=args.model, lock=args.lock, light=args.light,
+                    timeout=args.timeout)
+    demo.queue().launch(share=args.share)

@@ -1,0 +1,43 @@
+"""Checkpoint IO tests: save_pretrained -> import round trip, registry."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from detikzify_tpu.config import tiny_test_config
+from detikzify_tpu.models import detikzify, import_hf
+from detikzify_tpu.models.load import (MODEL_REGISTRY, _resolve, register,
+                                       save_pretrained)
+
+
+def test_save_import_roundtrip(tmp_path):
+    cfg = tiny_test_config(vocab_size=128)
+    params = detikzify.init(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "ckpt")
+    save_pretrained(path, params, cfg)
+
+    cfg2 = import_hf.config_from_hf_json(f"{path}/config.json")
+    assert cfg2.vision.hidden_size == cfg.vision.hidden_size
+    assert cfg2.text.num_key_value_heads == cfg.text.num_key_value_heads
+
+    state = import_hf.load_state_dict_from_safetensors(path)
+    params2 = import_hf.import_detikzify(state, cfg2, dtype=jnp.float32)
+
+    ids = np.full((1, cfg.image_seq_len + 4), cfg.image_token_id, np.int32)
+    ids[0, cfg.image_seq_len:] = [cfg.bos_token_id, 5, 6, 7]
+    pix = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, cfg.vision.image_size, cfg.vision.image_size, 3)), jnp.float32)
+    logits1, _ = detikzify.forward(params, cfg, jnp.asarray(ids), pix,
+                                   attn_impl="xla")
+    logits2, _ = detikzify.forward(params2, cfg2, jnp.asarray(ids), pix,
+                                   attn_impl="xla")
+    np.testing.assert_allclose(np.asarray(logits1), np.asarray(logits2),
+                               atol=1e-5, rtol=1e-4)
+
+
+def test_registry(tmp_path):
+    register("my-model", str(tmp_path))
+    assert _resolve("my-model") == str(tmp_path)
+    assert "detikzify-v2-8b" in MODEL_REGISTRY
+    with pytest.raises(FileNotFoundError):
+        _resolve("nonexistent/model")
