@@ -107,13 +107,27 @@ def decode_attend(
     lengths: jnp.ndarray,    # [B] int32 -- valid tokens per slot (incl. new)
     *,
     scale: Optional[float] = None,
+    implementation: str = "auto",
 ) -> jnp.ndarray:
     """Single-token decode attention over a contiguous KV cache.
 
     This is the decode hot loop's attention (reference: HF ``GenerationMixin``
     with ``DynamicCache``, ``modeling_detikzify.py:219``). Batched over all
     active MCTS rollout slots at once.
+
+    "auto" dispatches to the Pallas length-clamped kernel
+    (``ops.decode_flash``) for long caches, where skipping dead KV rows
+    beats XLA's full-cache read; short caches stay on the fused XLA path
+    (kernel launch overhead dominates there).
     """
+    if implementation != "xla":
+        from . import decode_flash
+
+        long_cache = k_cache.shape[1] >= 1024
+        if decode_flash.supported(q, k_cache) and (
+                implementation == "pallas" or long_cache):
+            return decode_flash.decode_attend_pallas(
+                q, k_cache, v_cache, lengths, scale=scale)
     b, nh, hd = q.shape
     nkv = k_cache.shape[2]
     scale = (hd ** -0.5) if scale is None else scale

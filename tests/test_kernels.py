@@ -1,0 +1,99 @@
+"""Pallas kernel parity tests (interpret mode on CPU) vs the XLA reference
+implementations."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from detikzify_tpu.ops.attention import attend_xla, decode_attend
+from detikzify_tpu.ops.flash import flash_attention
+from detikzify_tpu.ops.decode_flash import decode_attend_pallas
+from detikzify_tpu.ops.sampling import SamplingParams, sample
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("shape", [
+    (2, 36, 4, 2, 24),     # vision-ish: unaligned seq + head dim, MHA
+    (1, 130, 8, 2, 64),    # decoder-ish: GQA 4:1
+])
+def test_flash_attention_matches_xla(causal, shape):
+    b, s, nh, nkv, hd = shape
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((b, s, nh, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, nkv, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, nkv, hd)), jnp.float32)
+    want = attend_xla(q, k, v, causal=causal)
+    got = flash_attention(q, k, v, causal=causal, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-4)
+
+
+def test_flash_attention_kv_mask():
+    rng = np.random.default_rng(1)
+    b, s, t, nh, hd = 2, 8, 24, 4, 32
+    q = jnp.asarray(rng.standard_normal((b, s, nh, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, t, nh, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, t, nh, hd)), jnp.float32)
+    mask = np.zeros((b, t), bool)
+    mask[0, :10] = True
+    mask[1, :17] = True
+    want = attend_xla(q, k, v, kv_mask=jnp.asarray(mask))
+    got = flash_attention(q, k, v, kv_mask=jnp.asarray(mask),
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-4)
+
+
+@pytest.mark.parametrize("nh,nkv,hd,L", [(8, 2, 64, 512), (4, 4, 48, 300)])
+def test_decode_attend_pallas_matches_xla(nh, nkv, hd, L):
+    rng = np.random.default_rng(2)
+    b = 3
+    q = jnp.asarray(rng.standard_normal((b, nh, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, L, nkv, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, L, nkv, hd)), jnp.float32)
+    lengths = jnp.asarray([5, L // 2, L], jnp.int32)
+    want = decode_attend(q, k, v, lengths)
+    got = decode_attend_pallas(q, k, v, lengths, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=3e-4)
+
+
+def test_sampling_greedy_and_bans():
+    logits = jnp.asarray(np.array([[0.0, 5.0, 1.0, 4.0]]), jnp.float32)
+    tok = sample(logits, jax.random.PRNGKey(0),
+                 params=SamplingParams(temperature=0.0),
+                 banned_tokens=(1,))
+    assert int(tok[0]) == 3    # argmax after banning token 1
+
+
+def test_sampling_top_p_excludes_tail():
+    # one dominant token: with top_p=0.5 only it survives
+    logits = np.full((1, 16), -10.0, np.float32)
+    logits[0, 7] = 10.0
+    out = set()
+    for seed in range(20):
+        tok = sample(jnp.asarray(logits), jax.random.PRNGKey(seed),
+                     params=SamplingParams(temperature=1.0, top_p=0.5))
+        out.add(int(tok[0]))
+    assert out == {7}
+
+
+def test_sampling_top_k():
+    logits = jnp.asarray(np.linspace(0, 3, 8)[None], jnp.float32)
+    toks = set()
+    for seed in range(40):
+        tok = sample(logits, jax.random.PRNGKey(seed),
+                     params=SamplingParams(temperature=1.0, top_p=1.0,
+                                           top_k=2))
+        toks.add(int(tok[0]))
+    assert toks <= {6, 7}
+
+
+def test_sampling_eos_suppression_first_step_only():
+    logits = np.full((2, 8), -5.0, np.float32)
+    logits[:, 3] = 10.0   # eos dominant
+    is_first = jnp.asarray([True, False])
+    tok = sample(jnp.asarray(logits), jax.random.PRNGKey(0),
+                 params=SamplingParams(temperature=0.0),
+                 suppress_begin_tokens=(3,), is_first=is_first)
+    assert int(tok[0]) != 3 and int(tok[1]) == 3
