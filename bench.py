@@ -78,6 +78,9 @@ def main():
     log(f"devices: {jax.devices()}")
     cfg = get_config("detikzify-ds-1.3b").replace(model_max_length=640)
     params = zero_params(cfg, jnp.bfloat16)
+    from detikzify_tpu.ops.quant import quantize_params
+
+    params = quantize_params(params)   # int8 serving config
     jax.block_until_ready(params.text["embed_tokens"])
     log("params ready")
 

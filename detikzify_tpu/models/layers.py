@@ -13,8 +13,15 @@ import jax.numpy as jnp
 
 
 def linear(p, x: jnp.ndarray) -> jnp.ndarray:
-    """Dense layer. ``p = {'kernel': [in, out], 'bias'?: [out]}``."""
-    y = jnp.einsum("...i,io->...o", x, p["kernel"])
+    """Dense layer. ``p = {'kernel': [in, out], 'bias'?: [out]}`` or an
+    int8-quantized ``{'kernel_q': {'q', 'scale'}}`` (see ``ops.quant``)."""
+    if "kernel_q" in p:
+        q = p["kernel_q"]
+        y = jnp.dot(x, q["q"].astype(x.dtype),
+                    preferred_element_type=jnp.float32)
+        y = (y * q["scale"]).astype(x.dtype)
+    else:
+        y = jnp.einsum("...i,io->...o", x, p["kernel"])
     if "bias" in p:
         y = y + p["bias"]
     return y

@@ -100,7 +100,12 @@ def embed(params: dict, token_ids: jnp.ndarray) -> jnp.ndarray:
 def unembed(params: dict, hidden: jnp.ndarray) -> jnp.ndarray:
     """Final-norm'd hidden -> fp32 logits."""
     if "lm_head" in params:
-        kernel = params["lm_head"]["kernel"]
+        head = params["lm_head"]
+        if "kernel_q" in head:
+            q = head["kernel_q"]
+            return jnp.dot(hidden, q["q"].astype(hidden.dtype),
+                           preferred_element_type=jnp.float32) * q["scale"]
+        kernel = head["kernel"]
     else:
         kernel = params["embed_tokens"].T
     return jnp.einsum("...d,dv->...v", hidden, kernel,

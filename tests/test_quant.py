@@ -1,0 +1,67 @@
+"""Int8 weight-only quantization tests."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from detikzify_tpu.config import tiny_test_config
+from detikzify_tpu.engine import DecodeEngine
+from detikzify_tpu.models import detikzify
+from detikzify_tpu.ops.quant import (dequant_matmul, params_nbytes,
+                                     quantize_kernel, quantize_params)
+from detikzify_tpu.ops.sampling import SamplingParams
+
+
+def test_quantize_kernel_roundtrip():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((64, 32)), jnp.float32)
+    q = quantize_kernel(w)
+    assert q["q"].dtype == jnp.int8
+    recon = q["q"].astype(jnp.float32) * q["scale"]
+    rel = float(jnp.abs(recon - w).max() / jnp.abs(w).max())
+    assert rel < 0.01   # per-channel int8: <1% peak error
+
+    x = jnp.asarray(rng.standard_normal((4, 64)), jnp.float32)
+    got = dequant_matmul(x, q)
+    want = x @ w
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=0.05 * float(jnp.abs(want).max()))
+
+
+def test_quantize_params_structure_and_size():
+    cfg = tiny_test_config(vocab_size=128)
+    params = detikzify.init(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_params(params)
+    # stacked text kernels quantized
+    assert "kernel_q" in qparams.text["layers"]["attn"]["q"]
+    assert qparams.text["layers"]["attn"]["q"]["kernel_q"]["q"].dtype \
+        == jnp.int8
+    assert "kernel_q" in qparams.text["lm_head"]
+    # norms/embeddings untouched
+    assert "scale" in qparams.text["norm"]
+    assert qparams.text["embed_tokens"].dtype == params.text[
+        "embed_tokens"].dtype
+    assert params_nbytes(qparams) < params_nbytes(params)
+
+
+def test_quantized_forward_close_and_engine_runs():
+    cfg = tiny_test_config(vocab_size=128)
+    params = detikzify.init(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_params(params)
+
+    ids = np.full((1, cfg.image_seq_len + 5), cfg.image_token_id, np.int32)
+    ids[0, cfg.image_seq_len:] = [cfg.bos_token_id, 5, 6, 7, 8]
+    logits_f, _ = detikzify.forward(params, cfg, jnp.asarray(ids), None,
+                                    attn_impl="xla")
+    logits_q, _ = detikzify.forward(qparams, cfg, jnp.asarray(ids), None,
+                                    attn_impl="xla")
+    # top-1 agreement on most positions (weight-only int8 is near-lossless)
+    agree = (np.asarray(logits_f.argmax(-1))
+             == np.asarray(logits_q.argmax(-1))).mean()
+    assert agree >= 0.8
+
+    eng = DecodeEngine(qparams, cfg, num_slots=2, max_len=64,
+                       sampling=SamplingParams(temperature=0.0))
+    ro = eng.start([cfg.bos_token_id, 5, 6], max_new_tokens=6)
+    eng.run()
+    assert ro.new_tokens >= 1
