@@ -133,6 +133,14 @@ class DetikzifyConfig(_ConfigBase):
     concat_factor: int = 3
     model_max_length: int = 4096
     dtype: str = "bfloat16"
+    # v1 (legacy LLaVA-style) knobs -- reference model/v1/:
+    # tap vision features at an intermediate layer (None = v2 behavior:
+    # final post-norm hidden state), biased projector, pooling mode used by
+    # SelfSim ("cos" for v2; v1 defaulted to "cos", "emd" available)
+    feature_layer: Optional[int] = None
+    projector_bias: bool = False
+    pooling_mode: str = "cos"
+    is_v1: bool = False
 
     @property
     def image_seq_len(self) -> int:
@@ -206,13 +214,16 @@ PRESETS = {
     # v1 family (reference detikzify/model/v1/__init__.py:10-15)
     "detikzify-tl-1.1b": DetikzifyConfig(
         text=_tinyllama_text(), image_token_id=32000, bos_token_id=1,
-        eos_token_id=2, pad_token_id=32001, model_max_length=2048),
+        eos_token_id=2, pad_token_id=32001, model_max_length=2048,
+        is_v1=True, projector_bias=True),
     "detikzify-ds-1.3b": DetikzifyConfig(
         text=_deepseek13_text(), image_token_id=32013, bos_token_id=32013,
-        eos_token_id=32014, pad_token_id=32014, model_max_length=2048),
+        eos_token_id=32014, pad_token_id=32014, model_max_length=2048,
+        is_v1=True, projector_bias=True),
     "detikzify-ds-7b": DetikzifyConfig(
         text=_deepseek7_text(), image_token_id=32013, bos_token_id=32013,
-        eos_token_id=32014, pad_token_id=32014, model_max_length=2048),
+        eos_token_id=32014, pad_token_id=32014, model_max_length=2048,
+        is_v1=True, projector_bias=True),
     # v2 family (reference configuration_detikzify.py defaults)
     "detikzify-v2-8b": DetikzifyConfig(text=_llama31_8b_text()),
     "detikzify-v2.5-8b": DetikzifyConfig(text=_llama31_8b_text()),

@@ -40,7 +40,8 @@ def init(rng: jax.Array, cfg: DetikzifyConfig, dtype=jnp.float32) -> Params:
     return Params(
         vision=siglip.init(kv, cfg.vision, dtype),
         connector={"proj": dense_init(kc, cfg.projection_in,
-                                      cfg.text.hidden_size, bias=False,
+                                      cfg.text.hidden_size,
+                                      bias=cfg.projector_bias,
                                       dtype=dtype)},
         text=llama.init(kt, cfg.text, dtype),
     )
@@ -58,7 +59,26 @@ def encode_image(params: Params, cfg: DetikzifyConfig,
                  pixel_values: jnp.ndarray, *,
                  adapter: Optional[AdapterInputs] = None,
                  attn_impl: str = "auto") -> jnp.ndarray:
-    """pixel_values [B,H,W,C] -> projected image tokens [B, image_seq_len, Dt]."""
+    """pixel_values [B,H,W,C] -> projected image tokens [B, image_seq_len, Dt].
+
+    v1 legacy (cfg.feature_layer set): features come from an intermediate
+    encoder layer passed through the final norm (timm
+    ``get_intermediate_layers(norm=True)`` semantics, reference
+    ``model/v1/modeling_detikzify.py:132-137``), front-truncated when the
+    patch count is not divisible by concat_factor.
+    """
+    if cfg.feature_layer is not None:
+        from .layers import layer_norm
+
+        out = siglip.apply(params.vision, cfg.vision, pixel_values,
+                           adapter=adapter, attn_impl=attn_impl,
+                           output_hidden_states=True)
+        feats = out["hidden_states"][cfg.feature_layer]
+        feats = layer_norm(params.vision["post_ln"], feats,
+                           cfg.vision.layer_norm_eps)
+        keep = cfg.image_seq_len * cfg.concat_factor
+        feats = feats[:, -keep:]
+        return connector(params, feats, cfg.concat_factor)
     out = siglip.apply(params.vision, cfg.vision, pixel_values,
                        adapter=adapter, attn_impl=attn_impl)
     return connector(params, out["last_hidden_state"], cfg.concat_factor)

@@ -148,6 +148,115 @@ def import_vision(src: _Src, cfg: VisionConfig, dtype=jnp.bfloat16,
     }
 
 
+def import_timm_vision(state: Mapping[str, np.ndarray], cfg: VisionConfig,
+                       dtype=jnp.bfloat16, prefix: str = "") -> dict:
+    """timm SigLIP ViT -> our vision pytree (v1 legacy models; reference
+    ``model/v1/modeling_detikzify.py:49-73`` wraps a timm tower).
+
+    timm packs qkv into one matrix and names blocks ``blocks.{i}.*``.
+    """
+    src = _Src(state)
+    p = prefix
+    d = cfg.hidden_size
+
+    conv_w = src(f"{p}patch_embed.proj.weight")          # [D, C, ph, pw]
+    pos = src(f"{p}pos_embed")
+    if pos.ndim == 3:
+        pos = pos[0]
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        base = f"{p}blocks.{i}"
+        qkv_w = src(f"{base}.attn.qkv.weight")           # [3D, D]
+        qkv_b = src(f"{base}.attn.qkv.bias")
+        qw, kw, vw = np.split(qkv_w, 3, axis=0)
+        qb, kb, vb = np.split(qkv_b, 3, axis=0)
+        layers.append({
+            "ln1": _ln(src, f"{base}.norm1", dtype),
+            "attn": {
+                "q": {"kernel": jnp.asarray(qw.T, dtype),
+                      "bias": jnp.asarray(qb, dtype)},
+                "k": {"kernel": jnp.asarray(kw.T, dtype),
+                      "bias": jnp.asarray(kb, dtype)},
+                "v": {"kernel": jnp.asarray(vw.T, dtype),
+                      "bias": jnp.asarray(vb, dtype)},
+                "o": _lin(src, f"{base}.attn.proj", dtype),
+            },
+            "ln2": _ln(src, f"{base}.norm2", dtype),
+            "mlp": {
+                "fc1": _lin(src, f"{base}.mlp.fc1", dtype),
+                "fc2": _lin(src, f"{base}.mlp.fc2", dtype),
+            },
+        })
+
+    head = {}
+    if src.has(f"{p}attn_pool.latent"):
+        # timm MAP head: latent query, packed kv, separate q
+        kv_w = src(f"{p}attn_pool.kv.weight")
+        kv_b = src(f"{p}attn_pool.kv.bias")
+        kw, vw = np.split(kv_w, 2, axis=0)
+        kb, vb = np.split(kv_b, 2, axis=0)
+        head = {
+            "probe": jnp.asarray(src(f"{p}attn_pool.latent"), dtype),
+            "attn": {
+                "q": _lin(src, f"{p}attn_pool.q", dtype),
+                "k": {"kernel": jnp.asarray(kw.T, dtype),
+                      "bias": jnp.asarray(kb, dtype)},
+                "v": {"kernel": jnp.asarray(vw.T, dtype),
+                      "bias": jnp.asarray(vb, dtype)},
+                "o": _lin(src, f"{p}attn_pool.proj", dtype),
+            },
+            "ln": _ln(src, f"{p}attn_pool.norm", dtype),
+            "mlp": {
+                "fc1": _lin(src, f"{p}attn_pool.mlp.fc1", dtype),
+                "fc2": _lin(src, f"{p}attn_pool.mlp.fc2", dtype),
+            },
+        }
+
+    return {
+        "embeddings": {
+            "patch": {
+                "kernel": jnp.asarray(conv_w.reshape(d, -1).T, dtype),
+                "bias": jnp.asarray(src(f"{p}patch_embed.proj.bias"), dtype),
+            },
+            "position": jnp.asarray(pos, dtype),
+        },
+        "layers": _stack(layers),
+        "post_ln": _ln(src, f"{p}norm", dtype),
+        "head": head,
+    }
+
+
+def import_v1(state: Mapping[str, np.ndarray],
+              vision_state: Mapping[str, np.ndarray],
+              cfg: DetikzifyConfig, dtype=jnp.bfloat16):
+    """v1 legacy checkpoint: LLaMA-style decoder + ``mm_projector`` weights
+    in ``state``; the timm vision tower arrives separately (the reference
+    downloads it at load time, ``model/v1/__init__.py:24-56``)."""
+    from .detikzify import Params
+
+    text_state = {}
+    for k, v in dict(state).items():
+        if k.startswith("model.mm_projector") or k.startswith("mm_projector"):
+            continue
+        if k.startswith("model."):
+            text_state["text_model." + k[len("model."):]] = v
+        else:
+            text_state[k] = v
+    src = _Src(text_state)
+    text = import_text(src, cfg.text, dtype)
+
+    proj_w = next(v for k, v in state.items()
+                  if "mm_projector" in k and k.endswith("weight"))
+    proj_b = next((v for k, v in state.items()
+                   if "mm_projector" in k and k.endswith("bias")), None)
+    proj = {"kernel": jnp.asarray(np.asarray(proj_w).T, dtype)}
+    if proj_b is not None:
+        proj["bias"] = jnp.asarray(proj_b, dtype)
+
+    vision = import_timm_vision(vision_state, cfg.vision, dtype)
+    return Params(vision=vision, connector={"proj": proj}, text=text)
+
+
 def import_siglip_text(src: _Src, cfg: VisionConfig, dtype=jnp.bfloat16,
                        prefix: str = "text_model") -> dict:
     """SigLIP text tower (for the two-tower ClipScore metric)."""
@@ -305,6 +414,9 @@ def config_from_hf_json(path_or_dict) -> DetikzifyConfig:
             hf = json.load(f)
     else:
         hf = dict(path_or_dict)
+    if "patch_token_id" in hf or "DetikzifyForCausalLM" in \
+            hf.get("architectures", []):
+        return _v1_config_from_hf(hf)
     v = hf.get("vision_config", {})
     t = hf.get("text_config", {})
     vision = VisionConfig(
@@ -342,4 +454,41 @@ def config_from_hf_json(path_or_dict) -> DetikzifyConfig:
         eos_token_id=t.get("eos_token_id", hf.get("eos_token_id", 128001)),
         pad_token_id=hf.get("pad_token_id", 128004),
         concat_factor=hf.get("concat_factor", 3),
+    )
+
+
+def _v1_config_from_hf(hf: dict) -> DetikzifyConfig:
+    """v1 legacy config: flat LLaMA fields + mm_* vision wiring
+    (reference ``model/v1/configuration_detikzify.py:3-13``)."""
+    from ..config import TextConfig
+
+    text = TextConfig(
+        vocab_size=hf.get("vocab_size", 32000),
+        hidden_size=hf.get("hidden_size", 2048),
+        intermediate_size=hf.get("intermediate_size", 5632),
+        num_hidden_layers=hf.get("num_hidden_layers", 22),
+        num_attention_heads=hf.get("num_attention_heads", 32),
+        num_key_value_heads=hf.get("num_key_value_heads",
+                                   hf.get("num_attention_heads", 32)),
+        max_position_embeddings=hf.get("max_position_embeddings", 2048),
+        rms_norm_eps=hf.get("rms_norm_eps", 1e-5),
+        rope_theta=hf.get("rope_theta", 10000.0),
+        hidden_act=hf.get("hidden_act", "silu"),
+        tie_word_embeddings=hf.get("tie_word_embeddings", False),
+    )
+    concat = hf.get("concat_patches", 3)
+    # timm SigLIP so400m/384: hidden 1152, 27 layers, image 384, patch 14
+    vision = VisionConfig(image_size=hf.get("vision_image_size", 384))
+    return DetikzifyConfig(
+        vision=vision, text=text,
+        image_token_id=hf.get("patch_token_id",
+                              hf.get("image_token_id", 32000)),
+        bos_token_id=hf.get("bos_token_id", 1),
+        eos_token_id=hf.get("eos_token_id", 2),
+        pad_token_id=hf.get("pad_token_id", 0) or 0,
+        concat_factor=concat,
+        feature_layer=hf.get("feature_layer"),
+        projector_bias=True,
+        pooling_mode=hf.get("pooling_mode", "cos"),
+        is_v1=True,
     )

@@ -68,11 +68,27 @@ def load(
     dtype=jnp.bfloat16,
     modality_projector: Optional[str] = None,
     adapter_embedding_model: Optional[str] = None,
+    vision_tower: Optional[str] = None,   # v1: timm tower checkpoint path
 ) -> Tuple[Params, DetikzifyConfig, DetikzifyProcessor]:
-    """Load (params, config, processor) from a checkpoint directory."""
+    """Load (params, config, processor) from a checkpoint directory.
+
+    v1 legacy checkpoints (LLaVA-style, reference ``model/v1/__init__.py:
+    24-56``) are detected from their config and need ``vision_tower``
+    pointing at the timm SigLIP checkpoint (the reference downloads it from
+    the timm hub at load time)."""
     path = _resolve(model_name_or_path)
     cfg = import_hf.config_from_hf_json(os.path.join(path, "config.json"))
     state = import_hf.load_state_dict_from_safetensors(path)
+    if cfg.is_v1:
+        if vision_tower is None:
+            raise ValueError(
+                "v1 checkpoints need vision_tower= (path to the timm SigLIP "
+                "so400m tower weights; zero-egress builds cannot fetch it)")
+        vstate = import_hf.load_state_dict_from_safetensors(
+            _resolve(vision_tower))
+        params = import_hf.import_v1(state, vstate, cfg, dtype=dtype)
+        tokenizer = load_tokenizer(path)
+        return params, cfg, DetikzifyProcessor(tokenizer, cfg)
     params = import_hf.import_detikzify(state, cfg, dtype=dtype)
 
     if modality_projector is not None:

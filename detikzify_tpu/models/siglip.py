@@ -193,13 +193,19 @@ def apply(
 
     x = layer_norm(params["post_ln"], x, eps)
 
-    # attention-pooling head (SigLIP MAP head)
-    hp = params["head"]
-    probe = jnp.broadcast_to(hp["probe"], (x.shape[0],) + hp["probe"].shape[1:])
-    pooled = _mha(hp["attn"], probe.astype(x.dtype), x, nh, impl=attn_impl)
-    h = layer_norm(hp["ln"], pooled, eps)
-    h = linear(hp["mlp"]["fc2"], act(linear(hp["mlp"]["fc1"], h)))
-    pooled = (pooled + h)[:, 0]
+    # attention-pooling head (SigLIP MAP head); checkpoints without one
+    # (e.g. timm towers exported headless) fall back to mean pooling
+    hp = params.get("head") or {}
+    if hp:
+        probe = jnp.broadcast_to(hp["probe"],
+                                 (x.shape[0],) + hp["probe"].shape[1:])
+        pooled = _mha(hp["attn"], probe.astype(x.dtype), x, nh,
+                      impl=attn_impl)
+        h = layer_norm(hp["ln"], pooled, eps)
+        h = linear(hp["mlp"]["fc2"], act(linear(hp["mlp"]["fc1"], h)))
+        pooled = (pooled + h)[:, 0]
+    else:
+        pooled = x.mean(axis=1)
 
     out = {"last_hidden_state": x, "pooler_output": pooled}
     if output_hidden_states:
