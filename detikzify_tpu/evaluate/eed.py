@@ -29,7 +29,25 @@ _BLANK = " "
 
 
 def extended_edit_distance(hyp: Sequence, ref: Sequence) -> float:
-    """EED between token sequences (one hypothesis, one reference)."""
+    """EED between token sequences (dispatches to the native C++ DP when
+    available -- O(n*m) in pure Python is the eval suite's hottest loop)."""
+    from ..native import eed_distance_ids
+
+    vocab = {}
+    for tok in list(hyp) + list(ref):
+        if tok not in vocab:
+            vocab[tok] = len(vocab)
+    blank_id = len(vocab)
+    native = eed_distance_ids([vocab[t] for t in hyp],
+                              [vocab[t] for t in ref], blank_id)
+    if native is not None:
+        return native
+    return _extended_edit_distance_py(hyp, ref)
+
+
+def _extended_edit_distance_py(hyp: Sequence, ref: Sequence) -> float:
+    """Pure-Python reference implementation (kept in lockstep with the
+    C++ kernel by tests)."""
     hyp = [_BLANK] + list(hyp) + [_BLANK]
     ref = [_BLANK] + list(ref) + [_BLANK]
     n_h, n_r = len(hyp), len(ref)

@@ -97,3 +97,36 @@ def test_sampling_eos_suppression_first_step_only():
                  params=SamplingParams(temperature=0.0),
                  suppress_begin_tokens=(3,), is_first=is_first)
     assert int(tok[0]) != 3 and int(tok[1]) == 3
+
+
+def test_native_eed_matches_python():
+    from detikzify_tpu import native
+    from detikzify_tpu.evaluate.eed import _extended_edit_distance_py
+
+    if not native.available():
+        pytest.skip("native lib unavailable (no toolchain)")
+    rng = np.random.default_rng(0)
+    for _ in range(10):
+        n, m = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        hyp = rng.integers(0, 12, n).tolist()
+        ref = rng.integers(0, 12, m).tolist()
+        got = native.eed_distance_ids(hyp, ref, blank_id=99)
+        want = _extended_edit_distance_py(hyp, ref)
+        assert got == pytest.approx(want, abs=1e-9)
+
+
+def test_native_resize_normalize_close_to_reference():
+    from detikzify_tpu import native
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (37, 53, 3)).astype(np.uint8)
+    got = native.resize_normalize(img, 32)
+    assert got.shape == (32, 32, 3)
+    assert got.min() >= -1.001 and got.max() <= 1.001
+    # identity-size resize reproduces exact normalization
+    sq = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+    got = native.resize_normalize(sq, 32)
+    want = (sq.astype(np.float32) / 255.0 - 0.5) / 0.5
+    np.testing.assert_allclose(got, want, atol=1e-5)
