@@ -25,8 +25,12 @@ def parse_args():
     return parser.parse_args()
 
 
-if __name__ == "__main__":
+def main():
     args = parse_args()
     demo = build_ui(model=args.model, lock=args.lock, light=args.light,
                     timeout=args.timeout)
     demo.queue().launch(share=args.share)
+
+
+if __name__ == "__main__":
+    main()
