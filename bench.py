@@ -132,6 +132,50 @@ def main():
     log(f"batched x{SLOTS}: {tokens} tok in {secs:.2f}s = {tps:.1f} tok/s "
         f"({steps} steps)")
 
+    # MCTS rollouts/min (secondary north-star metric, BASELINE.md): full
+    # rollouts from the root with compile feedback, sequential (reference
+    # execution order) vs parallel expansions. Hermetic compile backend
+    # with LaTeX-like latency.
+    from PIL import Image, ImageDraw
+
+    from detikzify_tpu.infer import DetikzifyPipeline, set_backend
+    from detikzify_tpu.infer.tikz import CompileResult
+    from detikzify_tpu.processing import ByteTokenizer, DetikzifyProcessor
+
+    class AlwaysFailBackend:
+        def __init__(self, latency):
+            self.latency = latency
+
+        def compile(self, code, timeout=60):
+            time.sleep(self.latency)
+            return CompileResult(status=2, log="! Emergency stop.\n")
+
+        def rasterize(self, pdf, size=420):
+            return None
+
+    set_backend(AlwaysFailBackend(0.5))
+    tok = ByteTokenizer(vocab_size=cfg.text.vocab_size,
+                        image_token_id=cfg.image_token_id,
+                        bos_token_id=cfg.bos_token_id,
+                        eos_token_id=cfg.eos_token_id,
+                        pad_token_id=cfg.pad_token_id, model_max_length=640)
+    pipe = DetikzifyPipeline(params, cfg,
+                             DetikzifyProcessor(tok, cfg),
+                             metric="fast", engine=engine)
+    img = Image.new("RGB", (100, 100), "white")
+    ImageDraw.Draw(img).rectangle([10, 10, 90, 90], outline="black")
+    list(pipe.simulate(image=img, expansions=1, max_length=365))  # warmup
+    rollout_rates = {}
+    for par in (1, 8):
+        t0 = time.time()
+        list(pipe.simulate(image=img, expansions=16, parallelism=par,
+                           max_length=365))
+        rollout_rates[par] = 16 / (time.time() - t0) * 60
+        log(f"mcts rollouts/min (parallelism={par}): "
+            f"{rollout_rates[par]:.0f}")
+    set_backend(None)
+    log(f"mcts parallel speedup: {rollout_rates[8] / rollout_rates[1]:.2f}x")
+
     print(json.dumps({
         "metric": "tikz_decode_tokens_per_sec_per_chip_ds13b",
         "value": round(tps, 2),

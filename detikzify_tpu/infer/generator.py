@@ -300,10 +300,17 @@ class DetikzifyGenerator:
         tikz.compile()
         self.stats["compile_time"] += time.time() - t0
 
+        attached = self._attach(node, new_nodes, tikz)
+        self._finish_rollout(attached)
+        self._score_and_backprop(attached[-1] if attached else node, tikz)
+
+    def _attach(self, node: WideNode, new_nodes: List[WideNode],
+                tikz: TikzDocument) -> List[WideNode]:
+        """Attach rollout prefixes to the tree given the compile outcome
+        (reference generate.py:320-335). Returns the attached chain."""
         skip_idx = round(sqrt(len(new_nodes)))
         scorable = tikz.is_rasterizable and not (
             self.strict and tikz.compiled_with_errors)
-
         attached: List[WideNode] = []
         if scorable:
             for new_node in new_nodes[:skip_idx]:
@@ -326,18 +333,21 @@ class DetikzifyGenerator:
                           or (new_node.num_lines == errorln and ends_eol)):
                         self.failed_rollouts[new_node.state] = new_nodes[idx:]
                         break
+        return attached
 
-        self._finish_rollout(attached)
-
+    def _score_and_backprop(self, node: WideNode, tikz: TikzDocument
+                            ) -> Numeric:
+        scorable = tikz.is_rasterizable and not (
+            self.strict and tikz.compiled_with_errors)
         if self.metric is not None:
             score = self.score(tikz.rasterize()) if scorable else -1
-            node.update_win_value(
-                self.norm(score) if scorable else score)
+            node.update_win_value(self.norm(score) if scorable else score)
         else:
             # fast mode: compiler diagnostics in {-1, 0, 1}
             score = int(scorable) - int(tikz.compiled_with_errors)
             node.update_win_value(score)
         self.solution.append((score, tikz))
+        return score
 
     def _merge(self, node: WideNode, nodes_to_merge: List[WideNode]
                ) -> Tuple[WideNode, List[WideNode]]:
@@ -352,33 +362,46 @@ class DetikzifyGenerator:
                 break
         return node, nodes_to_merge
 
-    def _finish_rollout(self, attached: List[WideNode]) -> None:
-        """Store KV prefixes for newly attached tree nodes, then free the
-        slot. This is what makes child expansions re-prefill only tails."""
-        ro = self._pending_rollout
-        self._pending_rollout = None
-        if ro is None:
-            return
-        # always keep the rollout's own start state (covers the root
-        # image+prompt prefill: computed once, reused by every later rollout)
+    def _store_prefixes_for(self, ro, nodes: List[WideNode]) -> None:
+        """Store KV prefixes (rollout prompt + candidate tree nodes) from a
+        live slot. This is what makes child expansions re-prefill only
+        tails; the root image+prompt prefill is computed once per figure."""
         prompt_ids = tuple(ro.token_ids[:ro.prompt_len])
         self.engine.store_prefix((self.namespace, prompt_ids), ro,
                                  length=ro.prompt_len,
                                  namespace=self.namespace)
-        for new_node in attached:
+        for new_node in nodes:
             n = len(new_node.token_ids)
             if (n <= ro.length
                     and tuple(ro.token_ids[:n]) == new_node.token_ids):
                 self.engine.store_prefix(
                     (self.namespace, new_node.state), ro, length=n,
                     namespace=self.namespace)
+
+    def _finish_rollout(self, attached: List[WideNode]) -> None:
+        ro = self._pending_rollout
+        self._pending_rollout = None
+        if ro is None:
+            return
+        self._store_prefixes_for(ro, attached)
         self.engine.release(ro)
 
     # ------------------------------------------------------------------
 
-    def simulate(self, expansions: Optional[float] = 1
+    def simulate(self, expansions: Optional[float] = 1,
+                 parallelism: int = 1
                  ) -> Generator[Tuple[Numeric, TikzDocument], None, None]:
-        """Run MCTS expansions, yielding every rollout's (score, document)."""
+        """Run MCTS expansions, yielding every rollout's (score, document).
+
+        ``parallelism > 1`` runs that many expansions concurrently on the
+        engine's slots (virtual loss diversifies selection; LaTeX compiles
+        overlap decode through the async pool) -- the TPU-native fast path
+        for MCTS rollouts/min. ``parallelism=1`` preserves the reference's
+        strictly sequential search order.
+        """
+        if parallelism > 1:
+            yield from self._simulate_parallel(expansions, parallelism)
+            return
         start = time.time()
         budget = expansions
         while budget is None or (budget := budget - 1) >= 0:
@@ -390,3 +413,197 @@ class DetikzifyGenerator:
                 return
 
     __call__ = simulate
+
+    # ------------------------------------------------------------------
+    # parallel MCTS: K concurrent expansions over engine slots
+    # ------------------------------------------------------------------
+
+    class _Expansion:
+        __slots__ = ("node", "path", "ro", "boundary", "line", "num_lines",
+                     "continuation", "processed", "new_nodes", "stopped",
+                     "future", "t0")
+
+        def __init__(self, node, path):
+            self.node = node
+            self.path = path
+            self.ro = None
+            self.new_nodes: List = []
+            self.stopped = False
+            self.future = None
+            self.t0 = time.time()
+
+    def _select_leaf(self) -> WideNode:
+        node = self.montecarlo.root_node
+        while node.expanded:
+            node = node.get_preferred_child(self.montecarlo.root_node)
+        return node  # type: ignore[return-value]
+
+    def _virtual_loss(self, node) -> list:
+        """Temporarily inflate visit counts along the path so concurrent
+        selections diversify; reverted before the real backprop."""
+        path = []
+        n = node
+        while n is not None:
+            n.visits += 1
+            path.append(n)
+            n = n.parent
+        return path
+
+    def _launch_expansion(self) -> "_Expansion":
+        node = self._select_leaf()
+        exp = self._Expansion(node, self._virtual_loss(node))
+        ids = list(node.state.token_ids)
+        eos = self.engine.eos_token_id
+        if (ids and ids[-1] == eos) or len(ids) >= self.max_length:
+            return exp  # terminal: no rollout, straight to compile
+        found = self.engine.best_prefix(ids, namespace=self.namespace)
+        prefix = found[1] if found else None
+        if prefix is not None:
+            self.stats["prefix_hits"] += 1
+            self.stats["prefix_tokens_saved"] += prefix.length
+        exp.ro = self.engine.start(
+            ids, image_embeds=self.image_embeds,
+            max_new_tokens=self.max_length - len(ids),
+            prefix=prefix, on_token=self.on_token, lazy=True)
+        exp.boundary = ids
+        exp.line = []
+        exp.num_lines = node.state.num_lines
+        exp.continuation = False
+        exp.processed = len(ids)
+        return exp
+
+    def _advance_segmentation(self, exp: "_Expansion") -> None:
+        """Consume newly decoded tokens, cutting nodes at line boundaries
+        (same semantics as ``rollout``), replaying failed suffixes."""
+        ro = exp.ro
+        for tok in ro.token_ids[exp.processed:]:
+            exp.processed += 1
+            if exp.stopped:
+                continue
+            exp.line.append(tok)
+            info = self._newline.get(tok)
+            if not info:
+                continue
+            n, trailing = info
+            exp.num_lines += n - exp.continuation
+            exp.continuation = not trailing
+            exp.boundary = exp.boundary + exp.line
+            exp.line = []
+            new_node = WideNode(
+                NodeState(tuple(exp.boundary), exp.num_lines),
+                exploration=self.exploration)
+            if new_node.state in self.failed_rollouts:
+                exp.new_nodes.extend(self.failed_rollouts[new_node.state])
+                exp.stopped = True
+                self.engine.abort(ro)
+            else:
+                exp.new_nodes.append(new_node)
+
+    def _finalize_rollout(self, exp: "_Expansion") -> None:
+        """Rollout finished: cut the trailing segment, store candidate KV
+        prefixes, free the slot, enqueue the (async) compile."""
+        ro = exp.ro
+        if not exp.stopped and exp.line:
+            exp.new_nodes.append(WideNode(
+                NodeState(tuple(exp.boundary + exp.line),
+                          exp.num_lines - exp.continuation),
+                exploration=self.exploration))
+        self.stats["rollouts"] += 1
+        self.stats["rollout_tokens"] += ro.new_tokens
+        self.stats["rollout_time"] += time.time() - exp.t0
+        # prefix candidates: only the first sqrt(n) nodes can be attached
+        skip_idx = round(sqrt(len(exp.new_nodes)))
+        self._store_prefixes_for(ro, exp.new_nodes[:skip_idx])
+        self.engine.release(ro)
+        tikz = self.decode(
+            (exp.new_nodes or [exp.node])[-1].token_ids)
+        exp.future = self.compiler.submit_doc(tikz)
+
+    def _complete_expansion(self, exp: "_Expansion"
+                            ) -> Tuple[Numeric, TikzDocument]:
+        tikz = exp.future.result()
+        for n in exp.path:
+            n.visits -= 1           # revert virtual loss
+        node, new_nodes = exp.node, exp.new_nodes
+        if node.is_widen_node:
+            node.visits += 1
+            node, new_nodes = self._merge(node.parent, new_nodes)
+        attached = self._attach(node, new_nodes, tikz)
+        if exp.node.children:
+            exp.node.expanded = True
+        self.montecarlo.stats_expansion_count += 1
+        score = self._score_and_backprop(
+            attached[-1] if attached else node, tikz)
+        if self.solution:
+            self.solution.pop()
+        return score, tikz
+
+    def _simulate_parallel(self, expansions: Optional[float],
+                           parallelism: int
+                           ) -> Generator[Tuple[Numeric, TikzDocument],
+                                          None, None]:
+        start = time.time()
+        target = expansions
+        parallelism = max(1, min(parallelism, self.engine.num_slots))
+        launched = completed = 0
+        decoding: List = []
+        compiling: List = []
+
+        def timed_out() -> bool:
+            return (self.mcts_timeout is not None
+                    and time.time() - start > self.mcts_timeout)
+
+        try:
+            while target is None or completed < target:
+                while ((target is None or launched < target)
+                       and len(decoding) + len(compiling) < parallelism
+                       and self.engine.num_active < self.engine.num_slots
+                       and not timed_out()
+                       and not self.control.should_stop):
+                    exp = self._launch_expansion()
+                    launched += 1
+                    if exp.ro is None:          # terminal state
+                        exp.future = self.compiler.submit_doc(
+                            self.decode(exp.node.token_ids))
+                        compiling.append(exp)
+                    else:
+                        decoding.append(exp)
+
+                if decoding:
+                    self.engine.step()
+                    for exp in list(decoding):
+                        self._advance_segmentation(exp)
+                        if exp.ro.finished:
+                            self._finalize_rollout(exp)
+                            decoding.remove(exp)
+                            compiling.append(exp)
+
+                for exp in list(compiling):
+                    if exp.future.done():
+                        compiling.remove(exp)
+                        completed += 1
+                        yield self._complete_expansion(exp)
+
+                if timed_out() or self.control.should_stop:
+                    break
+                if not decoding and not compiling and launched >= (
+                        target or 0) and target is not None:
+                    break
+                if not decoding and compiling:
+                    # nothing to decode; block briefly on the oldest compile
+                    try:
+                        compiling[0].future.result(timeout=0.05)
+                    except Exception:
+                        pass
+        finally:
+            for exp in decoding:
+                self.engine.abort(exp.ro)
+            while any(not exp.ro.finished for exp in decoding):
+                self.engine.step()
+            for exp in decoding:
+                self.engine.release(exp.ro)
+                for n in exp.path:
+                    n.visits -= 1
+            for exp in compiling:
+                for n in exp.path:
+                    n.visits -= 1

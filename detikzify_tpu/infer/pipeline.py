@@ -128,13 +128,19 @@ class DetikzifyPipeline:
         preprocess: bool = True,
         expansions: Optional[Numeric] = None,
         timeout: Optional[Numeric] = None,
+        parallelism: int = 1,
         **kw,
     ) -> Generator[Tuple[Numeric, TikzDocument], None, None]:
-        """DeTikZify with MCTS refinement: yields (score, doc) per rollout."""
+        """DeTikZify with MCTS refinement: yields (score, doc) per rollout.
+
+        ``parallelism > 1`` overlaps that many MCTS expansions on the
+        engine's decode slots (TPU-native rollout throughput multiplier).
+        """
         gen = self._generator(image, text, preprocess, metric=self.metric,
                               mcts_timeout=timeout or None, **kw)
         try:
-            yield from gen.simulate(expansions or None)
+            yield from gen.simulate(expansions or None,
+                                    parallelism=parallelism)
         finally:
             gen.close()
 

@@ -397,7 +397,9 @@ class CompileService:
 
     def submit(self, code: str) -> "Future[TikzDocument]":
         doc = TikzDocument(code, timeout=self.timeout, backend=self.backend)
+        return self.submit_doc(doc)
 
+    def submit_doc(self, doc: TikzDocument) -> "Future[TikzDocument]":
         def work() -> TikzDocument:
             doc.compile()   # force lazy compile in the pool
             doc.rasterize()

@@ -100,3 +100,32 @@ def test_text_without_adapter_rejected(pipeline):
 def test_requires_some_input(pipeline):
     with pytest.raises(ValueError):
         pipeline.sample()
+
+
+def test_simulate_parallel(pipeline, figure):
+    """Parallel expansions produce the same kind of results and grow the
+    tree; all engine slots are freed afterwards."""
+    engine = pipeline.engine
+    free_before = len(engine._free_slots)
+    results = list(pipeline.simulate(image=figure, expansions=6,
+                                     parallelism=3))
+    assert len(results) == 6
+    for score, doc in results:
+        assert isinstance(score, (int, float))
+        if doc.is_rasterizable:
+            assert -1.0 <= score <= 1.0
+    assert len(engine._free_slots) == free_before
+    assert not engine._rollouts
+
+
+def test_simulate_parallel_virtual_loss_reverted(pipeline, figure):
+    gen = pipeline._generator(figure, None, True, metric=pipeline.metric)
+    try:
+        results = list(gen.simulate(expansions=4, parallelism=2))
+        assert len(results) == 4
+        root = gen.root
+        # visits on root must equal total backprops (virtual loss reverted)
+        assert root.visits == sum(len(n._rewards) for n in [root])
+        assert gen.montecarlo.stats_expansion_count == 4
+    finally:
+        gen.close()
