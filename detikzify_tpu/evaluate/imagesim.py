@@ -83,6 +83,9 @@ class ImageSim:
         self.adapter = adapter
         self._sum = 0.0
         self._n = 0
+        from collections import OrderedDict
+
+        self._feature_cache: "OrderedDict" = OrderedDict()
         self._build()
 
     @classmethod
@@ -141,18 +144,33 @@ class ImageSim:
                                 do_trim=self.preprocess)
 
     def features(self, image=None, text: Optional[str] = None) -> jnp.ndarray:
-        """Vision features for one (image, text) input; either may be None."""
+        """Vision features for one (image, text) input; either may be None.
+
+        Features are memoized (small LRU) on (image bytes, text): in the
+        MCTS loop the *input* figure is scored against every rollout render,
+        so its embedding is computed exactly once per search."""
         if image is None and text is None:
             raise ValueError("image or text required")
-        pixels = jnp.asarray(self._pixels(image))[None]
+        pixels_np = self._pixels(image)
+        key = (pixels_np.tobytes(), text)
+        hit = self._feature_cache.get(key)
+        if hit is not None:
+            self._feature_cache.move_to_end(key)
+            return hit
+        pixels = jnp.asarray(pixels_np)[None]
         if text is not None:
             if self.adapter is None:
                 raise ValueError("text-conditioned scoring needs an adapter")
             ai = self.adapter.adapter_inputs([text])
-            return self._embed_adapter(self.vision_params, pixels,
-                                       ai.params, ai.cross_states,
-                                       ai.cross_mask)
-        return self._embed(self.vision_params, pixels)
+            out = self._embed_adapter(self.vision_params, pixels,
+                                      ai.params, ai.cross_states,
+                                      ai.cross_mask)
+        else:
+            out = self._embed(self.vision_params, pixels)
+        self._feature_cache[key] = out
+        while len(self._feature_cache) > 16:
+            self._feature_cache.popitem(last=False)
+        return out
 
     def score(self, img1=None, img2=None, text1: Optional[str] = None,
               text2: Optional[str] = None) -> float:

@@ -201,13 +201,11 @@ def prefill(
     inv_freq = rope_inv_freq(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
     cos, sin = rope_cos_sin(positions, inv_freq)
 
-    # additive bias [B, 1, S, T]: key t visible to query i iff t <= start+i
-    # and t < start + seq_len (cache rows beyond current content invalid).
-    kpos = jnp.arange(max_len)[None, None, None, :]
-    qpos = positions[:, None, :, None]
-    visible = kpos <= qpos
-    visible &= kpos[..., 0:1, :] < (start + seq_len)[:, None, None, None]
-    bias = jnp.where(visible, 0.0, -0.7 * jnp.finfo(jnp.float32).max)
+    # per-slot visibility: key t visible to query i iff t <= start+i and
+    # t < start + seq_len (cache rows beyond current content invalid);
+    # expressed as offsets/limits so the Pallas kernel applies it in-tile
+    # instead of materializing a [B, 1, S, T] bias.
+    kv_limits = start + seq_len
 
     def write(cache_layer, kv, start):
         """scatter kv [B,S,...] into cache_layer [B,T,...] at per-slot start."""
@@ -223,7 +221,8 @@ def prefill(
         q, k, v = _qkv(lp, h, cfg, cos, sin)
         kc = write(kc, k, start)
         vc = write(vc, v, start)
-        h = attend(q, kc, vc, bias=bias, implementation=attn_impl)
+        h = attend(q, kc, vc, q_offsets=start, kv_limits=kv_limits,
+                   implementation=attn_impl)
         h = linear(lp["attn"]["o"], h.reshape(b, s, -1))
         x = residual + h
         residual = x

@@ -43,6 +43,8 @@ def attend_xla(
     bias: Optional[jnp.ndarray] = None,  # [B, 1|NH, S, T] additive
     kv_mask: Optional[jnp.ndarray] = None,  # [B, T] bool, True = valid
     scale: Optional[float] = None,
+    q_offsets: Optional[jnp.ndarray] = None,  # [B] causal offset per batch
+    kv_limits: Optional[jnp.ndarray] = None,  # [B] valid-key bound per batch
 ) -> jnp.ndarray:
     """Reference XLA attention. Returns [B, S, NH, Hd] in q.dtype."""
     b, s, nh, hd = q.shape
@@ -58,6 +60,16 @@ def attend_xla(
         logits = logits + bias.astype(jnp.float32)
     if kv_mask is not None:
         logits = jnp.where(kv_mask[:, None, None, :], logits, _NEG_INF)
+    if q_offsets is not None:
+        # per-batch causal window: key t visible to query i iff
+        # t <= q_offsets[b] + i and t < kv_limits[b] (offset-prefill)
+        qpos = (q_offsets[:, None, None, None]
+                + jnp.arange(s)[None, None, :, None])
+        kpos = jnp.arange(t)[None, None, None, :]
+        visible = kpos <= qpos
+        if kv_limits is not None:
+            visible &= kpos < kv_limits[:, None, None, None]
+        logits = jnp.where(visible, logits, _NEG_INF)
     if causal:
         # valid when key position <= query position (queries are the last
         # `s` positions of the `t`-long key sequence)
@@ -77,27 +89,28 @@ def attend(
     bias: Optional[jnp.ndarray] = None,
     kv_mask: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
+    q_offsets: Optional[jnp.ndarray] = None,
+    kv_limits: Optional[jnp.ndarray] = None,
     implementation: str = "auto",
 ) -> jnp.ndarray:
     """Full-sequence attention with automatic kernel dispatch.
 
     ``implementation``: "auto" | "pallas" | "xla".
     """
+    kw = dict(causal=causal, kv_mask=kv_mask, scale=scale,
+              q_offsets=q_offsets, kv_limits=kv_limits)
     if implementation == "xla":
-        return attend_xla(q, k, v, causal=causal, bias=bias,
-                          kv_mask=kv_mask, scale=scale)
+        return attend_xla(q, k, v, bias=bias, **kw)
     if implementation in ("auto", "pallas"):
         from . import flash  # local import: keeps CPU-only paths light
 
         if flash.supported(q, k, v, bias=bias, causal=causal):
-            return flash.flash_attention(
-                q, k, v, causal=causal, kv_mask=kv_mask, scale=scale)
+            return flash.flash_attention(q, k, v, **kw)
         if implementation == "pallas":
             raise ValueError(
                 f"pallas flash attention unsupported for shapes q={q.shape} "
                 f"k={k.shape} bias={None if bias is None else bias.shape}")
-    return attend_xla(q, k, v, causal=causal, bias=bias,
-                      kv_mask=kv_mask, scale=scale)
+    return attend_xla(q, k, v, bias=bias, **kw)
 
 
 def decode_attend(

@@ -47,9 +47,9 @@ def supported(q, k, v, *, bias=None, causal=False) -> bool:
     return True
 
 
-def _fused_attn_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref,
+def _fused_attn_kernel(q_ref, k_ref, v_ref, mask_ref, offlim_ref, out_ref,
                        *, scale: float, causal: bool, q_offset: int,
-                       block_q: int):
+                       block_q: int, per_batch: bool):
     """One (batch, head, q-block) tile: full logits over VMEM-resident K/V."""
     q = q_ref[0, 0].astype(jnp.float32)          # [bq, hd]
     k = k_ref[0, 0]                              # [T, hd]
@@ -59,13 +59,16 @@ def _fused_attn_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref,
 
     mask = mask_ref[0] > 0                       # [T] (padded keys pre-masked)
     logits = jnp.where(mask[None, :], logits, _NEG_INF)
-    if causal:
+    if causal or per_batch:
         qi = pl.program_id(2)
+        offset = offlim_ref[0, 0] if per_batch else q_offset
         qpos = (qi * block_q
                 + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
-                + q_offset)
+                + offset)
         kpos = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
         logits = jnp.where(kpos <= qpos, logits, _NEG_INF)
+        if per_batch:
+            logits = jnp.where(kpos < offlim_ref[0, 1], logits, _NEG_INF)
 
     m = jnp.max(logits, axis=-1, keepdims=True)
     unnorm = jnp.exp(logits - m)
@@ -86,8 +89,14 @@ def flash_attention(
     causal: bool = False,
     kv_mask: Optional[jnp.ndarray] = None,   # [B, T] bool
     scale: Optional[float] = None,
+    q_offsets: Optional[jnp.ndarray] = None,  # [B] per-batch causal offset
+    kv_limits: Optional[jnp.ndarray] = None,  # [B] per-batch valid-key bound
     interpret: bool = False,
 ) -> jnp.ndarray:
+    """Fused attention. With ``q_offsets``/``kv_limits`` the mask becomes
+    per-batch ``kpos <= q_offsets[b] + i  AND  kpos < kv_limits[b]`` -- the
+    decode engine's offset-prefill pattern (prefix restore + tail block),
+    replacing a materialized [B,1,S,T] bias."""
     b, s, nh, hd = q.shape
     t, nkv = k.shape[1], k.shape[2]
     groups = nh // nkv
@@ -111,10 +120,19 @@ def flash_attention(
         kv_mask = jnp.ones((b, t), dtype=jnp.bool_)
     mask_i32 = jnp.pad(kv_mask.astype(jnp.int32), ((0, 0), (0, t_p - t)))
 
+    per_batch = q_offsets is not None
+    if per_batch:
+        limits = (kv_limits if kv_limits is not None
+                  else jnp.full((b,), t, jnp.int32))
+        offlim = jnp.stack([q_offsets.astype(jnp.int32),
+                            limits.astype(jnp.int32)], axis=1)   # [B, 2]
+    else:
+        offlim = jnp.zeros((b, 2), jnp.int32)
+
     grid = (b, nh, s_p // block_q)
     kernel = functools.partial(
         _fused_attn_kernel, scale=scale, causal=causal,
-        q_offset=t - s, block_q=block_q)
+        q_offset=t - s, block_q=block_q, per_batch=per_batch)
 
     out = pl.pallas_call(
         kernel,
@@ -126,12 +144,14 @@ def flash_attention(
             pl.BlockSpec((1, 1, t_p, hd_p),
                          lambda bi, hi, qi, g=groups: (bi, hi // g, 0, 0)),
             pl.BlockSpec((1, t_p), lambda bi, hi, qi: (bi, 0)),
+            pl.BlockSpec((1, 2), lambda bi, hi, qi: (bi, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, block_q, hd_p),
                                lambda bi, hi, qi: (bi, hi, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((b, nh, s_p, hd_p), q.dtype),
         interpret=interpret,
-    )(qt, kt, vt, mask_i32)
+    )(qt, kt, vt, mask_i32, offlim)
 
     out = out[:, :, :s, :hd]
     return jnp.transpose(out, (0, 2, 1, 3))

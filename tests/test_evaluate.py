@@ -160,3 +160,26 @@ def test_siglip_text_tower():
     out = siglip.apply_text(params, cfg,
                             jnp.asarray(np.zeros((2, 16), np.int32)))
     assert out["pooler_output"].shape == (2, 32)
+
+
+def test_feature_cache_hits(model):
+    cfg, params = model
+    metric = ImageSim.from_detikzify(params, cfg)
+    a, b = _img(0), _img(1)
+    metric.score(a, b)
+    assert len(metric._feature_cache) == 2
+    metric.score(_img(2), b)       # b's features reused
+    assert len(metric._feature_cache) == 3
+    s1 = metric.score(a, b)
+    s2 = metric.score(a, b)        # fully cached path
+    assert s1 == s2
+
+
+def test_sync_metric_single_process(model):
+    from detikzify_tpu.evaluate.dist import sync_metric
+
+    cfg, params = model
+    metric = ImageSim.from_detikzify(params, cfg)
+    metric.update(_img(0), _img(0))
+    metric.update(_img(0), _img(1))
+    assert sync_metric(metric) == pytest.approx(metric.compute())

@@ -130,3 +130,24 @@ def test_native_resize_normalize_close_to_reference():
     got = native.resize_normalize(sq, 32)
     want = (sq.astype(np.float32) / 255.0 - 0.5) / 0.5
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_flash_attention_offsets_matches_xla():
+    """Per-batch offset-prefill masking (engine prefix-restore pattern)."""
+    rng = np.random.default_rng(3)
+    b, s, t, nh, hd = 2, 8, 32, 4, 32
+    q = jnp.asarray(rng.standard_normal((b, s, nh, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, t, nh, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, t, nh, hd)), jnp.float32)
+    q_offsets = jnp.asarray([0, 10], jnp.int32)
+    kv_limits = jnp.asarray([6, 18], jnp.int32)
+    want = attend_xla(q, k, v, q_offsets=q_offsets, kv_limits=kv_limits)
+    got = flash_attention(q, k, v, q_offsets=q_offsets, kv_limits=kv_limits,
+                          interpret=True)
+    # rows beyond each slot's seq_len are garbage in both paths; compare
+    # only valid rows (slot0: 6 valid queries, slot1: 8)
+    np.testing.assert_allclose(np.asarray(got[0, :6]),
+                               np.asarray(want[0, :6]),
+                               atol=2e-5, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want[1]),
+                               atol=2e-5, rtol=2e-4)
