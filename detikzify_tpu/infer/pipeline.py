@@ -121,6 +121,48 @@ class DetikzifyPipeline:
         finally:
             gen.close()
 
+    def sample_batch(
+        self,
+        images: list,
+        preprocess: bool = True,
+        max_new_tokens: Optional[int] = None,
+    ) -> list:
+        """One-shot sampling for a mini-batch of figures.
+
+        All figures' rollouts run concurrently over the engine's slots (one
+        vision pass for the whole batch, continuous-batched decode) -- the
+        TPU-native path for bulk inference (BASELINE.md config #2).
+        """
+        import jax.numpy as jnp
+        import numpy as np
+
+        pil = [self.load(img, preprocess) for img in images]
+        out = self.processor(images=pil, add_bos_token=True)
+        embeds = self.engine.encode_image(jnp.asarray(out.pixel_values))
+        max_new = max_new_tokens or (self.engine.max_len - 1
+                                     - out.input_ids.shape[1])
+
+        queue = list(range(len(pil)))
+        rollouts: dict = {}
+        while queue or any(not r.finished for r in rollouts.values()):
+            while queue and self.engine.num_active < self.engine.num_slots:
+                i = queue.pop(0)
+                prompt = [int(t) for t in out.input_ids[i]]
+                rollouts[i] = self.engine.start(
+                    prompt, image_embeds=embeds[i:i + 1],
+                    max_new_tokens=max_new, lazy=True)
+            self.engine.step()
+
+        docs = []
+        for i in range(len(pil)):
+            ro = rollouts[i]
+            code = self.processor.decode(
+                ro.token_ids[ro.prompt_len:], skip_special_tokens=True)
+            docs.append(TikzDocument(code, timeout=self.compile_timeout,
+                                     backend=self.compiler.backend))
+            self.engine.release(ro)
+        return docs
+
     def simulate(
         self,
         image: Optional[Union[Image.Image, str]] = None,

@@ -58,7 +58,8 @@ def connector(params: Params, image_hidden: jnp.ndarray,
 def encode_image(params: Params, cfg: DetikzifyConfig,
                  pixel_values: jnp.ndarray, *,
                  adapter: Optional[AdapterInputs] = None,
-                 attn_impl: str = "auto") -> jnp.ndarray:
+                 attn_impl: str = "auto",
+                 remat: bool = False) -> jnp.ndarray:
     """pixel_values [B,H,W,C] -> projected image tokens [B, image_seq_len, Dt].
 
     v1 legacy (cfg.feature_layer set): features come from an intermediate
@@ -72,7 +73,7 @@ def encode_image(params: Params, cfg: DetikzifyConfig,
 
         out = siglip.apply(params.vision, cfg.vision, pixel_values,
                            adapter=adapter, attn_impl=attn_impl,
-                           output_hidden_states=True)
+                           output_hidden_states=True, remat=remat)
         feats = out["hidden_states"][cfg.feature_layer]
         feats = layer_norm(params.vision["post_ln"], feats,
                            cfg.vision.layer_norm_eps)
@@ -80,7 +81,7 @@ def encode_image(params: Params, cfg: DetikzifyConfig,
         feats = feats[:, -keep:]
         return connector(params, feats, cfg.concat_factor)
     out = siglip.apply(params.vision, cfg.vision, pixel_values,
-                       adapter=adapter, attn_impl=attn_impl)
+                       adapter=adapter, attn_impl=attn_impl, remat=remat)
     return connector(params, out["last_hidden_state"], cfg.concat_factor)
 
 
@@ -114,16 +115,18 @@ def forward(
     labels: Optional[jnp.ndarray] = None,           # [B, S], -100 = ignore
     adapter: Optional[AdapterInputs] = None,
     attn_impl: str = "auto",
+    remat: bool = False,
 ):
     """Full forward. Returns (logits [B,S,V] fp32, loss or None)."""
     embeds = llama.embed(params.text, input_ids)
     if pixel_values is not None:
         image_embeds = encode_image(params, cfg, pixel_values,
-                                    adapter=adapter, attn_impl=attn_impl)
+                                    adapter=adapter, attn_impl=attn_impl,
+                                    remat=remat)
         embeds = merge_inputs(cfg, input_ids, embeds, image_embeds)
     hidden = llama.forward(params.text, cfg.text, embeds,
                            attention_mask=attention_mask,
-                           attn_impl=attn_impl)
+                           attn_impl=attn_impl, remat=remat)
     logits = llama.unembed(params.text, hidden)
 
     loss = None

@@ -144,8 +144,13 @@ def forward(
     positions: Optional[jnp.ndarray] = None,   # [B, S]
     attention_mask: Optional[jnp.ndarray] = None,  # [B, S] bool, True=valid
     attn_impl: str = "auto",
+    remat: bool = False,
 ) -> jnp.ndarray:
-    """Causal full-sequence pass; returns final-norm'd hidden [B, S, D]."""
+    """Causal full-sequence pass; returns final-norm'd hidden [B, S, D].
+
+    ``remat`` rematerializes each layer in the backward pass
+    (``jax.checkpoint`` on the scan body): activation memory drops from
+    O(layers) to O(1) layers -- required for 8B-class training."""
     b, s, _ = inputs_embeds.shape
     act = ACTIVATIONS[cfg.hidden_act]
     if positions is None:
@@ -169,6 +174,8 @@ def forward(
         h = rms_norm(lp["post_ln"], x, cfg.rms_norm_eps)
         return residual + _mlp(lp, h, act), None
 
+    if remat:
+        block = jax.checkpoint(block)
     x, _ = jax.lax.scan(block, inputs_embeds, params["layers"])
     return rms_norm(params["norm"], x, cfg.rms_norm_eps)
 

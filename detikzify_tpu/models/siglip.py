@@ -150,6 +150,7 @@ def apply(
     adapter: Optional[AdapterInputs] = None,
     attn_impl: str = "auto",
     output_hidden_states: bool = False,
+    remat: bool = False,
 ) -> dict:
     """Returns {'last_hidden_state': [B,N,D], 'pooler_output': [B,D]} plus
     'hidden_states' [L,B,N,D] (post-block, pre-final-LN) when requested --
@@ -189,6 +190,8 @@ def apply(
         layers["adapter_active"] = jnp.array(
             [(idx + 1) % every == 0 for idx in range(nlayers)])
     layer_ids = jnp.arange(cfg.num_hidden_layers)
+    if remat:
+        block = jax.checkpoint(block)
     x, hidden_states = jax.lax.scan(block, x, (layers, layer_ids))
 
     x = layer_norm(params["post_ln"], x, eps)

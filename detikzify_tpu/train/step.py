@@ -31,7 +31,8 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
-def label_smoothing_free_loss(params, cfg, batch, attn_impl="auto"):
+def label_smoothing_free_loss(params, cfg, batch, attn_impl="auto",
+                              remat=False):
     _, loss = detikzify.forward(
         params, cfg,
         batch["input_ids"],
@@ -39,6 +40,7 @@ def label_smoothing_free_loss(params, cfg, batch, attn_impl="auto"):
         attention_mask=batch.get("attention_mask"),
         labels=batch["labels"],
         attn_impl=attn_impl,
+        remat=remat,
     )
     return loss
 
@@ -87,6 +89,7 @@ def make_train_step(
     *,
     grad_accum: int = 1,
     attn_impl: str = "auto",
+    remat: bool = False,
     loss_fn: Optional[Callable] = None,
 ):
     """Build a jittable (state, batch) -> (state, metrics) step.
@@ -94,11 +97,15 @@ def make_train_step(
     ``batch`` arrays have leading dim ``grad_accum * micro_batch``; the step
     scans over ``grad_accum`` microbatches, averaging grads on device.
     """
-    loss_fn = loss_fn or label_smoothing_free_loss
+    if loss_fn is None:
+        loss_fn = label_smoothing_free_loss
+    else:
+        user_fn = loss_fn
+        loss_fn = lambda p, c, b, a, r: user_fn(p, c, b, a)  # noqa: E731
 
     def compute_grads(params, batch):
         return jax.value_and_grad(
-            lambda p: loss_fn(p, cfg, batch, attn_impl))(params)
+            lambda p: loss_fn(p, cfg, batch, attn_impl, remat))(params)
 
     def train_step(state: TrainState, batch) -> tuple:
         params = state.params

@@ -87,7 +87,8 @@ class Trainer:
                 trainable=trainable_mask(params, train_cfg.trainable))
             self.state = init_state(params, self.optimizer)
             self._step_fn = jax.jit(make_train_step(
-                cfg, self.optimizer, grad_accum=train_cfg.grad_accum))
+                cfg, self.optimizer, grad_accum=train_cfg.grad_accum,
+                remat=train_cfg.gradient_checkpointing))
         self.ckpt = Checkpointer(train_cfg.output_dir)
         self._save_every = max(
             int(steps_per_epoch * train_cfg.save_epoch_fraction), 1)

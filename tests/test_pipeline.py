@@ -129,3 +129,46 @@ def test_simulate_parallel_virtual_loss_reverted(pipeline, figure):
         assert gen.montecarlo.stats_expansion_count == 4
     finally:
         gen.close()
+
+
+def test_sample_batch(pipeline, figure):
+    from PIL import ImageDraw, Image as PILImage
+
+    figs = [figure]
+    for i in range(3):
+        img = PILImage.new("RGB", (120, 90), "white")
+        ImageDraw.Draw(img).line([5 + i * 10, 5, 110, 80], fill="red",
+                                 width=2)
+        figs.append(img)
+    docs = pipeline.sample_batch(figs, max_new_tokens=8)
+    assert len(docs) == 4
+    assert all(isinstance(d.code, str) for d in docs)
+    assert len(pipeline.engine._free_slots) == pipeline.engine.num_slots
+
+
+def test_remat_forward_matches():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from detikzify_tpu.config import tiny_test_config
+    from detikzify_tpu.models import detikzify
+
+    cfg = tiny_test_config(128)
+    params = detikzify.init(jax.random.PRNGKey(0), cfg)
+    ids = np.full((1, cfg.image_seq_len + 4), cfg.image_token_id, np.int32)
+    ids[0, cfg.image_seq_len:] = [cfg.bos_token_id, 5, 6, 7]
+    pix = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, cfg.vision.image_size, cfg.vision.image_size, 3)), jnp.float32)
+    labels = jnp.asarray(np.where(ids == cfg.image_token_id, -100, ids))
+
+    def loss(p, remat):
+        _, l = detikzify.forward(p, cfg, jnp.asarray(ids), pix,
+                                 labels=labels, attn_impl="xla", remat=remat)
+        return l
+
+    l0, g0 = jax.value_and_grad(loss)(params, False)
+    l1, g1 = jax.value_and_grad(loss)(params, True)
+    assert float(l0) == pytest.approx(float(l1), rel=1e-6)
+    d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), g0, g1)
+    assert max(jax.tree.leaves(d)) < 1e-5
