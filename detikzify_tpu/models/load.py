@@ -248,6 +248,56 @@ def _export_text(text: dict, out: dict, prefix: str) -> None:
     out[f"{prefix}.norm.weight"] = np.asarray(text["norm"]["scale"])
 
 
+def save_adapter(path: str, adapter_params: dict, vcfg,
+                 active_every: int = 1) -> None:
+    """Export TikZero adapter weights to reference-compatible safetensors
+    (inverse of ``import_adapter``; layer blocks under ``adapter.layers.{i}``,
+    inactive layers omitted like the reference's ``None`` entries)."""
+    from safetensors.numpy import save_file
+
+    os.makedirs(path, exist_ok=True)
+    out: Dict[str, np.ndarray] = {}
+    layers = adapter_params["layers"]
+    n_layers = np.asarray(layers["ln1"]["scale"]).shape[0]
+
+    def sel(tree, i):
+        return {k: (sel(v, i) if isinstance(v, dict) else np.asarray(v)[i])
+                for k, v in tree.items()}
+
+    for i in range(n_layers):
+        if (i + 1) % active_every != 0:
+            continue
+        lp = sel(layers, i)
+        base = f"adapter.layers.{i}"
+        out[f"{base}.layer_norm1.weight"] = lp["ln1"]["scale"]
+        out[f"{base}.layer_norm1.bias"] = lp["ln1"]["bias"]
+        for ours, theirs in (("q", "q_proj"), ("k", "k_proj"),
+                             ("v", "v_proj"), ("o", "out_proj")):
+            out[f"{base}.cross_attn.{theirs}.weight"] = \
+                lp["attn"][ours]["kernel"].T
+            out[f"{base}.cross_attn.{theirs}.bias"] = lp["attn"][ours]["bias"]
+        for norm in ("q_norm", "k_norm"):
+            out[f"{base}.cross_attn.{norm}.weight"] = \
+                lp["attn"][norm]["scale"]
+            out[f"{base}.cross_attn.{norm}.bias"] = lp["attn"][norm]["bias"]
+        out[f"{base}.layer_norm2.weight"] = lp["ln2"]["scale"]
+        out[f"{base}.layer_norm2.bias"] = lp["ln2"]["bias"]
+        out[f"{base}.mlp.fc1.weight"] = lp["mlp"]["fc1"]["kernel"].T
+        out[f"{base}.mlp.fc1.bias"] = lp["mlp"]["fc1"]["bias"]
+        out[f"{base}.mlp.fc2.weight"] = lp["mlp"]["fc2"]["kernel"].T
+        out[f"{base}.mlp.fc2.bias"] = lp["mlp"]["fc2"]["bias"]
+        out[f"{base}.cross_attn_attn_gate"] = lp["attn_gate"]
+        out[f"{base}.cross_attn_mlp_gate"] = lp["mlp_gate"]
+    out["adapter.connector.weight"] = np.asarray(
+        adapter_params["connector"]["kernel"]).T
+    out["adapter.connector.bias"] = np.asarray(
+        adapter_params["connector"]["bias"])
+    out["adapter.dummy_input"] = np.transpose(
+        np.asarray(adapter_params["dummy_input"]), (2, 0, 1))
+    out = {k: np.ascontiguousarray(v) for k, v in out.items()}
+    save_file(out, os.path.join(path, "model.safetensors"))
+
+
 def save_pretrained(path: str, params: Params, cfg: DetikzifyConfig,
                     processor: Optional[DetikzifyProcessor] = None) -> None:
     """Export to a reference-compatible checkpoint directory."""

@@ -181,3 +181,35 @@ def test_adapter_llm_step_freezes_everything_but_text(setup):
     delta = float(jnp.abs(new_state.text_params["embed_tokens"]
                           - params.text["embed_tokens"]).max())
     assert delta > 0
+
+
+def test_adapter_save_import_roundtrip(setup, tmp_path):
+    """save_adapter -> import_adapter must reproduce the adapter's effect."""
+    import os
+
+    from detikzify_tpu.models import import_hf
+    from detikzify_tpu.models.load import save_adapter
+
+    cfg, params, bundle, _ = setup
+    path = str(tmp_path / "adapter")
+    save_adapter(path, bundle.adapter_params, cfg.vision)
+    assert os.path.exists(f"{path}/model.safetensors")
+
+    state = import_hf.load_state_dict_from_safetensors(path)
+    reimported = import_hf.import_adapter(state, cfg.vision, cfg.adapter,
+                                          dtype=jnp.float32)
+
+    pix = jnp.asarray(np.random.default_rng(3).standard_normal(
+        (1, cfg.vision.image_size, cfg.vision.image_size, 3)), jnp.float32)
+    hidden, mask = bundle.embed_captions(["roundtrip caption"])
+    from detikzify_tpu.models.adapter import make_inputs
+
+    out1 = siglip.apply(params.vision, cfg.vision, pix,
+                        adapter=make_inputs(bundle.adapter_params,
+                                            cfg.adapter, hidden, mask))
+    out2 = siglip.apply(params.vision, cfg.vision, pix,
+                        adapter=make_inputs(reimported, cfg.adapter,
+                                            hidden, mask))
+    np.testing.assert_allclose(np.asarray(out1["pooler_output"]),
+                               np.asarray(out2["pooler_output"]),
+                               atol=1e-5, rtol=1e-4)
