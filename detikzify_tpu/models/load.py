@@ -69,13 +69,35 @@ def load(
     modality_projector: Optional[str] = None,
     adapter_embedding_model: Optional[str] = None,
     vision_tower: Optional[str] = None,   # v1: timm tower checkpoint path
+    quantize: bool = False,
 ) -> Tuple[Params, DetikzifyConfig, DetikzifyProcessor]:
     """Load (params, config, processor) from a checkpoint directory.
+
+    ``quantize=True`` imports to host memory and quantizes the projection
+    kernels to per-channel int8 before device placement -- the single-chip
+    serving path for 8B-class models (full-precision weights never touch
+    the accelerator).
 
     v1 legacy checkpoints (LLaVA-style, reference ``model/v1/__init__.py:
     24-56``) are detected from their config and need ``vision_tower``
     pointing at the timm SigLIP checkpoint (the reference downloads it from
     the timm hub at load time)."""
+    if quantize:
+        import contextlib
+
+        import jax
+
+        from ..ops.quant import quantize_params_host
+
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            result = load(
+                model_name_or_path, dtype=dtype,
+                modality_projector=modality_projector,
+                adapter_embedding_model=adapter_embedding_model,
+                vision_tower=vision_tower, quantize=False)
+        params = quantize_params_host(result[0], device=jax.devices()[0])
+        return (params,) + tuple(result[1:])
     path = _resolve(model_name_or_path)
     cfg = import_hf.config_from_hf_json(os.path.join(path, "config.json"))
     state = import_hf.load_state_dict_from_safetensors(path)

@@ -78,3 +78,40 @@ def quantize_params(params, keys: Tuple[str, ...] = _QUANT_KEYS):
 
 def params_nbytes(params) -> int:
     return sum(x.nbytes for x in jax.tree.leaves(params))
+
+
+def quantize_params_host(params, keys: Tuple[str, ...] = _QUANT_KEYS,
+                         device=None):
+    """Quantize on the HOST (numpy) and place results on ``device``.
+
+    The on-device ``quantize_params`` needs full-precision + int8 params
+    resident together -- for 8B-class models that exceeds single-chip HBM.
+    This variant streams leaf by leaf: each kernel is pulled to host numpy,
+    quantized, and only the int8 result lands on the accelerator.
+    """
+    import numpy as np
+
+    def quant_np(kernel):
+        kf = np.asarray(jax.device_get(kernel), np.float32)
+        absmax = np.abs(kf).max(axis=-2)
+        scale = np.maximum(absmax / 127.0, 1e-8)
+        q = np.clip(np.round(kf / scale[..., None, :]), -127,
+                    127).astype(np.int8)
+        return {"q": jax.device_put(q, device),
+                "scale": jax.device_put(scale.astype(np.float32), device)}
+
+    def rewrite(node, path=""):
+        if isinstance(node, dict):
+            if "kernel" in node and any(k in path for k in keys) \
+                    and node["kernel"].ndim >= 2:
+                new = {k: jax.device_put(jax.device_get(v), device)
+                       for k, v in node.items() if k != "kernel"}
+                new["kernel_q"] = quant_np(node["kernel"])
+                return new
+            return {k: rewrite(v, f"{path}/{k}") for k, v in node.items()}
+        if hasattr(node, "_fields"):
+            return type(node)(*(rewrite(getattr(node, f), f"{path}/{f}")
+                                for f in node._fields))
+        return jax.device_put(jax.device_get(node), device)
+
+    return rewrite(params)
