@@ -51,6 +51,14 @@ def mean_sampling_throughput(per_item_counts: Sequence[int],
                                    limit))) if per_item_counts else 0.0
 
 
+def p50_time_to_first_compile(per_item_seconds: Sequence[float]) -> float:
+    """Median wall-clock until the first compilable output (BASELINE.md
+    north-star metric #3)."""
+    if not per_item_seconds:
+        return float("nan")
+    return float(np.median(np.asarray(list(per_item_seconds), np.float64)))
+
+
 @dataclass
 class ItemResult:
     best_code: str
@@ -97,6 +105,29 @@ def generate_until_compilable(
                       num_programs=count, program_lengths=lengths,
                       seconds=time.time() - t0,
                       compiled=best_score > -float("inf") and bool(best_code))
+
+
+def redacted_render(doc, rot13: bool = False, size: int = 420):
+    """Rasterize a compiled document with its text redacted (or rot13'd) --
+    the leakage-controlled eval variant (reference examples/eval.py:156-193,
+    util/image.py:62-71). Requires a PDF output and pymupdf; returns None
+    when either is unavailable (e.g. fake-compiler runs)."""
+    if doc.output.pdf is None:
+        return None
+    try:
+        import fitz
+    except ImportError:
+        return None
+    from PIL import Image
+
+    from ..utils.image import expand, redact
+
+    pdf = fitz.open(stream=doc.output.pdf, filetype="pdf")
+    redact(pdf, rot13=rot13)
+    page = pdf[-1]
+    pix = page.get_pixmap(dpi=200)
+    img = Image.frombytes("RGB", (pix.width, pix.height), pix.samples)
+    return expand(img, size, do_trim=True)
 
 
 class PredictionCache:

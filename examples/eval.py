@@ -94,6 +94,17 @@ def score(name, rows, testset, params, cfg, processor):
     eed = TexEditDistance()
     eed.update(codes, [[r] for r in refs])
     out["TexEditDistance"] = eed.compute()
+
+    # redacted variants (rot13 text scrambling; leakage-controlled eval)
+    from detikzify_tpu.evaluate.harness import redacted_render
+
+    redacted = [(redacted_render(TikzDocument(row["code"]), rot13=True),
+                 ex["image"])
+                for row, ex in zip(rows, testset)]
+    redacted = [(r, i) for r, i in redacted if r is not None]
+    if redacted:
+        out["SelfSim_redacted"] = float(selfsim.score_batch(
+            [r for r, _ in redacted], [i for _, i in redacted]).mean())
     return out
 
 

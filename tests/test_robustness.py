@@ -1,0 +1,114 @@
+"""Robustness and edge-case tests: engine limits, webui streaming without
+gradio, config serialization, harness p50."""
+import numpy as np
+import jax
+import pytest
+from PIL import Image, ImageDraw
+
+from detikzify_tpu.config import (DetikzifyConfig, get_config,
+                                  tiny_test_config)
+from detikzify_tpu.engine import DecodeEngine
+from detikzify_tpu.evaluate.harness import (generate_until_compilable,
+                                            p50_time_to_first_compile)
+from detikzify_tpu.infer import DetikzifyPipeline, FakeBackend, set_backend
+from detikzify_tpu.models import detikzify
+from detikzify_tpu.ops.sampling import SamplingParams
+from detikzify_tpu.processing import ByteTokenizer, DetikzifyProcessor
+
+
+@pytest.fixture(scope="module", autouse=True)
+def fake_compiler():
+    set_backend(FakeBackend())
+    yield
+    set_backend(None)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_test_config(vocab_size=512).replace(model_max_length=96)
+    params = detikzify.init(jax.random.PRNGKey(0), cfg)
+    tok = ByteTokenizer(vocab_size=512, image_token_id=cfg.image_token_id,
+                        bos_token_id=cfg.bos_token_id,
+                        eos_token_id=cfg.eos_token_id, model_max_length=96)
+    return cfg, params, DetikzifyProcessor(tok, cfg)
+
+
+def _figure():
+    img = Image.new("RGB", (100, 80), "white")
+    ImageDraw.Draw(img).rectangle([8, 8, 92, 72], outline="black", width=2)
+    return img
+
+
+def test_engine_slot_exhaustion(setup):
+    cfg, params, _ = setup
+    eng = DecodeEngine(params, cfg, num_slots=2, max_len=64,
+                       sampling=SamplingParams(temperature=0.0))
+    r1 = eng.start([cfg.bos_token_id, 1], max_new_tokens=4, lazy=True)
+    r2 = eng.start([cfg.bos_token_id, 2], max_new_tokens=4, lazy=True)
+    with pytest.raises(RuntimeError, match="no free slots"):
+        eng.start([cfg.bos_token_id, 3], max_new_tokens=4)
+    eng.run()
+    eng.release(r1)
+    eng.release(r2)
+    assert len(eng._free_slots) == 2
+    # double release is a no-op
+    eng.release(r1)
+    assert len(eng._free_slots) == 2
+
+
+def test_prefix_store_lru_eviction(setup):
+    cfg, params, _ = setup
+    eng = DecodeEngine(params, cfg, num_slots=2, max_len=64,
+                       sampling=SamplingParams(temperature=0.0),
+                       prefix_budget_bytes=1)  # force eviction
+    ro = eng.start([cfg.bos_token_id, 1, 2, 3], max_new_tokens=4)
+    eng.run()
+    eng.store_prefix("a", ro, length=3)
+    eng.store_prefix("b", ro, length=4)
+    # budget of 1 byte keeps only the newest entry
+    assert len(eng._prefix_store) == 1
+    eng.release(ro)
+
+
+def test_webui_inference_streams_without_gradio(setup):
+    """webui.inference is plain Python generators -- drive it directly."""
+    from detikzify_tpu.webui.webui import inference
+
+    cfg, params, processor = setup
+    pipe = DetikzifyPipeline(params, cfg, processor, num_slots=2,
+                             max_len=96)
+    outputs = list(inference(pipe, _figure(), algorithm="mcts",
+                             expansions=2))
+    assert outputs
+    code, mcts_out = outputs[-1]
+    assert isinstance(code, str)
+    # sampling mode too
+    outputs = list(inference(pipe, _figure(), algorithm="sampling"))
+    assert len(outputs) == 1
+
+
+def test_generate_until_compilable(setup):
+    cfg, params, processor = setup
+    pipe = DetikzifyPipeline(params, cfg, processor, num_slots=2,
+                             max_len=96, metric="fast")
+    result = generate_until_compilable(pipe, _figure(), max_expansions=5)
+    assert result.num_programs >= 1
+    assert result.seconds > 0
+    assert p50_time_to_first_compile([result.seconds]) == result.seconds
+
+
+def test_config_json_roundtrip():
+    cfg = get_config("detikzify-v2-8b")
+    as_dict = cfg.to_dict()
+    back = DetikzifyConfig.from_dict(as_dict)
+    assert back == cfg
+    assert back.text.rope_scaling == cfg.text.rope_scaling
+    tiny = tiny_test_config()
+    assert DetikzifyConfig.from_dict(tiny.to_dict()) == tiny
+
+
+def test_webui_build_ui_requires_gradio():
+    from detikzify_tpu.webui.webui import build_ui
+
+    with pytest.raises(ImportError, match="gradio"):
+        build_ui()
