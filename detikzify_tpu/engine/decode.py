@@ -101,11 +101,13 @@ class DecodeEngine:
         eos_token_id: Optional[int] = None,
         prefix_budget_bytes: int = 2 << 30,
         decode_block: int = 16,
+        pipelined: bool = False,
     ):
         self.params = params
         self.cfg = cfg
         self.num_slots = num_slots
         self.decode_block = decode_block
+        self.pipelined = pipelined
         # last cache row is a trash row for frozen/inactive slots' writes
         self.max_len = (max_len or cfg.model_max_length) + 1
         self.sampling = sampling
@@ -127,6 +129,9 @@ class DecodeEngine:
         self._prefix_bytes = 0
         self._prefix_budget = prefix_budget_bytes
         self._prefix_lru: List[object] = []
+        # pipelined stepping: the in-flight scan dispatched last step
+        # (device tokens, k, {slot: rollout} snapshot)
+        self._inflight = None
 
         self._build_jit()
 
@@ -431,23 +436,31 @@ class DecodeEngine:
     # stepping
     # ------------------------------------------------------------------
 
-    def step(self, k: Optional[int] = None) -> List[Rollout]:
-        """Decode up to ``k`` tokens for all active slots in one device call,
-        with ONE host sync covering both pending first tokens and the decode
-        block. Returns rollouts that finished."""
-        if not self._active.any():
-            return self.flush()
-        k = self.decode_block if k is None else k
+    def _dispatch(self, k: int) -> None:
+        """Launch one decode scan asynchronously and record the snapshot of
+        which rollout owned each slot at dispatch time."""
         toks_dev, self.cache, self._tok_dev, self._pos_dev, self.rng = \
             self._decode_many(
                 self.params, self.cache, self._tok_dev, self._pos_dev,
                 jnp.asarray(self._active), self.rng,
                 k, self.sampling, self._banned(), self._suppress())
+        owners = {slot: ro for slot, ro in self._rollouts.items()
+                  if self._active[slot]}
+        self._inflight = (toks_dev, k, owners)
+
+    def _consume(self, inflight) -> List[Rollout]:
+        """Fetch a dispatched scan's tokens (one host sync, shared with any
+        pending first tokens) and deliver them to their rollouts."""
         first_slots = list(self._first_pending)
-        firsts, toks = jax.device_get(
-            ([self._first_pending[s] for s in first_slots], toks_dev))
+        firsts_dev = [self._first_pending[s] for s in first_slots]
+        if inflight is None:
+            firsts = jax.device_get(firsts_dev) if first_slots else []
+            toks, k, owners = None, 0, {}
+        else:
+            toks_dev, k, owners = inflight
+            firsts, toks = jax.device_get((firsts_dev, toks_dev))
+            toks = np.asarray(toks)                     # [k, S]
         self._first_pending.clear()
-        toks = np.asarray(toks)                         # [k, S]
 
         finished = []
         for slot, tok in zip(first_slots, firsts):
@@ -457,22 +470,55 @@ class DecodeEngine:
             self._accept_token(ro, int(tok))
             if ro.finished:
                 finished.append(ro)
-        for slot, ro in list(self._rollouts.items()):
-            if not self._active[slot] or ro.finished:
+        for slot, ro in owners.items():
+            # skip slots whose rollout was replaced/finished since dispatch
+            if self._rollouts.get(slot) is not ro or ro.finished:
                 continue
             for i in range(k):
-                tok = int(toks[i, slot])
-                self._accept_token(ro, tok)
+                self._accept_token(ro, int(toks[i, slot]))
                 if ro.finished:
                     finished.append(ro)
                     break
         return finished
 
+    def step(self, k: Optional[int] = None) -> List[Rollout]:
+        """Advance decoding by one block. Returns rollouts that finished.
+
+        Synchronous by default: dispatch a scan, fetch its tokens. With
+        ``pipelined=True`` scan N+1 launches BEFORE scan N's tokens are
+        fetched -- device execution overlaps host-side token processing,
+        at the cost of finish detection lagging one block (useful for
+        small decode blocks under high dispatch latency; measured a net
+        loss at block>=32, hence opt-in)."""
+        k = self.decode_block if k is None else k
+        if not self.pipelined:
+            if self._active.any():
+                self._dispatch(k)
+            prev, self._inflight = self._inflight, None
+            return self._consume(prev)
+        prev, self._inflight = self._inflight, None
+        if self._active.any():
+            self._dispatch(k)
+        if prev is None and self._inflight is not None \
+                and not self._first_pending:
+            return []                    # pipeline primed; tokens next call
+        return self._consume(prev)
+
+    @property
+    def has_inflight(self) -> bool:
+        return self._inflight is not None
+
+    def flush_steps(self) -> List[Rollout]:
+        """Drain the in-flight scan without dispatching a new one."""
+        prev, self._inflight = self._inflight, None
+        return self._consume(prev)
+
     def run(self, max_steps: Optional[int] = None) -> List[Rollout]:
         """Step until every rollout finishes; returns them all."""
         done: List[Rollout] = []
         steps = 0
-        while self._active.any() or self._first_pending:
+        while (self._active.any() or self._first_pending
+               or self._inflight is not None):
             done.extend(self.step())
             steps += 1
             if max_steps is not None and steps >= max_steps:

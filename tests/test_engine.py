@@ -132,3 +132,18 @@ def test_eos_suppressed_on_first_token(setup):
                        sampling=SamplingParams(temperature=0.0))
     ro = eng.start([cfg.bos_token_id], max_new_tokens=4)
     assert ro.token_ids[1] != eng.eos_token_id
+
+
+def test_pipelined_mode_matches_sync(setup):
+    """Opt-in pipelined stepping must produce identical greedy output."""
+    cfg, params = setup
+    prompt = [cfg.bos_token_id, 41, 42, 43]
+    outs = []
+    for pipelined in (False, True):
+        eng = DecodeEngine(params, cfg, num_slots=2, max_len=96,
+                           sampling=SamplingParams(temperature=0.0),
+                           pipelined=pipelined, decode_block=4)
+        ro = eng.start(prompt, max_new_tokens=10)
+        eng.run()
+        outs.append(list(ro.token_ids))
+    assert outs[0] == outs[1]
