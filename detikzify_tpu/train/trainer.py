@@ -112,16 +112,18 @@ class Trainer:
         global_bs = self.tc.micro_batch_size * self.tc.grad_accum
         t0 = time.time()
         with self.mesh:
-            for epoch in range(step // self.steps_per_epoch, self.tc.epochs):
-                for batch in data_mod.batches(
+            start_epoch = start_step // self.steps_per_epoch
+            for epoch in range(start_epoch, self.tc.epochs):
+                # mid-epoch resume: skip the batches already trained (the
+                # per-epoch shuffle is seeded, so the order is reproducible)
+                skip = (start_step % self.steps_per_epoch
+                        if epoch == start_epoch else 0)
+                for batch_idx, batch in enumerate(data_mod.batches(
                         self.dataset, self.processor, global_bs,
                         max_length=self.tc.max_length,
-                        shuffle_seed=self.tc.seed, epoch=epoch):
-                    if step < start_step and \
-                            step % self.steps_per_epoch < start_step \
-                            % max(self.steps_per_epoch, 1):
-                        step += 1
-                        continue  # skip already-trained steps of this epoch
+                        shuffle_seed=self.tc.seed, epoch=epoch)):
+                    if batch_idx < skip:
+                        continue
                     batch = {
                         k: jax.device_put(
                             v, data_sharding(self.mesh, np.ndim(v)))

@@ -1,3 +1,4 @@
+from .device import device_count, infer_device, is_tpu
 from .functools import batchify, cache_cast, listify
 from .generation import (ExplicitAbort, StreamerList, TextIteratorStreamer,
                          TokenStreamer, unwrap_processor)
@@ -5,6 +6,7 @@ from .image import DUMMY_IMAGE, convert, expand, load, redact, remove_alpha, to_
 from .subprocess import check_output, run, safe_killpg
 
 __all__ = [
+    "device_count", "infer_device", "is_tpu",
     "batchify", "cache_cast", "listify",
     "ExplicitAbort", "StreamerList", "TextIteratorStreamer", "TokenStreamer",
     "unwrap_processor",
