@@ -51,24 +51,27 @@ def _fused_attn_kernel(q_ref, k_ref, v_ref, mask_ref, offlim_ref, out_ref,
                        *, scale: float, causal: bool, q_offset: int,
                        block_q: int, per_batch: bool):
     """One (batch, head, q-block) tile: full logits over VMEM-resident K/V."""
+    bi = pl.program_id(0)
     q = q_ref[0, 0].astype(jnp.float32)          # [bq, hd]
     k = k_ref[0, 0]                              # [T, hd]
     logits = jax.lax.dot_general(
         q, k.astype(jnp.float32), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale  # [bq, T]
 
-    mask = mask_ref[0] > 0                       # [T] (padded keys pre-masked)
+    # mask/offlim are full-array inputs (Mosaic requires (8,128)-tilable or
+    # whole-array blocks); index the batch row inside the kernel
+    mask = mask_ref[bi] > 0                      # [T] (padded keys pre-masked)
     logits = jnp.where(mask[None, :], logits, _NEG_INF)
     if causal or per_batch:
         qi = pl.program_id(2)
-        offset = offlim_ref[0, 0] if per_batch else q_offset
+        offset = offlim_ref[bi, 0] if per_batch else q_offset
         qpos = (qi * block_q
                 + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
                 + offset)
         kpos = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
         logits = jnp.where(kpos <= qpos, logits, _NEG_INF)
         if per_batch:
-            logits = jnp.where(kpos < offlim_ref[0, 1], logits, _NEG_INF)
+            logits = jnp.where(kpos < offlim_ref[bi, 1], logits, _NEG_INF)
 
     m = jnp.max(logits, axis=-1, keepdims=True)
     unnorm = jnp.exp(logits - m)
@@ -143,8 +146,8 @@ def flash_attention(
                          lambda bi, hi, qi, g=groups: (bi, hi // g, 0, 0)),
             pl.BlockSpec((1, 1, t_p, hd_p),
                          lambda bi, hi, qi, g=groups: (bi, hi // g, 0, 0)),
-            pl.BlockSpec((1, t_p), lambda bi, hi, qi: (bi, 0)),
-            pl.BlockSpec((1, 2), lambda bi, hi, qi: (bi, 0),
+            pl.BlockSpec((b, t_p), lambda bi, hi, qi: (0, 0)),
+            pl.BlockSpec((b, 2), lambda bi, hi, qi: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, block_q, hd_p),
