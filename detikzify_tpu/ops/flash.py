@@ -96,10 +96,54 @@ def flash_attention(
     kv_limits: Optional[jnp.ndarray] = None,  # [B] per-batch valid-key bound
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Fused attention. With ``q_offsets``/``kv_limits`` the mask becomes
-    per-batch ``kpos <= q_offsets[b] + i  AND  kpos < kv_limits[b]`` -- the
-    decode engine's offset-prefill pattern (prefix restore + tail block),
-    replacing a materialized [B,1,S,T] bias."""
+    """Fused attention, differentiable. Forward runs the Pallas kernel;
+    the backward pass recomputes attention with the XLA reference
+    implementation and pulls gradients through that (Pallas kernels have no
+    automatic transpose; training costs one extra XLA attention in bwd).
+
+    With ``q_offsets``/``kv_limits`` the mask becomes per-batch
+    ``kpos <= q_offsets[b] + i  AND  kpos < kv_limits[b]`` -- the decode
+    engine's offset-prefill pattern, replacing a [B,1,S,T] bias."""
+
+    def kernel_fn(q, k, v):
+        return _flash_impl(q, k, v, causal=causal, kv_mask=kv_mask,
+                           scale=scale, q_offsets=q_offsets,
+                           kv_limits=kv_limits, interpret=interpret)
+
+    def xla_fn(q, k, v):
+        from .attention import attend_xla
+
+        return attend_xla(q, k, v, causal=causal, kv_mask=kv_mask,
+                          scale=scale, q_offsets=q_offsets,
+                          kv_limits=kv_limits)
+
+    @jax.custom_vjp
+    def f(q, k, v):
+        return kernel_fn(q, k, v)
+
+    def fwd(q, k, v):
+        return kernel_fn(q, k, v), (q, k, v)
+
+    def bwd(res, g):
+        _, pullback = jax.vjp(xla_fn, *res)
+        return pullback(g)
+
+    f.defvjp(fwd, bwd)
+    return f(q, k, v)
+
+
+def _flash_impl(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    causal: bool = False,
+    kv_mask: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    q_offsets: Optional[jnp.ndarray] = None,
+    kv_limits: Optional[jnp.ndarray] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
     b, s, nh, hd = q.shape
     t, nkv = k.shape[1], k.shape[2]
     groups = nh // nkv

@@ -151,3 +151,25 @@ def test_flash_attention_offsets_matches_xla():
                                atol=2e-5, rtol=2e-4)
     np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want[1]),
                                atol=2e-5, rtol=2e-4)
+
+
+def test_flash_attention_grad_matches_xla():
+    """custom VJP: gradients through the kernel == gradients through XLA."""
+    rng = np.random.default_rng(5)
+    b, s, nh, hd = 1, 16, 2, 16
+    q = jnp.asarray(rng.standard_normal((b, s, nh, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, nh, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, nh, hd)), jnp.float32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, causal=True,
+                                       interpret=True) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(attend_xla(q, k, v, causal=True) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-4, rtol=1e-3)
