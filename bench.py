@@ -176,6 +176,23 @@ def main():
     set_backend(None)
     log(f"mcts parallel speedup: {rollout_rates[8] / rollout_rates[1]:.2f}x")
 
+    # p50 time-to-first-compile (north-star metric #3): hermetic compiler
+    # where rollouts compile, parallel expansions
+    from detikzify_tpu.evaluate.harness import (generate_until_compilable,
+                                                p50_time_to_first_compile)
+    from detikzify_tpu.infer.tikz import FakeBackend
+
+    set_backend(FakeBackend(latency=0.5))
+    ttfc = []
+    for _ in range(3):
+        r = generate_until_compilable(pipe, img, max_expansions=8)
+        if r.compiled:
+            ttfc.append(r.seconds)
+    set_backend(None)
+    if ttfc:
+        log(f"p50 time-to-first-compile: "
+            f"{p50_time_to_first_compile(ttfc):.2f}s (n={len(ttfc)})")
+
     print(json.dumps({
         "metric": "tikz_decode_tokens_per_sec_per_chip_ds13b",
         "value": round(tps, 2),

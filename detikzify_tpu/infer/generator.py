@@ -175,10 +175,18 @@ class DetikzifyGenerator:
 
     def _build_newline_table(self):
         tok = self.processor.tokenizer
+        cached = getattr(tok, "_detikzify_newline_table", None)
+        if cached is not None:
+            return cached
         vocab_size = getattr(tok, "vocab_size", None) or len(tok.get_vocab())
         counts, ends = make_newline_table(tok, vocab_size)
-        return {i: (int(counts[i]), bool(ends[i]))
-                for i in np.nonzero(counts)[0]}
+        table = {i: (int(counts[i]), bool(ends[i]))
+                 for i in np.nonzero(counts)[0]}
+        try:
+            tok._detikzify_newline_table = table  # one scan per tokenizer
+        except AttributeError:
+            pass
+        return table
 
     @property
     def root(self) -> WideNode:
