@@ -41,3 +41,37 @@ def test_registry(tmp_path):
     assert "detikzify-v2-8b" in MODEL_REGISTRY
     with pytest.raises(FileNotFoundError):
         _resolve("nonexistent/model")
+
+
+def test_full_load_path_with_tokenizer(tmp_path):
+    """End-to-end load(): config + safetensors + a real HF tokenizer dir."""
+    transformers = pytest.importorskip("transformers")
+    from tokenizers import Tokenizer, models, pre_tokenizers
+
+    cfg = tiny_test_config(vocab_size=128)
+    params = detikzify.init(jax.random.PRNGKey(5), cfg)
+    path = str(tmp_path / "ckpt")
+    save_pretrained(path, params, cfg)
+
+    # build a tiny word-level tokenizer on disk
+    vocab = {f"tok{i}": i for i in range(120)}
+    vocab.update({"<s>": cfg.bos_token_id - 0, "</s>": cfg.eos_token_id,
+                  "<image>": cfg.image_token_id, "<pad>": 120})
+    tok = Tokenizer(models.WordLevel(
+        {k: v for k, v in vocab.items() if v < 128}, unk_token="tok0"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    fast = transformers.PreTrainedTokenizerFast(
+        tokenizer_object=tok, bos_token="<s>", eos_token="</s>",
+        pad_token="<pad>", model_max_length=96)
+    fast.save_pretrained(path)
+
+    from detikzify_tpu.models.load import load
+
+    params2, cfg2, processor = load(path, dtype=jnp.float32)
+    out = processor(images=None, text="tok1 tok2")
+    assert out.input_ids.shape[0] == 1
+    ids = np.full((1, cfg2.image_seq_len + 3), cfg2.image_token_id, np.int32)
+    ids[0, cfg2.image_seq_len:] = [cfg2.bos_token_id, 1, 2]
+    logits, _ = detikzify.forward(params2, cfg2, jnp.asarray(ids), None,
+                                  attn_impl="xla")
+    assert np.isfinite(np.asarray(logits)).all()
