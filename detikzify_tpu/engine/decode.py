@@ -123,6 +123,12 @@ class DecodeEngine:
         self._tok_dev = jnp.zeros((num_slots,), jnp.int32)
         self._pos_dev = jnp.zeros((num_slots,), jnp.int32)
         self._active = np.zeros((num_slots,), bool)       # host-controlled
+        # per-slot (temperature, top_p, top_k): traced into the decode
+        # programs, so per-call overrides never recompile
+        self._samp_host = np.tile(
+            np.asarray([sampling.temperature, sampling.top_p,
+                        float(sampling.top_k)], np.float32),
+            (num_slots, 1))
         self._first_pending: Dict[int, jnp.ndarray] = {}  # slot -> dev scalar
 
         self._prefix_store: Dict[object, StoredPrefix] = {}
@@ -155,7 +161,7 @@ class DecodeEngine:
             return KVCache(upd(cache.k, pk), upd(cache.v, pv))
 
         def prefill_and_sample(params, cache, tok_dev, pos_dev, slot, ids,
-                               image_embeds, start, seq_len, rng, sampling,
+                               image_embeds, start, seq_len, rng, samp_row,
                                banned, suppress):
             small = KVCache(
                 jax.lax.dynamic_slice_in_dim(cache.k, slot, 1, axis=1),
@@ -169,7 +175,10 @@ class DecodeEngine:
                 jax.lax.dynamic_update_slice_in_dim(cache.v, small.v, slot,
                                                     axis=1))
             rng, sub = jax.random.split(rng)
-            first = sample(logits, sub, params=sampling, banned_tokens=banned,
+            first = sample(logits, sub,
+                           temperature=samp_row[0], top_p=samp_row[1],
+                           top_k=samp_row[2].astype(jnp.int32),
+                           banned_tokens=banned,
                            suppress_begin_tokens=suppress,
                            is_first=jnp.ones((1,), bool))[0]
             tok_dev = tok_dev.at[slot].set(first)
@@ -178,34 +187,36 @@ class DecodeEngine:
 
         @functools.partial(
             jax.jit, donate_argnums=(1, 2, 3),
-            static_argnames=("sampling", "banned", "suppress"))
+            static_argnames=("banned", "suppress"))
         def start_slot(params, cache, tok_dev, pos_dev, slot, ids,
                        image_embeds, start, seq_len, rng,
-                       sampling, banned, suppress):
+                       samp_row, banned, suppress):
             return prefill_and_sample(params, cache, tok_dev, pos_dev, slot,
                                       ids, image_embeds, start, seq_len, rng,
-                                      sampling, banned, suppress)
+                                      samp_row, banned, suppress)
 
         @functools.partial(
             jax.jit, donate_argnums=(1, 2, 3),
-            static_argnames=("sampling", "banned", "suppress"))
+            static_argnames=("banned", "suppress"))
         def start_slot_prefix(params, cache, tok_dev, pos_dev, slot, ids,
                               image_embeds, start, seq_len, rng, pk, pv,
-                              sampling, banned, suppress):
+                              samp_row, banned, suppress):
             cache = restore(cache, slot, pk, pv)
             return prefill_and_sample(params, cache, tok_dev, pos_dev, slot,
                                       ids, image_embeds, start, seq_len, rng,
-                                      sampling, banned, suppress)
+                                      samp_row, banned, suppress)
 
         @functools.partial(
             jax.jit, donate_argnums=(1, 2, 3),
-            static_argnames=("k", "sampling", "banned", "suppress"))
+            static_argnames=("k", "banned", "suppress"))
         def decode_many(params, cache, tok_dev, pos_dev, active, rng,
-                        k, sampling, banned, suppress):
+                        samp, k, banned, suppress):
             """k decode steps for all slots inside one jitted scan: one host
             round-trip per k*slots tokens. Slots that emit EOS mid-scan
             freeze: their writes divert to the trash row, they re-emit EOS,
-            and their position stops advancing."""
+            and their position stops advancing. ``samp`` is the [S, 3]
+            per-slot (temperature, top_p, top_k) table -- traced, so any
+            mix of greedy and sampled slots shares this one program."""
 
             def body(carry, _):
                 tokens, positions, done, cache, rng = carry
@@ -214,7 +225,9 @@ class DecodeEngine:
                 logits, cache = detikzify.decode_step(params, cfg, tokens,
                                                       write_pos, cache)
                 rng, sub = jax.random.split(rng)
-                nxt = sample(logits, sub, params=sampling,
+                nxt = sample(logits, sub,
+                             temperature=samp[:, 0], top_p=samp[:, 1],
+                             top_k=samp[:, 2].astype(jnp.int32),
                              banned_tokens=banned,
                              suppress_begin_tokens=suppress, is_first=None)
                 nxt = jnp.where(done, eos, nxt)
@@ -325,6 +338,7 @@ class DecodeEngine:
         on_token: Optional[Callable[[int], None]] = None,
         prefix: Optional[StoredPrefix] = None,
         lazy: bool = False,
+        sampling: Optional[SamplingParams] = None,
     ) -> Rollout:
         """Begin generating after ``token_ids``. Returns a Rollout handle.
 
@@ -337,6 +351,8 @@ class DecodeEngine:
             raise RuntimeError("no free slots")
         token_ids = list(token_ids)
         slot = self._free_slots.pop()
+        sp = sampling if sampling is not None else self.sampling
+        self._samp_host[slot] = (sp.temperature, sp.top_p, float(sp.top_k))
         ro = Rollout(slot=slot, prompt_len=len(token_ids),
                      token_ids=list(token_ids),
                      max_new_tokens=max(
@@ -359,18 +375,19 @@ class DecodeEngine:
                 (1, self.cfg.image_seq_len, self.cfg.text.hidden_size),
                 self.params.text["embed_tokens"].dtype)
 
+        samp_row = jnp.asarray(self._samp_host[slot])
         args = (self.params, self.cache, self._tok_dev, self._pos_dev,
                 jnp.int32(slot), jnp.asarray(ids), image_embeds,
                 jnp.int32(start_pos), jnp.int32(len(tail)), self.rng)
         if prefix is not None:
             (self.cache, self._tok_dev, self._pos_dev, self.rng,
              first) = self._start_slot_prefix(
-                *args, prefix.k, prefix.v, sampling=self.sampling,
+                *args, prefix.k, prefix.v, samp_row=samp_row,
                 banned=self._banned(), suppress=self._suppress())
         else:
             (self.cache, self._tok_dev, self._pos_dev, self.rng,
              first) = self._start_slot(
-                *args, sampling=self.sampling, banned=self._banned(),
+                *args, samp_row=samp_row, banned=self._banned(),
                 suppress=self._suppress())
 
         self._rollouts[slot] = ro
@@ -443,7 +460,8 @@ class DecodeEngine:
             self._decode_many(
                 self.params, self.cache, self._tok_dev, self._pos_dev,
                 jnp.asarray(self._active), self.rng,
-                k, self.sampling, self._banned(), self._suppress())
+                jnp.asarray(self._samp_host),
+                k, self._banned(), self._suppress())
         owners = {slot: ro for slot, ro in self._rollouts.items()
                   if self._active[slot]}
         self._inflight = (toks_dev, k, owners)

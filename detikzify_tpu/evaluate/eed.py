@@ -9,9 +9,10 @@ plus a coverage penalty for the jumps actually taken on the optimal path:
     EED = min(1, (e + rho * v) / (|ref| + rho * v))
 
 with the published constants alpha=2.0 (jump), deletion=0.2, insertion=1.0,
-substitution=1.0, rho=0.3. Token-level rather than character-level
-granularity (the reference's TeX-lexer substitution). Lower is better;
-0 for identical token sequences.
+substitution=1.0, rho=0.3. Matching torchmetrics semantics, the DP runs at
+CHARACTER level over the space-joined TeX-token string (jumps allowed at
+the interior spaces), so absolute values are comparable with
+reference/published numbers. Lower is better; 0 for identical programs.
 """
 from __future__ import annotations
 
@@ -37,7 +38,9 @@ def extended_edit_distance(hyp: Sequence, ref: Sequence) -> float:
     for tok in list(hyp) + list(ref):
         if tok not in vocab:
             vocab[tok] = len(vocab)
-    blank_id = len(vocab)
+    # interior blanks (char-level mode) must map to the kernel's blank id
+    # so jumps are allowed at them
+    blank_id = vocab.get(_BLANK, len(vocab))
     native = eed_distance_ids([vocab[t] for t in hyp],
                               [vocab[t] for t in ref], blank_id)
     if native is not None:
@@ -112,9 +115,13 @@ class TexEditDistance:
     def update(self, hypotheses: Sequence[str],
                references: Sequence[Sequence[str]]) -> None:
         for hyp, refs in zip(hypotheses, references):
-            h = tex_tokenize(hyp)
+            # char-level over the space-joined token string, matching
+            # torchmetrics' tokenize -> " ".join -> per-character DP
+            # (reference evaluate/eed.py:26-41)
+            h = list(" ".join(tex_tokenize(hyp)))
             self._scores.append(
-                min(extended_edit_distance(h, tex_tokenize(r))
+                min(extended_edit_distance(
+                    h, list(" ".join(tex_tokenize(r))))
                     for r in refs))
 
     def compute(self) -> float:

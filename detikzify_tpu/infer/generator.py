@@ -97,6 +97,7 @@ class DetikzifyGenerator:
         max_length: Optional[int] = None,
         on_token=None,                  # per-token streaming callback
         adapter=None,                   # AdapterBundle for text conditioning
+        sampling=None,                  # SamplingParams override (per-call)
     ):
         self.engine = engine
         self.processor = processor
@@ -112,15 +113,22 @@ class DetikzifyGenerator:
             timeout=compile_timeout)
         self._own_compiler = compile_service is None
         self.on_token = on_token
+        self.sampling = sampling        # None -> engine defaults
         self.namespace = ("gen", next(_gen_counter))
 
         import jax.numpy as jnp
 
         if text is not None and adapter is None:
             raise ValueError("textual inputs require an adapter bundle")
+        # Root prompt mirrors reference generate.py:178-186: image tokens
+        # only (no BOS). TikZero+ (model_expects_text) additionally appends
+        # the caption + a BOS separator to the prompt.
+        expects_text = getattr(processor, "model_expects_text", False)
+        prompt_text = text if (text is not None and expects_text) else None
         out = processor(images=image if image is not None else None,
-                        text=None if image is not None else "",
-                        add_bos_token=True)
+                        text=prompt_text if image is not None else
+                        (prompt_text or ""),
+                        add_bos_token=prompt_text is not None)
         root_ids = tuple(int(t) for t in out.input_ids[0])
         self.max_length = min(max_length or processor.model_max_length,
                               engine.max_len - 1)
@@ -135,12 +143,9 @@ class DetikzifyGenerator:
                 from ..models.adapter import dummy_pixels
 
                 pixel_values = dummy_pixels(adapter.adapter_params, 1)
-                prompt_out = processor(
-                    images=None, text="", add_bos_token=True,
-                    image_seq_len=processor.image_seq_len)
                 root_ids = tuple(
                     [processor.image_token_id] * processor.image_seq_len
-                    + [int(t) for t in prompt_out.input_ids[0]])
+                    + list(root_ids))
 
         self.image_embeds = None
         if pixel_values is not None:
@@ -214,7 +219,8 @@ class DetikzifyGenerator:
         ro = self.engine.start(
             ids, image_embeds=self.image_embeds,
             max_new_tokens=self.max_length - len(ids),
-            prefix=prefix, on_token=self.on_token, lazy=True)
+            prefix=prefix, on_token=self.on_token, lazy=True,
+            sampling=self.sampling)
         self._pending_rollout = ro
 
         boundary: List[int] = list(ids)   # cumulative prefix at last boundary
@@ -472,7 +478,8 @@ class DetikzifyGenerator:
         exp.ro = self.engine.start(
             ids, image_embeds=self.image_embeds,
             max_new_tokens=self.max_length - len(ids),
-            prefix=prefix, on_token=self.on_token, lazy=True)
+            prefix=prefix, on_token=self.on_token, lazy=True,
+            sampling=self.sampling)
         exp.boundary = ids
         exp.line = []
         exp.num_lines = node.state.num_lines

@@ -87,11 +87,25 @@ class DetikzifyPipeline:
         if image is None and text is None:
             raise ValueError("Either image or text (or both) required!")
 
+    def _sampling_override(self, temperature, top_p, top_k):
+        """Merge per-call sampling kwargs over the pipeline defaults --
+        the reference's ``**gen_kwargs`` pass-through (generate.py:404,436).
+        Traced into one compiled program: overrides never recompile."""
+        if temperature is None and top_p is None and top_k is None:
+            return None
+        base = self.engine.sampling
+        return base._replace(
+            **{k: v for k, v in [("temperature", temperature),
+                                 ("top_p", top_p), ("top_k", top_k)]
+               if v is not None})
+
     def _generator(self, image, text, preprocess, *, metric=None,
                    mcts_timeout=None, control=None, on_token=None,
+                   temperature=None, top_p=None, top_k=None,
                    **kw) -> DetikzifyGenerator:
         self.check_inputs(image, text)
         return DetikzifyGenerator(
+            sampling=self._sampling_override(temperature, top_p, top_k),
             engine=self.engine,
             processor=self.processor,
             image=self.load(image, preprocess) if image is not None else None,
@@ -126,6 +140,9 @@ class DetikzifyPipeline:
         images: list,
         preprocess: bool = True,
         max_new_tokens: Optional[int] = None,
+        temperature: Optional[float] = None,
+        top_p: Optional[float] = None,
+        top_k: Optional[int] = None,
     ) -> list:
         """One-shot sampling for a mini-batch of figures.
 
@@ -137,7 +154,7 @@ class DetikzifyPipeline:
         import numpy as np
 
         pil = [self.load(img, preprocess) for img in images]
-        out = self.processor(images=pil, add_bos_token=True)
+        out = self.processor(images=pil)
         embeds = self.engine.encode_image(jnp.asarray(out.pixel_values))
         max_new = max_new_tokens or (self.engine.max_len - 1
                                      - out.input_ids.shape[1])
@@ -150,7 +167,9 @@ class DetikzifyPipeline:
                 prompt = [int(t) for t in out.input_ids[i]]
                 rollouts[i] = self.engine.start(
                     prompt, image_embeds=embeds[i:i + 1],
-                    max_new_tokens=max_new, lazy=True)
+                    max_new_tokens=max_new, lazy=True,
+                    sampling=self._sampling_override(temperature, top_p,
+                                                     top_k))
             self.engine.step()
 
         docs = []

@@ -82,6 +82,94 @@ def first_error_line(log: str) -> Optional[int]:
 
 
 # ---------------------------------------------------------------------------
+# PDF margin cropping
+# ---------------------------------------------------------------------------
+
+#: pdfCropMargins is invoked with ``-p 0 -a -1`` in the reference
+#: (infer/tikz.py:134-137): crop to the tight ink bbox, then shave one more
+#: point off each side.
+PT_SHAVE = 1.0
+
+
+def _pixmap_ink_bbox(samples: bytes, width: int, height: int, n: int
+                     ) -> Optional[tuple]:
+    """Tight (l, t, r, b) pixel bbox of non-white ink in raw RGB(A) samples."""
+    import numpy as np
+
+    arr = np.frombuffer(samples, np.uint8).reshape(height, width, n)[..., :3]
+    mask = (arr != 255).any(axis=2)
+    rows = np.flatnonzero(mask.any(axis=1))
+    cols = np.flatnonzero(mask.any(axis=0))
+    if rows.size == 0:
+        return None
+    return int(cols[0]), int(rows[0]), int(cols[-1]) + 1, int(rows[-1]) + 1
+
+
+def crop_pdf_margins(pdf: bytes, dpi: float = 144.0) -> bytes:
+    """PDF-space margin crop: set each page's CropBox to its tight ink
+    bounding box shaved by ``PT_SHAVE`` points per side.
+
+    Equivalent to the reference's pdfCropMargins+ghostscript pass
+    (``infer/tikz.py:134-137`` with ``-gsf -p 0 -a -1``): the ink bbox is
+    measured by rendering (like gs's bbox device), the crop happens in PDF
+    space so downstream rasterization at any size sees identical geometry.
+    Gated on pymupdf; returns the input unchanged when unavailable (the
+    raster-side fallback in ``LatexmkBackend.rasterize`` then emulates the
+    same geometry at render resolution).
+    """
+    try:
+        import fitz
+    except ImportError:
+        return pdf
+    try:
+        doc = fitz.open(stream=pdf, filetype="pdf")
+        changed = False
+        for page in doc:
+            zoom = dpi / 72.0
+            pix = page.get_pixmap(matrix=fitz.Matrix(zoom, zoom), alpha=False)
+            bbox = _pixmap_ink_bbox(pix.samples, pix.width, pix.height, pix.n)
+            if bbox is None:
+                continue
+            l, t, r, b = (v / zoom for v in bbox)
+            rect = fitz.Rect(l + PT_SHAVE, t + PT_SHAVE,
+                             r - PT_SHAVE, b - PT_SHAVE)
+            # page.rect is cropbox-relative; translate into mediabox space
+            rect = fitz.Rect(rect.x0 + page.cropbox.x0,
+                             rect.y0 + page.cropbox.y0,
+                             rect.x1 + page.cropbox.x0,
+                             rect.y1 + page.cropbox.y0)
+            rect &= page.mediabox
+            if rect.is_empty or rect.is_infinite:
+                continue
+            page.set_cropbox(rect)
+            changed = True
+        return doc.tobytes() if changed else pdf
+    except Exception:
+        return pdf   # malformed PDF: reference swallows crop errors too
+
+
+def raster_crop_margins(img: Image.Image, dpi: float) -> Image.Image:
+    """Raster-space emulation of ``crop_pdf_margins`` for toolchains
+    without pymupdf: crop to the ink bbox inset by PT_SHAVE's pixel
+    equivalent at ``dpi``."""
+    import numpy as np
+
+    arr = np.asarray(img.convert("RGB"))
+    mask = (arr != 255).any(axis=2)
+    rows = np.flatnonzero(mask.any(axis=1))
+    cols = np.flatnonzero(mask.any(axis=0))
+    if rows.size == 0:
+        return img
+    shave = int(round(PT_SHAVE * dpi / 72.0))
+    l, t = int(cols[0]) + shave, int(rows[0]) + shave
+    r, b = int(cols[-1]) + 1 - shave, int(rows[-1]) + 1 - shave
+    if r <= l or b <= t:
+        return img.crop((int(cols[0]), int(rows[0]),
+                         int(cols[-1]) + 1, int(rows[-1]) + 1))
+    return img.crop((l, t, r, b))
+
+
+# ---------------------------------------------------------------------------
 # backends
 # ---------------------------------------------------------------------------
 
@@ -107,14 +195,22 @@ class LatexmkBackend:
         for engine in self.ENGINES:
             result = self._run_engine(doc, engine, timeout)
             if result.status == 0 and result.pdf:
+                result.pdf = crop_pdf_margins(result.pdf)
                 return result
             line = first_error_line(result.log)
-            score = 10 ** 9 if line is None else line
+            # unparseable failures (timeouts etc.) rank LOWEST, like the
+            # reference's linenr 0 (tikz.py:124-127), so one timing-out
+            # engine cannot mask another engine's salvageable PDF
+            score = 0 if line is None else line
             if result.pdf is not None:
                 score += 10 ** 6  # prefer salvageable attempts
             if score > best_line:
                 best, best_line = result, score
-        return best or CompileResult(status=2, log="no engine available")
+        if best is None:
+            return CompileResult(status=2, log="no engine available")
+        if best.pdf is not None:
+            best.pdf = crop_pdf_margins(best.pdf)
+        return best
 
     def _prepare(self, code: str) -> str:
         if "\\documentclass" not in code:
@@ -151,16 +247,25 @@ class LatexmkBackend:
             return CompileResult(status=status, log=log, pdf=pdf)
 
     def rasterize(self, pdf: bytes, size: int = 420) -> Optional[Image.Image]:
-        """PDF -> square PIL image via pdftoppm or pymupdf (last page wins,
-        matching the reference's salvage-last-page behavior, tikz.py:103-109)."""
+        """PDF -> square PIL image (last page wins, matching the reference's
+        salvage-last-page behavior, tikz.py:103-109).
+
+        The page arrives margin-cropped from ``crop_pdf_margins``; the
+        reference then scales the longest side to ``size`` (pdf2image
+        ``size=420`` == pdftoppm -scale-to) and pads square
+        (tikz.py:149-156). The pdftoppm fallback emulates the PDF-space
+        crop in raster space first (same geometry at render dpi)."""
         try:
             import fitz  # pymupdf
 
             doc = fitz.open(stream=pdf, filetype="pdf")
             page = doc[-1]
-            pix = page.get_pixmap(dpi=200)
-            img = Image.frombytes("RGB", (pix.width, pix.height), pix.samples)
-            return expand(img, size, do_trim=True)
+            rect = page.rect       # CropBox set by crop_pdf_margins
+            zoom = size / max(rect.width, rect.height)
+            pix = page.get_pixmap(matrix=fitz.Matrix(zoom, zoom), alpha=False)
+            mode = "RGB" if pix.n == 3 else "RGBA"
+            img = Image.frombytes(mode, (pix.width, pix.height), pix.samples)
+            return expand(img, size)
         except ImportError:
             pass
         if shutil.which("pdftoppm"):
@@ -168,12 +273,13 @@ class LatexmkBackend:
                 pdf_path = os.path.join(tmp, "doc.pdf")
                 with open(pdf_path, "wb") as f:
                     f.write(pdf)
-                run_killpg(["pdftoppm", "-png", "-r", "200", "-l", "99",
+                dpi = 200
+                run_killpg(["pdftoppm", "-png", "-r", str(dpi), "-l", "99",
                             pdf_path, os.path.join(tmp, "page")], timeout=60)
                 pages = sorted(p for p in os.listdir(tmp) if p.endswith(".png"))
                 if pages:
                     img = Image.open(os.path.join(tmp, pages[-1]))
-                    return expand(img, size, do_trim=True)
+                    return expand(raster_crop_margins(img, dpi), size)
         return None
 
 

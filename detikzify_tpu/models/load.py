@@ -117,13 +117,26 @@ def load(
         params = _overlay_projector(params, modality_projector, dtype)
 
     tokenizer = load_tokenizer(path)
-    processor = DetikzifyProcessor(tokenizer, cfg)
+    processor = DetikzifyProcessor(
+        tokenizer, cfg, model_expects_text=_processor_expects_text(path))
 
     adapter_dir = os.path.join(path, "adapter")
     if os.path.isdir(adapter_dir) and adapter_embedding_model is not None:
         return load_adapter(params, cfg, processor, adapter_dir,
                             adapter_embedding_model, dtype=dtype)
     return params, cfg, processor
+
+
+def _processor_expects_text(path: str) -> bool:
+    """TikZero+ checkpoints mark caption-conditioned prompts in their HF
+    processor config (reference processing_detikzify.py:53,65)."""
+    import json
+
+    pc = os.path.join(path, "processor_config.json")
+    if os.path.isfile(pc):
+        with open(pc) as f:
+            return bool(json.load(f).get("model_expects_text", False))
+    return False
 
 
 def _overlay_projector(params: Params, path: str, dtype) -> Params:

@@ -35,18 +35,42 @@ class SamplingParams(NamedTuple):
     candidates: int = CANDIDATES
 
 
-@functools.partial(jax.jit, static_argnames=("params", "banned_tokens",
-                                             "suppress_begin_tokens"))
 def sample(
     logits: jnp.ndarray,            # [B, V] fp32
     rng: jax.Array,                 # single key; split internally
     *,
-    params: SamplingParams = SamplingParams(),
+    params: Optional[SamplingParams] = None,
+    temperature=None,               # float or [B] array; 0 = greedy
+    top_p=None,                     # float or [B] array; >=1 disables
+    top_k=None,                     # int or [B] array; 0 disables
+    candidates: Optional[int] = None,
     banned_tokens: Tuple[int, ...] = (),
     suppress_begin_tokens: Tuple[int, ...] = (),
     is_first: Optional[jnp.ndarray] = None,   # [B] bool -- first decode step
 ) -> jnp.ndarray:
-    """Sample one token per row. Greedy if temperature == 0."""
+    """Sample one token per row.
+
+    temperature/top_p/top_k are TRACED (scalars broadcast, or per-row [B]
+    arrays) so one compiled program serves any sampling configuration --
+    the reference's per-call ``**gen_kwargs`` overrides
+    (``infer/generate.py:399-426``) without recompiles, and different
+    rollouts in one continuous batch can sample differently. Greedy rows
+    (temperature <= 0) take the plain argmax.
+    """
+    base = params if params is not None else SamplingParams()
+    temperature = base.temperature if temperature is None else temperature
+    top_p = base.top_p if top_p is None else top_p
+    top_k = base.top_k if top_k is None else top_k
+    candidates = base.candidates if candidates is None else candidates
+    return _sample_impl(logits, rng, temperature, top_p, top_k, is_first,
+                        candidates=candidates, banned_tokens=banned_tokens,
+                        suppress_begin_tokens=suppress_begin_tokens)
+
+
+@functools.partial(jax.jit, static_argnames=("candidates", "banned_tokens",
+                                             "suppress_begin_tokens"))
+def _sample_impl(logits, rng, temperature, top_p, top_k, is_first,
+                 candidates, banned_tokens, suppress_begin_tokens):
     b, v = logits.shape
     logits = logits.astype(jnp.float32)
 
@@ -57,27 +81,32 @@ def sample(
             logits = logits.at[:, tok].set(
                 jnp.where(is_first, _NEG_INF, logits[:, tok]))
 
-    if params.temperature == 0.0:
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    temperature = jnp.broadcast_to(
+        jnp.asarray(temperature, jnp.float32), (b,))
+    top_p = jnp.broadcast_to(jnp.asarray(top_p, jnp.float32), (b,))
+    top_k = jnp.broadcast_to(jnp.asarray(top_k, jnp.int32), (b,))
 
-    logits = logits / params.temperature
+    greedy = temperature <= 0.0
+    scaled = logits / jnp.where(greedy, 1.0, temperature)[:, None]
 
-    cand = min(params.candidates, v)
-    top_logits, top_idx = jax.lax.top_k(logits, cand)       # [B, cand] sorted
+    cand = min(candidates, v)
+    top_logits, top_idx = jax.lax.top_k(scaled, cand)       # [B, cand] sorted
 
-    if params.top_k and params.top_k < cand:
-        ranks = jnp.arange(cand)[None, :]
-        top_logits = jnp.where(ranks < params.top_k, top_logits, _NEG_INF)
+    ranks = jnp.arange(cand)[None, :]
+    k_eff = jnp.where(top_k <= 0, cand, jnp.minimum(top_k, cand))[:, None]
+    top_logits = jnp.where(ranks < k_eff, top_logits, _NEG_INF)
 
-    if 0.0 < params.top_p < 1.0:
-        probs = jax.nn.softmax(top_logits, axis=-1)
-        cum = jnp.cumsum(probs, axis=-1)
-        # keep the smallest prefix whose mass reaches top_p
-        keep = (cum - probs) < params.top_p
-        top_logits = jnp.where(keep, top_logits, _NEG_INF)
+    probs = jax.nn.softmax(top_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # keep the smallest prefix whose mass reaches top_p (rank 0 always
+    # survives, so greedy rows are unaffected by the nucleus mask)
+    p_eff = jnp.where((top_p <= 0.0) | (top_p >= 1.0), 1.0, top_p)[:, None]
+    keep = (cum - probs) < p_eff
+    top_logits = jnp.where(keep, top_logits, _NEG_INF)
 
     gumbel = jax.random.gumbel(rng, top_logits.shape, jnp.float32)
-    choice = jnp.argmax(top_logits + gumbel, axis=-1)        # [B]
+    noisy = top_logits + jnp.where(greedy[:, None], 0.0, gumbel)
+    choice = jnp.argmax(noisy, axis=-1)                      # [B]
     return jnp.take_along_axis(top_idx, choice[:, None], axis=-1)[:, 0] \
         .astype(jnp.int32)
 

@@ -84,7 +84,8 @@ def param_spec(path: str, shape: tuple, fsdp: bool) -> P:
             if any(s in path for s in col):
                 return spec_for(in_axis, out_axis, model_on_out=True)
             if any(s in path for s in row):
-                return spec_for(out_axis, in_axis, model_on_out=False)
+                # row-parallel: contracting (input) dim on 'model'
+                return spec_for(in_axis, out_axis, model_on_out=False)
             if fsdp and ndim >= 2:
                 return P(*([None] * (ndim - 2) + ["data", None]))
     return P()  # replicated (norms, biases, gates, small tensors)

@@ -94,11 +94,15 @@ class ProcessorOutput:
 
 class DetikzifyProcessor:
     def __init__(self, tokenizer, cfg: DetikzifyConfig,
-                 image_seq_len: Optional[int] = None):
+                 image_seq_len: Optional[int] = None,
+                 model_expects_text: bool = False):
         self.tokenizer = tokenizer
         self.cfg = cfg
         self.image_seq_len = image_seq_len or cfg.image_seq_len
         self.image_token_id = cfg.image_token_id
+        # True for TikZero+ checkpoints whose LLM was trained
+        # caption-conditioned (reference processing_detikzify.py:53,65)
+        self.model_expects_text = model_expects_text
 
     @property
     def model_max_length(self) -> int:
@@ -110,7 +114,7 @@ class DetikzifyProcessor:
         images: Union[Image.Image, str, Sequence, None] = None,
         text: Union[str, Sequence[str], None] = None,
         *,
-        add_bos_token: bool = True,
+        add_bos_token: bool = False,
         add_eos_token: bool = False,
         image_seq_len: Optional[int] = None,
         truncation: bool = False,
@@ -131,13 +135,17 @@ class DetikzifyProcessor:
         rows = []
         for prompt in text:
             ids = [self.image_token_id] * (seq_len if images is not None else 0)
-            if add_bos_token and self.tokenizer.bos_token_id is not None:
-                ids.append(self.tokenizer.bos_token_id)
             body = self.tokenizer.encode(prompt, add_special_tokens=False)
             if truncation:
-                budget = self.model_max_length - len(ids) - bool(add_eos_token)
+                budget = (self.model_max_length - len(ids)
+                          - bool(add_bos_token) - bool(add_eos_token))
                 body = body[:max(budget, 0)]
             ids.extend(body)
+            # reference appends BOS AFTER the prompt text (it is the
+            # caption/code separator for TikZero+, not a sequence start --
+            # processing_detikzify.py:105-106)
+            if add_bos_token and self.tokenizer.bos_token_id is not None:
+                ids.append(self.tokenizer.bos_token_id)
             if add_eos_token and self.tokenizer.eos_token_id is not None:
                 ids.append(self.tokenizer.eos_token_id)
             rows.append(ids)

@@ -62,7 +62,15 @@ class AdapterProcessor:
                 adapter_mask[i, :len(r)] = True
             if images is None:
                 images = [DUMMY_IMAGE] * len(texts)
-        base = self.processor(images=images, text=None, **kw)
+        # TikZero+ checkpoints condition the LLM prompt on the caption too:
+        # image tokens + caption + <bos> separator (reference
+        # processing_adapter.py:48-49, processing_detikzify.py:105-106)
+        if text is not None and getattr(self.processor,
+                                        "model_expects_text", False):
+            base = self.processor(images=images, text=texts,
+                                  add_bos_token=True, **kw)
+        else:
+            base = self.processor(images=images, text=None, **kw)
         return AdapterProcessorOutput(
             input_ids=base.input_ids,
             pixel_values=base.pixel_values,

@@ -45,13 +45,15 @@ def tokenize_adapter_batch(
     tok = base.tokenizer
     bos = tok.bos_token_id
     if caption_condition:
-        # prompt = caption <bos> code (bos is the separator)
+        # prompt = image tokens + caption <bos> code <eos>; bos is the
+        # caption/code separator and loss starts after it (reference
+        # train/adapter/train.py:36,51-61 -- bos_token.join + after_bos mask)
         joined = []
         for cap, code in zip(captions, codes):
             cap_ids = tok.encode(cap, add_special_tokens=False)
             code_ids = tok.encode(code, add_special_tokens=False)
             joined.append((cap_ids, code_ids))
-        width = max(len(c) + len(d) + 3 for c, d in joined)
+        width = max(len(c) + len(d) + 2 for c, d in joined)
         if max_length:
             width = min(width, max_length)
         seq = base.image_seq_len
@@ -61,18 +63,18 @@ def tokenize_adapter_batch(
         labels = np.full_like(ids, IGNORE_INDEX)
         mask = np.zeros_like(ids, bool)
         for i, (cap_ids, code_ids) in enumerate(joined):
-            row = ([base.image_token_id] * seq + [bos] + cap_ids + [bos]
+            row = ([base.image_token_id] * seq + cap_ids + [bos]
                    + code_ids + [tok.eos_token_id])[:total]
             ids[i, :len(row)] = row
             mask[i, :len(row)] = True
-            # loss starts after the SECOND bos (the caption/code separator)
-            sep = seq + 1 + len(cap_ids)   # index of separator bos
-            start = sep + 1
+            # loss starts after the separator bos
+            sep = seq + len(cap_ids)       # index of separator bos
+            start = min(sep + 1, len(row))
             end = len(row)
             labels[i, start:end] = row[start:end]
         out = {"input_ids": ids, "labels": labels, "attention_mask": mask}
     else:
-        enc = base(images=images, text=list(codes), add_bos_token=True,
+        enc = base(images=images, text=list(codes),
                    add_eos_token=True, truncation=True)
         ids = enc.input_ids
         labels = ids.copy()

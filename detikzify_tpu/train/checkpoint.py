@@ -44,21 +44,32 @@ class Checkpointer:
         os.makedirs(self.output_dir, exist_ok=True)
         self.max_to_keep = max_to_keep
         self._ckpt = ocp.StandardCheckpointer()
+        self._pending: list = []   # (path, step, meta) of unfinished saves
 
     def save(self, step: int, state, meta: Optional[Dict[str, Any]] = None,
              blocking: bool = True) -> str:
         path = _ckpt_dir(self.output_dir, step)
         self._ckpt.save(os.path.join(path, "state"), state, force=True)
+        # meta.json is the completeness marker get_last_checkpoint keys on:
+        # it must only exist once the (possibly async) Orbax save finished,
+        # or a crash mid-save would leave auto-resume pointing at a partial
+        # checkpoint. Non-blocking saves defer it to the next sync point.
+        self._pending.append((path, step, meta))
         if blocking:
-            self._ckpt.wait_until_finished()
-        with open(os.path.join(path, "meta.json"), "w") as f:
-            json.dump({"step": step, **(meta or {})}, f)
-        self._gc()
+            self.wait()
         return path
+
+    def _flush_markers(self) -> None:
+        for path, step, meta in self._pending:
+            with open(os.path.join(path, "meta.json"), "w") as f:
+                json.dump({"step": step, **(meta or {})}, f)
+        if self._pending:
+            self._pending.clear()
+            self._gc()
 
     def restore(self, path: str, template):
         """Restore into the structure/shardings of ``template``."""
-        self._ckpt.wait_until_finished()
+        self.wait()
         return self._ckpt.restore(os.path.join(path, "state"), template)
 
     def restore_latest(self, template):
@@ -71,6 +82,7 @@ class Checkpointer:
 
     def wait(self) -> None:
         self._ckpt.wait_until_finished()
+        self._flush_markers()
 
     def _gc(self) -> None:
         steps = sorted(

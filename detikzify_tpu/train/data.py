@@ -31,7 +31,8 @@ def tokenize_batch(
     mask_prompt: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Batch -> {input_ids, attention_mask, labels, pixel_values?}."""
-    out = processor(images=images, text=list(texts), add_bos_token=True,
+    # reference training adds ONLY eos, never bos (train/pretrain.py:24)
+    out = processor(images=images, text=list(texts),
                     add_eos_token=add_eos, truncation=True)
     ids = out.input_ids
     if max_length is not None and ids.shape[1] > max_length:

@@ -176,8 +176,8 @@ def refine(
         pixels = jnp.asarray(preprocess_image(image, size))[None]
         image_embeds = engine.encode_image(pixels)
         engine.params = state.params   # sample from the current policy
-        prompt = ([cfg.image_token_id] * cfg.image_seq_len
-                  + [cfg.bos_token_id])
+        # reference refine.py prompts with "" -> image tokens only, no bos
+        prompt = [cfg.image_token_id] * cfg.image_seq_len
 
         # --- rollout phase: g generations via continuous batching ---
         rollouts, pending = [], []

@@ -41,26 +41,26 @@ def remove_alpha(image: Image.Image, bg: tuple = (255, 255, 255)) -> Image.Image
 
 
 def trim(image: Image.Image, border: str = "white") -> Image.Image:
-    """Crop to the content bounding box against a solid border color."""
+    """Crop to the content bounding box against a solid border color.
+
+    Any non-background pixel counts as content (anti-aliasing halos
+    included), matching reference ``util/image.py:24-28`` exactly so
+    trimmed geometry is comparable."""
     image = remove_alpha(image)
     bg = Image.new(image.mode, image.size, border)
     diff = ImageChops.difference(image, bg)
-    # amplify to be robust against light anti-aliasing halos
-    diff = ImageChops.add(diff, diff, 2.0, -100)
     bbox = diff.getbbox()
     return image.crop(bbox) if bbox else image
 
 
 def expand(image: Image.Image, size: int, do_trim: bool = False) -> Image.Image:
-    """Trim (optional) then pad to a centered square and resize to ``size``."""
+    """Trim (optional) then scale-and-pad to a centered ``size`` square
+    (reference ``util/image.py:30-33`` -- ImageOps.pad semantics)."""
     if do_trim:
         image = trim(image)
     image = remove_alpha(image)
-    w, h = image.size
-    side = max(w, h)
-    canvas = Image.new("RGB", (side, side), (255, 255, 255))
-    canvas.paste(image, ((side - w) // 2, (side - h) // 2))
-    return canvas.resize((size, size), Image.LANCZOS)
+    return ImageOps.pad(image, (size, size), color=(255, 255, 255),
+                        method=Image.Resampling.LANCZOS)
 
 
 def load(image: ImageInput, timeout: float | None = None) -> Image.Image:

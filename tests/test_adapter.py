@@ -82,11 +82,23 @@ def test_adapter_processor(setup):
     out = ap(text="a caption")
     assert out.adapter_input_ids is not None
     assert out.pixel_values is not None          # DUMMY_IMAGE substituted
-    assert out.input_ids.shape[1] == cfg.image_seq_len + 1
+    # TikZero (not +): the caption conditions via cross-attention only,
+    # the LLM prompt is image tokens alone (reference generate.py:178-186)
+    assert out.input_ids.shape[1] == cfg.image_seq_len
     both = ap(images=_figure(), text="cap")
     assert both.pixel_values.shape[0] == 1
     with pytest.raises(ValueError):
         ap()
+    # TikZero+: model_expects_text puts the caption in the prompt followed
+    # by a BOS separator (reference processing_adapter.py:48-49)
+    plus = DetikzifyProcessor(processor.tokenizer, cfg,
+                              model_expects_text=True)
+    app = AdapterProcessor(plus, bundle.tokenizer, max_length=16)
+    out_plus = app(text="cap")
+    cap_ids = bundle.tokenizer.encode("cap")
+    row = list(out_plus.input_ids[0])
+    assert row[:cfg.image_seq_len] == [cfg.image_token_id] * cfg.image_seq_len
+    assert row[cfg.image_seq_len:] == cap_ids + [cfg.bos_token_id]
 
 
 def test_text_conditioned_pipeline(setup):
@@ -148,11 +160,14 @@ def test_tokenize_caption_condition(setup):
     ids, labels = batch["input_ids"][0], batch["labels"][0]
     seq = processor.image_seq_len
     cap_len = len(bundle.tokenizer.encode("cap"))
-    sep = seq + 1 + cap_len
+    # reference layout: image tokens + caption + <bos> + code + <eos>,
+    # no leading bos (train/adapter/train.py:36 bos_token.join)
+    sep = seq + cap_len
     assert ids[sep] == cfg.bos_token_id
     assert (labels[:sep + 1] == -100).all()        # caption + separator masked
     code_ids = bundle.tokenizer.encode("xy;")
     assert list(labels[sep + 1:sep + 1 + len(code_ids)]) == code_ids
+    assert labels[sep + 1 + len(code_ids)] == cfg.eos_token_id
 
 
 def test_adapter_llm_step_freezes_everything_but_text(setup):

@@ -147,3 +147,35 @@ def test_pipelined_mode_matches_sync(setup):
         eng.run()
         outs.append(list(ro.token_ids))
     assert outs[0] == outs[1]
+
+
+def test_per_slot_sampling_override(setup):
+    """Per-call sampling params are traced, not static: a greedy rollout
+    and a sampled rollout share one continuous batch (and one compiled
+    decode program), and the greedy slot still matches the full-forward
+    argmax (reference gen_kwargs overrides, generate.py:399-426)."""
+    cfg, params = setup
+    eng = DecodeEngine(params, cfg, num_slots=4, max_len=96,
+                       sampling=SamplingParams(temperature=0.9, top_p=0.9))
+    p_greedy = [cfg.bos_token_id, 41, 42, 43]
+    p_sampled = [cfg.bos_token_id, 51, 52]
+    r_greedy = eng.start(p_greedy, max_new_tokens=8,
+                         sampling=SamplingParams(temperature=0.0),
+                         lazy=True)
+    r_sampled = eng.start(p_sampled, max_new_tokens=8, lazy=True)
+    eng.run()
+    want = greedy_reference(params, cfg, p_greedy,
+                            len(r_greedy.token_ids) - len(p_greedy),
+                            (cfg.image_token_id,), eng.eos_token_id)
+    assert r_greedy.token_ids[len(p_greedy):] == want
+    assert len(r_sampled.token_ids) > len(p_sampled)
+
+    # changing sampling params must NOT trigger a recompile of the block
+    # decode program
+    n_compiled = eng._decode_many._cache_size()
+    r3 = eng.start([cfg.bos_token_id, 61], max_new_tokens=4,
+                   sampling=SamplingParams(temperature=0.31, top_p=0.5,
+                                           top_k=7))
+    eng.run()
+    assert eng._decode_many._cache_size() == n_compiled
+    assert len(r3.token_ids) > 2

@@ -1,5 +1,6 @@
 """Compile/render runtime tests (error parsing, fake backend, async pool)."""
 import pytest
+from PIL import Image, ImageDraw
 
 from detikzify_tpu.infer.tikz import (CompileService, FakeBackend,
                                       TikzDocument, parse_errors)
@@ -70,3 +71,50 @@ def test_save(tmp_path):
     assert (tmp_path / "out.png").stat().st_size > 0
     with pytest.raises(ValueError):
         doc.save(str(tmp_path / "out.pdf"))   # fake backend has no PDF
+
+
+def test_raster_crop_margins_geometry():
+    """Raster-space crop = tight ink bbox shaved by 1pt at render dpi
+    (pdfCropMargins -p 0 -a -1 emulation, reference tikz.py:134-137)."""
+    from detikzify_tpu.infer.tikz import PT_SHAVE, raster_crop_margins
+
+    img = Image.new("RGB", (400, 300), "white")
+    ImageDraw.Draw(img).rectangle([50, 40, 249, 199], fill="black")
+    dpi = 144.0
+    shave = int(round(PT_SHAVE * dpi / 72.0))      # 2 px at 144 dpi
+    out = raster_crop_margins(img, dpi)
+    assert out.size == (200 - 2 * shave, 160 - 2 * shave)
+    # all-white page: unchanged
+    blank = Image.new("RGB", (100, 100), "white")
+    assert raster_crop_margins(blank, dpi).size == (100, 100)
+    # degenerate content smaller than the shave: falls back to tight bbox
+    tiny = Image.new("RGB", (100, 100), "white")
+    ImageDraw.Draw(tiny).point((50, 50), fill="black")
+    assert raster_crop_margins(tiny, dpi).size == (1, 1)
+
+
+def test_expand_scale_to_pad_geometry():
+    """expand() == ImageOps.pad: longest side scaled to size, centered on
+    white (reference util/image.py:30-33 + rasterize tikz.py:149-156)."""
+    import numpy as np
+
+    from detikzify_tpu.utils.image import expand
+
+    img = Image.new("RGB", (200, 100), "black")
+    out = expand(img, 420)
+    assert out.size == (420, 420)
+    arr = np.asarray(out)
+    mask = (arr != 255).any(axis=2)
+    rows = np.flatnonzero(mask.any(axis=1))
+    cols = np.flatnonzero(mask.any(axis=0))
+    # content spans full width, half height, vertically centered
+    assert cols[0] == 0 and cols[-1] == 419
+    assert abs((rows[0] + rows[-1]) / 2 - 209.5) <= 1.0
+    assert abs((rows[-1] - rows[0] + 1) - 210) <= 2
+
+
+def test_crop_pdf_margins_passthrough_without_pymupdf():
+    from detikzify_tpu.infer.tikz import crop_pdf_margins
+
+    data = b"%PDF-1.4 not really a pdf"
+    assert crop_pdf_margins(data) == data
