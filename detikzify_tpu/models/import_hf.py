@@ -327,8 +327,15 @@ def import_text(src: _Src, cfg, dtype=jnp.bfloat16,
 def import_detikzify(state: Mapping[str, np.ndarray], cfg: DetikzifyConfig,
                      dtype=jnp.bfloat16, strict: bool = True) -> Params:
     src = _Src(state)
+    # real reference checkpoints nest the tower one level deeper: the
+    # DetikzifyModel holds a SiglipVisionModel WRAPPER whose own submodule
+    # is vision_model (modeling_detikzify.py:125), so keys read
+    # model.vision_model.vision_model.*
+    vp = ("vision_model.vision_model"
+          if src.has("vision_model.vision_model.embeddings."
+                     "patch_embedding.weight") else "vision_model")
     params = Params(
-        vision=import_vision(src, cfg.vision, dtype),
+        vision=import_vision(src, cfg.vision, dtype, prefix=vp),
         connector={"proj": _lin(
             src, "connector.modality_projection.proj", dtype)},
         text=import_text(src, cfg.text, dtype),

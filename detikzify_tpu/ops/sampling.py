@@ -122,6 +122,8 @@ def make_newline_table(tokenizer, vocab_size: int):
 
     Returns (counts [V] int32 numpy, ends_nl [V] bool numpy).
     """
+    import re
+
     import numpy as np
 
     counts = np.zeros((vocab_size,), np.int32)
@@ -135,6 +137,8 @@ def make_newline_table(tokenizer, vocab_size: int):
             text = tokenizer.decode([tok])
         except Exception:
             continue
+        # normalize \r\n and bare \r like the reference (generate.py:240)
+        text = re.sub(r"\r\n|\r", "\n", text)
         n = text.count("\n")
         if n:
             counts[tok] = n

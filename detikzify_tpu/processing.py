@@ -18,7 +18,7 @@ import numpy as np
 from PIL import Image
 
 from .config import DetikzifyConfig
-from .utils.image import expand, load, remove_alpha
+from .utils.image import load, remove_alpha, trim
 
 # SigLIP normalization (mean=std=0.5 per channel)
 IMAGE_MEAN = 0.5
@@ -74,11 +74,18 @@ class ByteTokenizer:
         return {f"<byte{i}>": i for i in range(256)}
 
 
-def preprocess_image(image, size: int, do_trim: bool = True) -> np.ndarray:
-    """PIL/path/bytes -> normalized float32 [H, W, C] array."""
+def preprocess_image(image, size: int, do_trim: bool = False) -> np.ndarray:
+    """PIL/path/bytes -> normalized float32 [H, W, C] array.
+
+    Matches the reference's SiglipImageProcessor exactly: bicubic
+    stretch-resize to (size, size) + rescale + mean/std 0.5 normalize.
+    No trimming/padding here -- aspect-preserving square expansion happens
+    once at the pipeline level (``pipeline.load``, generate.py:389-393)."""
     pil = load(image)
-    pil = expand(pil, size, do_trim=do_trim)
-    arr = np.asarray(remove_alpha(pil), np.float32) / 255.0
+    if do_trim:
+        pil = trim(pil)
+    pil = remove_alpha(pil).resize((size, size), Image.Resampling.BICUBIC)
+    arr = np.asarray(pil, np.float32) / 255.0
     return (arr - IMAGE_MEAN) / IMAGE_STD
 
 
