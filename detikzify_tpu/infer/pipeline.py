@@ -102,6 +102,7 @@ class DetikzifyPipeline:
     def _generator(self, image, text, preprocess, *, metric=None,
                    mcts_timeout=None, control=None, on_token=None,
                    temperature=None, top_p=None, top_k=None,
+                   exploration=None,
                    **kw) -> DetikzifyGenerator:
         self.check_inputs(image, text)
         return DetikzifyGenerator(
@@ -113,7 +114,8 @@ class DetikzifyPipeline:
             metric=metric,
             compile_timeout=self.compile_timeout,
             mcts_timeout=mcts_timeout,
-            exploration=self.exploration,
+            exploration=self.exploration if exploration is None
+            else exploration,
             compile_service=self.compiler,
             control=control,
             on_token=on_token,

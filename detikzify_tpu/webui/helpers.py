@@ -18,6 +18,27 @@ def to_svg(doc) -> Optional[str]:
     return pdf[-1].get_svg_image()
 
 
+def make_light(stylable):
+    """Force light-mode colors (reference helpers.py:70-85): on a theme,
+    overwrite every *_dark color with its light counterpart; on a Blocks
+    app, strip the .dark class client-side at load."""
+    import gradio as gr
+
+    if isinstance(stylable, gr.themes.Base):
+        from inspect import signature
+
+        params = signature(stylable.set).parameters
+        light = {name: getattr(stylable, name.removesuffix("_dark"))
+                 for name in dir(stylable)
+                 if name.endswith("_dark") and name in params}
+        return stylable.set(**light)
+    if isinstance(stylable, gr.Blocks):
+        stylable.load(fn=None, js="() => document.querySelectorAll('.dark')"
+                                  ".forEach(el => el.classList.remove('dark'))")
+        return stylable
+    raise ValueError(f"cannot light-patch {type(stylable)!r}")
+
+
 class MctsOutputs:
     """Deduplicated, score-sorted MCTS outputs (reference :39-68)."""
 

@@ -25,4 +25,29 @@ ALGORITHMS = {
 CSS = """
 .gallery-item { object-fit: contain !important; }
 footer { visibility: hidden }
+.input-image { flex-grow: 1; }
+.output-code { flex-grow: 1; min-height: 250px; scrollbar-width: thin !important; }
+.output-code .cm-scroller { flex-grow: 1; }
+.output-image { flex-grow: 1; min-height: 250px; overflow-y: auto !important; }
+.output-image .thumbnail-item img { object-fit: contain; }
+"""
+
+# Gallery previews have no close event in gradio; watch the DOM for the
+# preview button disappearing and forward it to a hidden button so the app
+# can restore the streaming code pane (reference strings.py:110-131 works
+# around gradio-app/gradio#6697 the same way).
+GALLERY_DESELECT_JS = """
+<script>
+  new MutationObserver((muts) => {
+    for (const m of muts) {
+      for (const n of m.removedNodes) {
+        if (n.nodeName === "BUTTON" && n.classList &&
+            n.classList.contains("preview")) {
+          const btn = document.getElementById("preview-close");
+          if (btn) btn.click();
+        }
+      }
+    }
+  }).observe(document.body, {childList: true, subtree: true});
+</script>
 """

@@ -1,20 +1,22 @@
 """Gradio web UI (reference ``detikzify/webui/webui.py:26-341``).
 
 Sketchpad/figure input -> streaming TikZ code pane -> score-sorted MCTS
-gallery. Requires the optional ``gradio`` dependency; everything else in
-the framework works without it.
+gallery, with the caption textbox wired through to TikZero text
+conditioning and the reference's advanced sampling controls (temperature /
+top-p / top-k / exploration / strict) passed per call -- the engine traces
+them, so changing a slider never recompiles. Requires the optional
+``gradio`` dependency; everything else in the framework works without it.
 """
 from __future__ import annotations
 
 import functools
 import threading
-import time
 from typing import Optional
 
 from ..infer import DetikzifyPipeline
 from ..utils.generation import ExplicitAbort, TextIteratorStreamer
-from .helpers import GeneratorLock, MctsOutputs, to_svg
-from .strings import ALGORITHMS, BANNER, CSS, MODELS
+from .helpers import GeneratorLock, MctsOutputs, make_light, to_svg
+from .strings import ALGORITHMS, BANNER, CSS, GALLERY_DESELECT_JS, MODELS
 
 
 def _require_gradio():
@@ -31,24 +33,39 @@ def _require_gradio():
 
 @functools.lru_cache(maxsize=1)
 def cached_load(model_name: str):
-    """LRU(1) model load (reference webui.py:63-125)."""
+    """LRU(1) model load (reference webui.py:63-125). TikZero checkpoints
+    (with an adapter/ subdir) come back text-conditionable."""
     from ..models.load import load
 
-    params, cfg, processor = load(model_name)
+    loaded = load(model_name)
+    if len(loaded) == 4:                     # (params, cfg, aproc, bundle)
+        params, cfg, aproc, bundle = loaded
+        return DetikzifyPipeline(params, cfg, aproc.processor,
+                                 adapter=bundle)
+    params, cfg, processor = loaded
     return DetikzifyPipeline(params, cfg, processor)
 
 
-def inference(pipeline: DetikzifyPipeline, image, *, algorithm: str = "mcts",
-              timeout: Optional[float] = None, expansions=None,
-              control: Optional[ExplicitAbort] = None):
-    """Generator yielding (partial_code, outputs) for UI streaming."""
+def inference(pipeline: DetikzifyPipeline, image, *, text: Optional[str] = None,
+              algorithm: str = "mcts", timeout: Optional[float] = None,
+              expansions=None, control: Optional[ExplicitAbort] = None,
+              temperature: Optional[float] = None,
+              top_p: Optional[float] = None, top_k: Optional[int] = None,
+              exploration: Optional[float] = None, strict: bool = False,
+              preprocess: bool = True):
+    """Generator yielding (partial_code, outputs) for UI streaming.
+
+    ``text`` conditions generation through the TikZero adapter (and the
+    TikZero+ prompt when the checkpoint expects it)."""
     outputs = MctsOutputs()
     streamer = TextIteratorStreamer(pipeline.processor)
     text_parts = []
+    gen_kwargs = dict(temperature=temperature, top_p=top_p, top_k=top_k)
 
     if algorithm == "sampling":
-        doc = pipeline.sample(image=image, on_token=streamer.put,
-                              control=control)
+        doc = pipeline.sample(image=image, text=text, preprocess=preprocess,
+                              on_token=streamer.put, control=control,
+                              **gen_kwargs)
         outputs.add(0.0, doc)
         yield doc.code, outputs
         return
@@ -59,8 +76,10 @@ def inference(pipeline: DetikzifyPipeline, image, *, algorithm: str = "mcts",
     def work():
         try:
             for score, doc in pipeline.simulate(
-                    image=image, timeout=timeout, expansions=expansions,
-                    control=control, on_token=streamer.put):
+                    image=image, text=text, preprocess=preprocess,
+                    timeout=timeout, expansions=expansions, control=control,
+                    on_token=streamer.put, exploration=exploration,
+                    strict=strict, **gen_kwargs):
                 results.append((score, doc))
         finally:
             streamer.end()
@@ -89,36 +108,73 @@ def build_ui(model: str = "detikzify-v2.5-8b", *, lock: bool = False,
     control = ExplicitAbort()
     run_lock = GeneratorLock(control) if lock else None
 
-    with gr.Blocks(css=CSS, theme="default" if light else None,
-                   title="DeTikZify-TPU") as demo:
+    theme = gr.themes.Soft()
+    if light:
+        theme = make_light(theme)
+    with gr.Blocks(css=CSS, theme=theme, title="DeTikZify-TPU",
+                   head=GALLERY_DESELECT_JS) as demo:
+        if light:
+            make_light(demo)
         gr.Markdown(BANNER)
         with gr.Row():
             with gr.Column():
-                sketchpad = gr.ImageEditor(label="Sketchpad", type="pil")
+                sketchpad = gr.ImageEditor(
+                    label="Sketchpad", type="pil",
+                    elem_classes="input-image",
+                    brush=gr.Brush(colors=["black", "red", "green", "blue"],
+                                   default_size=1))
                 caption = gr.Textbox(
-                    label="Caption (TikZero adapters only)", value="")
-                model_dd = gr.Dropdown(
-                    choices=list(MODELS), value=model, label="Model")
-                algorithm = gr.Radio(
-                    choices=list(ALGORITHMS), value="mcts",
-                    label="Algorithm", info="; ".join(
-                        f"{k}: {v}" for k, v in ALGORITHMS.items()))
+                    label="Caption",
+                    info="Text condition for TikZero adapters; leave empty "
+                         "for image-only generation.", value="")
                 with gr.Row():
                     run_btn = gr.Button("Generate", variant="primary")
-                    stop_btn = gr.Button("Stop")
+                    stop_btn = gr.Button("Stop", variant="stop")
+                    clear_btn = gr.ClearButton(sketchpad, variant="stop")
             with gr.Column():
-                code_pane = gr.Code(label="TikZ program", language=None)
+                code_pane = gr.Code(label="TikZ program", language=None,
+                                    elem_classes="output-code")
                 gallery = gr.Gallery(label="MCTS outputs (best first)",
-                                     columns=3)
+                                     columns=3, elem_classes="output-image")
+                preview_close = gr.Button(visible=False,
+                                          elem_id="preview-close")
+                svg_btn = gr.DownloadButton("Download SVG", visible=False)
+
+        with gr.Accordion(label="Settings", open=False):
+            model_dd = gr.Dropdown(
+                choices=list(MODELS), value=model, label="Model",
+                interactive=not lock)
+            algorithm = gr.Radio(
+                choices=list(ALGORITHMS), value="mcts",
+                label="Algorithm", info="; ".join(
+                    f"{k}: {v}" for k, v in ALGORITHMS.items()))
+            with gr.Accordion(label="Advanced"):
+                temperature = gr.Slider(0.0, 2.0, value=0.8, step=0.1,
+                                        label="Temperature")
+                top_p = gr.Slider(0.0, 1.0, value=0.95, step=0.05,
+                                  label="Top-p")
+                top_k = gr.Slider(0, 100, value=0, step=5, label="Top-k")
+                exploration = gr.Slider(0.0, 2.0, value=0.6, step=0.1,
+                                        label="Exploration coefficient")
+                strict = gr.Checkbox(value=False, label="Strict mode",
+                                     info="Treat recoverable compile errors "
+                                          "as fatal when scoring rollouts.")
+                preprocess = gr.Checkbox(value=True, label="Preprocess",
+                                         info="Trim to content and expand "
+                                              "to a square before encoding.")
 
         state_outputs = gr.State(None)
 
-        def run(image_editor, model_name, algo):
+        def run(image_editor, text, model_name, algo, temp, tp, tk, expl,
+                strict_mode, prep):
             image = (image_editor or {}).get("composite") \
                 if isinstance(image_editor, dict) else image_editor
             pipe = cached_load(MODELS.get(model_name, model_name))
-            gen = inference(pipe, image, algorithm=algo, timeout=timeout,
-                            control=control.reset())
+            gen = inference(pipe, image, text=text or None, algorithm=algo,
+                            timeout=timeout, control=control.reset(),
+                            temperature=temp, top_p=tp, top_k=int(tk),
+                            exploration=expl, strict=strict_mode,
+                            preprocess=prep)
             if run_lock is not None:
                 gen = run_lock.wrap(lambda: gen)()
             for code, outputs in gen:
@@ -128,17 +184,35 @@ def build_ui(model: str = "detikzify-v2.5-8b", *, lock: bool = False,
             control.abort()
 
         run_event = run_btn.click(
-            run, inputs=[sketchpad, model_dd, algorithm],
+            run, inputs=[sketchpad, caption, model_dd, algorithm,
+                         temperature, top_p, top_k, exploration, strict,
+                         preprocess],
             outputs=[code_pane, gallery, state_outputs])
         stop_btn.click(stop, cancels=[run_event])
+        clear_btn.add([code_pane, gallery])
 
         def select_program(outputs, evt: "gr.SelectData"):
             if outputs is None:
-                return gr.update()
-            return outputs.programs[evt.index]
+                return gr.update(), gr.update()
+            _, doc = outputs.scored[evt.index]
+            svg = to_svg(doc)
+            if svg is None:
+                return outputs.programs[evt.index], gr.update(visible=False)
+            import tempfile
+
+            with tempfile.NamedTemporaryFile("w", suffix=".svg",
+                                             delete=False) as f:
+                f.write(svg)
+            return outputs.programs[evt.index], gr.update(visible=True,
+                                                          value=f.name)
+
+        def deselect_program():
+            # preview closed: hide the download button, keep the code pane
+            return gr.update(visible=False)
 
         gallery.select(select_program, inputs=[state_outputs],
-                       outputs=[code_pane])
+                       outputs=[code_pane, svg_btn])
+        preview_close.click(deselect_program, outputs=[svg_btn])
 
     return demo
 

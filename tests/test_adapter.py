@@ -228,3 +228,19 @@ def test_adapter_save_import_roundtrip(setup, tmp_path):
     np.testing.assert_allclose(np.asarray(out1["pooler_output"]),
                                np.asarray(out2["pooler_output"]),
                                atol=1e-5, rtol=1e-4)
+
+
+def test_webui_inference_text_conditioned_stream(setup):
+    """webui.inference with a caption: streams a TikZero text-conditioned
+    run (with and without an image) through plain Python generators."""
+    from detikzify_tpu.webui.webui import inference
+
+    cfg, params, bundle, processor = setup
+    pipe = DetikzifyPipeline(params, cfg, processor, num_slots=2,
+                             max_len=96, metric="fast", adapter=bundle)
+    outs = list(inference(pipe, None, text="a red square",
+                          algorithm="mcts", expansions=2))
+    assert outs and isinstance(outs[-1][0], str)
+    outs = list(inference(pipe, _figure(), text="a blue ellipse",
+                          algorithm="sampling", temperature=0.0))
+    assert len(outs) == 1
