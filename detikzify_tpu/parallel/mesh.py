@@ -76,7 +76,11 @@ def param_spec(path: str, shape: tuple, fsdp: bool) -> P:
 
     if path.endswith("kernel") or "embed_tokens" in path or "position" in path:
         if "embed_tokens" in path and ndim == 2:
-            return spec_for(1, 0, model_on_out=True)    # [V, D]: V on model
+            # [V, D]: shard HIDDEN on 'model' (vocab on 'data' under fsdp).
+            # A vocab-sharded table forces SPMD to fully replicate at the
+            # token-id gather ("involuntary full rematerialization"); a
+            # hidden-sharded table partitions the gather cleanly.
+            return spec_for(0, 1, model_on_out=True)
         if "lm_head" in path and ndim == 2:
             return spec_for(0, 1, model_on_out=True)    # [D, V]: V on model
         if ndim >= 2:
