@@ -23,6 +23,11 @@ def __getattr__(name):
         from .dreamsim import DreamSim
 
         return DreamSim
+    if name in ("DreamSimJAX", "dreamsim_from_checkpoints"):
+        from .dreamsim_jax import DreamSimJAX, from_checkpoints
+
+        return {"DreamSimJAX": DreamSimJAX,
+                "dreamsim_from_checkpoints": from_checkpoints}[name]
     if name == "SigLIPDreamSim":
         from .dreamsim import SigLIPDreamSim
 
@@ -35,4 +40,5 @@ def __getattr__(name):
 
 
 __all__ = ["ImageSim", "CrystalBLEU", "KernelInceptionDistance",
-           "TexEditDistance", "DreamSim", "SigLIPDreamSim", "ClipScore"]
+           "TexEditDistance", "DreamSim", "DreamSimJAX",
+           "dreamsim_from_checkpoints", "SigLIPDreamSim", "ClipScore"]

@@ -1,11 +1,16 @@
-"""DreamSim perceptual similarity (optional dependency).
+"""DreamSim perceptual similarity (torch-package wrapper).
 
 Reference ``detikzify/evaluate/dreamsim.py:13-89`` wraps the ``dreamsim``
-package's ViT ensemble and reports 1 - distance. That package (and its
-pretrained ensemble weights) is an optional extra here exactly as in the
-reference; when unavailable, ``SigLIPDreamSim`` offers a same-API stand-in
-scoring 1 - cosine distance on SigLIP patch embeddings so eval pipelines
-still run end-to-end (clearly labeled as a substitute, not DreamSim).
+package's ViT ensemble and reports 1 - distance. Three paths here:
+
+  * ``detikzify_tpu.evaluate.dreamsim_jax.DreamSimJAX`` -- the TPU-native
+    port of the ensemble (DINO/CLIP ViT-B/16 towers in JAX + weight
+    importers); use this with converted backbone checkpoints.
+  * ``DreamSim`` below -- thin wrapper over the optional torch package,
+    gated exactly like the reference's ``[evaluate]`` extra.
+  * ``SigLIPDreamSim`` -- dependency-free same-API stand-in scoring
+    1 - cosine distance on SigLIP patch embeddings (clearly labeled a
+    substitute, not DreamSim).
 """
 from __future__ import annotations
 
