@@ -53,20 +53,19 @@ def _bucket(n: int, max_len: int) -> int:
 
 @dataclasses.dataclass
 class StoredPrefix:
-    """Device-resident KV prefix (k/v: [layers, bucket, nkv, hd])."""
+    """Page-table prefix: KV lives in the engine's shared page pool.
 
-    k: jnp.ndarray
-    v: jnp.ndarray
-    length: int          # valid tokens
-    token_ids: tuple     # full token prefix (host copy, for exact matching)
+    ``pages[i]`` holds cache rows [i*page, (i+1)*page); pages are immutable
+    once written (copy-on-write), so a child prefix REUSES its ancestor's
+    full pages and only the tail beyond the shared page boundary is copied.
+    Deep MCTS trees therefore store each token's KV once, not once per
+    node (round-1 TODO #1 / VERDICT next-step #10)."""
+
+    pages: Tuple[int, ...]     # page-pool ids, in order
+    length: int                # valid tokens
+    token_ids: tuple           # full token prefix (host copy, exact match)
     namespace: object = None   # scope (e.g. per-image); prevents cross-matches
-
-    @property
-    def bucket(self) -> int:
-        return self.k.shape[1]
-
-    def nbytes(self) -> int:
-        return self.k.nbytes + self.v.nbytes
+    dropped: bool = False      # set on eviction: pages may be recycled
 
 
 @dataclasses.dataclass
@@ -102,14 +101,19 @@ class DecodeEngine:
         prefix_budget_bytes: int = 2 << 30,
         decode_block: int = 16,
         pipelined: bool = False,
+        page_size: int = 128,
     ):
         self.params = params
         self.cfg = cfg
         self.num_slots = num_slots
         self.decode_block = decode_block
         self.pipelined = pipelined
-        # last cache row is a trash row for frozen/inactive slots' writes
-        self.max_len = (max_len or cfg.model_max_length) + 1
+        self.page = page_size
+        # last cache row is a trash row for frozen/inactive slots' writes;
+        # rows are padded to a whole number of prefix pages so page
+        # save/restore slices never clamp
+        want = (max_len or cfg.model_max_length) + 1
+        self.max_len = -(-want // page_size) * page_size
         self.sampling = sampling
         self.eos_token_id = (cfg.eos_token_id if eos_token_id is None
                              else eos_token_id)
@@ -131,9 +135,22 @@ class DecodeEngine:
             (num_slots, 1))
         self._first_pending: Dict[int, jnp.ndarray] = {}  # slot -> dev scalar
 
+        # page pool: [L, n_pages, page, nkv, hd] shared, copy-on-write
+        tcfg = cfg.text
+        page_bytes = (2 * tcfg.num_hidden_layers * page_size
+                      * tcfg.num_key_value_heads * tcfg.head_dim
+                      * jnp.dtype(cache_dtype).itemsize)
+        n_pages = int(min(max(prefix_budget_bytes // page_bytes, 2), 4096))
+        self._pool = KVCache(
+            jnp.zeros((tcfg.num_hidden_layers, n_pages, page_size,
+                       tcfg.num_key_value_heads, tcfg.head_dim),
+                      cache_dtype),
+            jnp.zeros((tcfg.num_hidden_layers, n_pages, page_size,
+                       tcfg.num_key_value_heads, tcfg.head_dim),
+                      cache_dtype))
+        self._page_refs = np.zeros((n_pages,), np.int32)
+        self._free_pages: List[int] = list(range(n_pages))
         self._prefix_store: Dict[object, StoredPrefix] = {}
-        self._prefix_bytes = 0
-        self._prefix_budget = prefix_budget_bytes
         self._prefix_lru: List[object] = []
         # pipelined stepping: the in-flight scan dispatched last step
         # (device tokens, k, {slot: rollout} snapshot)
@@ -149,16 +166,7 @@ class DecodeEngine:
         cfg = self.cfg
         max_len = self.max_len
         eos = self.eos_token_id
-
-        def restore(cache, slot, pk, pv):
-            def upd(big, small):
-                cur = jax.lax.dynamic_slice_in_dim(big, slot, 1, axis=1)
-                cur = jax.lax.dynamic_update_slice(
-                    cur, small[:, None].astype(cur.dtype), (0, 0, 0, 0, 0))
-                return jax.lax.dynamic_update_slice_in_dim(
-                    big, cur, slot, axis=1)
-
-            return KVCache(upd(cache.k, pk), upd(cache.v, pv))
+        page = self.page
 
         def prefill_and_sample(params, cache, tok_dev, pos_dev, slot, ids,
                                image_embeds, start, seq_len, rng, samp_row,
@@ -197,11 +205,23 @@ class DecodeEngine:
 
         @functools.partial(
             jax.jit, donate_argnums=(1, 2, 3),
-            static_argnames=("banned", "suppress"))
-        def start_slot_prefix(params, cache, tok_dev, pos_dev, slot, ids,
-                              image_embeds, start, seq_len, rng, pk, pv,
-                              samp_row, banned, suppress):
-            cache = restore(cache, slot, pk, pv)
+            static_argnames=("m", "banned", "suppress"))
+        def start_slot_paged(params, cache, tok_dev, pos_dev, slot, ids,
+                             image_embeds, start, seq_len, rng, pool_k,
+                             pool_v, page_ids, samp_row, m, banned,
+                             suppress):
+            """Fused prefix-restore (page-table gather) + prefill + first
+            sample: still ONE device program per start."""
+            L, _, _, NKV, HD = cache.k.shape
+            rows_k = pool_k[:, page_ids].reshape(L, 1, m * page, NKV, HD)
+            rows_v = pool_v[:, page_ids].reshape(L, 1, m * page, NKV, HD)
+            cache = KVCache(
+                jax.lax.dynamic_update_slice(
+                    cache.k, rows_k.astype(cache.k.dtype),
+                    (0, slot, 0, 0, 0)),
+                jax.lax.dynamic_update_slice(
+                    cache.v, rows_v.astype(cache.v.dtype),
+                    (0, slot, 0, 0, 0)))
             return prefill_and_sample(params, cache, tok_dev, pos_dev, slot,
                                       ids, image_embeds, start, seq_len, rng,
                                       samp_row, banned, suppress)
@@ -240,11 +260,22 @@ class DecodeEngine:
                 body, (tok_dev, pos_dev, done0, cache, rng), None, length=k)
             return toks, cache, tok_dev, pos_dev, rng
 
-        @functools.partial(jax.jit, static_argnames=("bucket",))
-        def save_prefix(cache, slot, bucket: int):
-            k = jax.lax.dynamic_slice_in_dim(cache.k, slot, 1, axis=1)[:, 0]
-            v = jax.lax.dynamic_slice_in_dim(cache.v, slot, 1, axis=1)[:, 0]
-            return k[:, :bucket], v[:, :bucket]
+        @functools.partial(jax.jit, donate_argnums=(0, 1),
+                           static_argnames=("m",))
+        def save_pages(pool_k, pool_v, cache_k, cache_v, slot, page_ids,
+                       start, m):
+            """Copy m pages of one slot's cache rows (starting at the
+            page-aligned token ``start``) into the pool at ``page_ids``."""
+            L, _, _, NKV, HD = cache_k.shape
+            rows_k = jax.lax.dynamic_slice(
+                cache_k, (0, slot, start, 0, 0), (L, 1, m * page, NKV, HD))
+            rows_v = jax.lax.dynamic_slice(
+                cache_v, (0, slot, start, 0, 0), (L, 1, m * page, NKV, HD))
+            pool_k = pool_k.at[:, page_ids].set(
+                rows_k.reshape(L, m, page, NKV, HD).astype(pool_k.dtype))
+            pool_v = pool_v.at[:, page_ids].set(
+                rows_v.reshape(L, m, page, NKV, HD).astype(pool_v.dtype))
+            return pool_k, pool_v
 
         @jax.jit
         def encode_image(params, pixel_values):
@@ -264,36 +295,88 @@ class DecodeEngine:
             self._encode_image_adapter = encode_image_adapter
 
         self._start_slot = start_slot
-        self._start_slot_prefix = start_slot_prefix
+        self._start_slot_paged = start_slot_paged
         self._decode_many = decode_many
-        self._save_prefix = save_prefix
+        self._save_pages = save_pages
         self._encode_image = encode_image
 
     # ------------------------------------------------------------------
     # prefix store
     # ------------------------------------------------------------------
 
+    def _alloc_pages(self, n: int) -> Optional[List[int]]:
+        """Pop n free pages, LRU-evicting stored prefixes as needed."""
+        while len(self._free_pages) < n and len(self._prefix_lru) > 0:
+            self._drop_key(self._prefix_lru[0])
+        if len(self._free_pages) < n:
+            return None
+        return [self._free_pages.pop() for _ in range(n)]
+
+    def _drop_key(self, key) -> None:
+        sp = self._prefix_store.pop(key, None)
+        if key in self._prefix_lru:
+            self._prefix_lru.remove(key)
+        if sp is None:
+            return
+        sp.dropped = True   # external handles must not restore from it
+        for pid in sp.pages:
+            self._page_refs[pid] -= 1
+            if self._page_refs[pid] == 0:
+                self._free_pages.append(pid)
+
+    @property
+    def prefix_pages_used(self) -> int:
+        """Distinct pages held by the store (memory diagnostic: shared
+        pages count once)."""
+        return int((self._page_refs > 0).sum())
+
     def store_prefix(self, key, rollout: Rollout,
                      length: Optional[int] = None,
                      namespace: object = None) -> Optional[StoredPrefix]:
-        """Save rollout's first ``length`` tokens of KV under ``key``."""
+        """Save rollout's first ``length`` tokens of KV under ``key``.
+
+        Copy-on-write: full pages covered by an already-stored ancestor
+        prefix (longest token match in the namespace) are SHARED -- only
+        the tail beyond the last shared page boundary is copied off the
+        slot. Returns None when the pool cannot hold the new tail."""
         length = rollout.length if length is None else length
-        bucket = _bucket(length, self.max_len)
         if key in self._prefix_store:
             return self._prefix_store[key]
-        k, v = self._save_prefix(self.cache, jnp.int32(rollout.slot), bucket)
-        sp = StoredPrefix(k=k, v=v, length=length,
-                          token_ids=tuple(rollout.token_ids[:length]),
-                          namespace=namespace)
-        self._prefix_bytes += sp.nbytes()
+        ids = tuple(rollout.token_ids[:length])
+
+        shared: Tuple[int, ...] = ()
+        found = self.best_prefix(ids, namespace=namespace)
+        if found is not None:
+            anc = found[1]
+            n_shared = min(anc.length, length) // self.page
+            shared = anc.pages[:n_shared]
+
+        # pin shared pages BEFORE allocating: allocation may LRU-evict the
+        # ancestor, and unpinned pages would go straight back to the free
+        # list we are about to draw from
+        for pid in shared:
+            self._page_refs[pid] += 1
+        n_total = -(-length // self.page)
+        new_ids = self._alloc_pages(n_total - len(shared))
+        if new_ids is None:
+            for pid in shared:
+                self._page_refs[pid] -= 1
+                if self._page_refs[pid] == 0:
+                    self._free_pages.append(pid)
+            return None
+        if new_ids:
+            pk, pv = self._save_pages(
+                self._pool.k, self._pool.v, self.cache.k, self.cache.v,
+                jnp.int32(rollout.slot),
+                jnp.asarray(new_ids, jnp.int32),
+                jnp.int32(len(shared) * self.page), m=len(new_ids))
+            self._pool = KVCache(pk, pv)
+        sp = StoredPrefix(pages=shared + tuple(new_ids), length=length,
+                          token_ids=ids, namespace=namespace)
+        for pid in new_ids:            # shared pages were pinned above
+            self._page_refs[pid] += 1
         self._prefix_store[key] = sp
         self._prefix_lru.append(key)
-        while (self._prefix_bytes > self._prefix_budget
-               and len(self._prefix_lru) > 1):
-            old = self._prefix_lru.pop(0)
-            dropped = self._prefix_store.pop(old, None)
-            if dropped is not None:
-                self._prefix_bytes -= dropped.nbytes()
         return sp
 
     def get_prefix(self, key) -> Optional[StoredPrefix]:
@@ -320,10 +403,7 @@ class DecodeEngine:
         """Evict all prefixes belonging to one generator/image."""
         for key in [k for k, sp in self._prefix_store.items()
                     if sp.namespace == namespace]:
-            sp = self._prefix_store.pop(key)
-            self._prefix_bytes -= sp.nbytes()
-            if key in self._prefix_lru:
-                self._prefix_lru.remove(key)
+            self._drop_key(key)
 
     # ------------------------------------------------------------------
     # rollout lifecycle
@@ -360,6 +440,8 @@ class DecodeEngine:
                              self.max_len - 1 - len(token_ids)), 1),
                      on_token=on_token)
 
+        if prefix is not None and prefix.dropped:
+            prefix = None   # evicted: its pages may have been recycled
         start_pos = 0
         if prefix is not None:
             assert tuple(token_ids[:prefix.length]) == prefix.token_ids, \
@@ -381,9 +463,11 @@ class DecodeEngine:
                 jnp.int32(start_pos), jnp.int32(len(tail)), self.rng)
         if prefix is not None:
             (self.cache, self._tok_dev, self._pos_dev, self.rng,
-             first) = self._start_slot_prefix(
-                *args, prefix.k, prefix.v, samp_row=samp_row,
-                banned=self._banned(), suppress=self._suppress())
+             first) = self._start_slot_paged(
+                *args, self._pool.k, self._pool.v,
+                jnp.asarray(prefix.pages, jnp.int32), samp_row=samp_row,
+                m=len(prefix.pages), banned=self._banned(),
+                suppress=self._suppress())
         else:
             (self.cache, self._tok_dev, self._pos_dev, self.rng,
              first) = self._start_slot(
