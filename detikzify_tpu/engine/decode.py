@@ -156,6 +156,13 @@ class DecodeEngine:
         # (device tokens, k, {slot: rollout} snapshot)
         self._inflight = None
 
+        # observability + perf-regression pinning (SURVEY §5): device
+        # program dispatches and token accounting
+        self.counters = {"starts": 0, "prefix_starts": 0,
+                         "decode_dispatches": 0, "decode_steps": 0,
+                         "prefix_saves": 0, "prefill_tokens": 0,
+                         "prefill_tokens_saved": 0}
+
         self._build_jit()
 
     # ------------------------------------------------------------------
@@ -371,6 +378,7 @@ class DecodeEngine:
                 jnp.asarray(new_ids, jnp.int32),
                 jnp.int32(len(shared) * self.page), m=len(new_ids))
             self._pool = KVCache(pk, pv)
+            self.counters["prefix_saves"] += 1
         sp = StoredPrefix(pages=shared + tuple(new_ids), length=length,
                           token_ids=ids, namespace=namespace)
         for pid in new_ids:            # shared pages were pinned above
@@ -461,7 +469,11 @@ class DecodeEngine:
         args = (self.params, self.cache, self._tok_dev, self._pos_dev,
                 jnp.int32(slot), jnp.asarray(ids), image_embeds,
                 jnp.int32(start_pos), jnp.int32(len(tail)), self.rng)
+        self.counters["starts"] += 1
+        self.counters["prefill_tokens"] += len(tail)
+        self.counters["prefill_tokens_saved"] += start_pos
         if prefix is not None:
+            self.counters["prefix_starts"] += 1
             (self.cache, self._tok_dev, self._pos_dev, self.rng,
              first) = self._start_slot_paged(
                 *args, self._pool.k, self._pool.v,
@@ -540,6 +552,8 @@ class DecodeEngine:
     def _dispatch(self, k: int) -> None:
         """Launch one decode scan asynchronously and record the snapshot of
         which rollout owned each slot at dispatch time."""
+        self.counters["decode_dispatches"] += 1
+        self.counters["decode_steps"] += k
         toks_dev, self.cache, self._tok_dev, self._pos_dev, self.rng = \
             self._decode_many(
                 self.params, self.cache, self._tok_dev, self._pos_dev,

@@ -1,0 +1,123 @@
+"""Performance CONTRACTS: dispatch counts, prefix-reuse rates, and
+recompile-freedom pinned as invariants (round-1 VERDICT weak #8: a perf
+regression must fail a test, not land silently).
+
+These do not measure wall-clock (hermetic CI boxes vary); they pin the
+QUANTITIES that determine TPU wall-clock under dispatch-latency-bound
+serving: device-program dispatch counts, tokens prefilled vs skipped via
+prefix reuse, and jit cache sizes.
+"""
+import jax
+import numpy as np
+import pytest
+from PIL import Image, ImageDraw
+
+from detikzify_tpu.config import tiny_test_config
+from detikzify_tpu.engine import DecodeEngine
+from detikzify_tpu.infer import FakeBackend, set_backend
+from detikzify_tpu.infer.generator import DetikzifyGenerator
+from detikzify_tpu.infer.tikz import CompileService
+from detikzify_tpu.models import detikzify
+from detikzify_tpu.ops.sampling import SamplingParams
+from detikzify_tpu.processing import ByteTokenizer, DetikzifyProcessor
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_test_config(vocab_size=512)
+    params = detikzify.init(jax.random.PRNGKey(0), cfg)
+    tok = ByteTokenizer(vocab_size=512, image_token_id=cfg.image_token_id,
+                        bos_token_id=cfg.bos_token_id,
+                        eos_token_id=cfg.eos_token_id, model_max_length=96)
+    return cfg, params, tok
+
+
+def test_block_decode_dispatch_budget(setup):
+    """N concurrent rollouts decoding T tokens must cost at most
+    ceil(T / block) + 1 decode dispatches TOTAL (continuous batching), not
+    per rollout -- the single biggest lever under dispatch latency."""
+    cfg, params, _ = setup
+    eng = DecodeEngine(params, cfg, num_slots=4, max_len=96,
+                       decode_block=16,
+                       sampling=SamplingParams(temperature=1.0))
+    for i in range(4):
+        eng.start([cfg.bos_token_id, 10 + i], max_new_tokens=32, lazy=True)
+    eng.run()
+    # 32 tokens at block 16: first token comes from the start program, so
+    # 2 blocks + possibly one finishing dispatch
+    assert eng.counters["starts"] == 4
+    assert eng.counters["decode_dispatches"] <= 3
+    # and one fused start program per rollout, never more
+    assert eng.counters["prefill_tokens"] == 4 * 2
+
+
+def test_prefix_reuse_skips_prompt_prefill(setup):
+    """Starting from a stored prefix must prefill ONLY the tail."""
+    cfg, params, _ = setup
+    eng = DecodeEngine(params, cfg, num_slots=2, max_len=96, page_size=16,
+                       sampling=SamplingParams(temperature=0.0))
+    prompt = [cfg.bos_token_id] + list(range(1, 33))       # 33 tokens
+    ro = eng.start(prompt, max_new_tokens=4)
+    eng.run()
+    sp = eng.store_prefix("root", ro, length=32)           # 2 pages
+    eng.release(ro)
+    before = eng.counters["prefill_tokens"]
+    r2 = eng.start(prompt + [40, 41], max_new_tokens=4, prefix=sp)
+    eng.run()
+    tail = eng.counters["prefill_tokens"] - before
+    # 35-token prompt, 32 restored -> only 3 prefilled (bucketed program
+    # reads a padded block but embeds/attends only the tail)
+    assert tail == 3
+    assert eng.counters["prefill_tokens_saved"] >= 32
+    eng.release(r2)
+
+
+def test_mcts_rollout_prefix_hit_rate(setup):
+    """Every MCTS child rollout after the first must hit a stored prefix
+    (the root image prompt is prefilled exactly once per figure)."""
+    cfg, params, tok = setup
+    set_backend(FakeBackend())
+    try:
+        eng = DecodeEngine(params, cfg, num_slots=2, max_len=96,
+                           page_size=16)
+        gen = DetikzifyGenerator(
+            engine=eng, processor=DetikzifyProcessor(tok, cfg),
+            image=_figure(), metric=None,
+            compile_service=CompileService(workers=1,
+                                           backend=FakeBackend()))
+        for _ in gen.simulate(expansions=6):
+            pass
+        stats = gen.stats
+        assert stats["rollouts"] >= 1
+        # all rollouts after the first reuse device KV
+        assert stats["prefix_hits"] >= stats["rollouts"] - 1
+        gen.close()
+    finally:
+        set_backend(None)
+
+
+def test_sampling_overrides_do_not_recompile(setup):
+    """One compiled start + decode program must serve every sampling
+    configuration (temperature/top-p/top-k are traced)."""
+    cfg, params, _ = setup
+    eng = DecodeEngine(params, cfg, num_slots=2, max_len=96)
+    ro = eng.start([cfg.bos_token_id, 1], max_new_tokens=4,
+                   sampling=SamplingParams(temperature=0.7, top_p=0.9))
+    eng.run()
+    eng.release(ro)
+    n_start = eng._start_slot._cache_size()
+    n_decode = eng._decode_many._cache_size()
+    for t, p, k in [(0.0, 1.0, 0), (1.3, 0.5, 5), (0.2, 0.99, 50)]:
+        ro = eng.start([cfg.bos_token_id, 2], max_new_tokens=4,
+                       sampling=SamplingParams(temperature=t, top_p=p,
+                                               top_k=k))
+        eng.run()
+        eng.release(ro)
+    assert eng._start_slot._cache_size() == n_start
+    assert eng._decode_many._cache_size() == n_decode
+
+
+def _figure():
+    img = Image.new("RGB", (64, 64), "white")
+    ImageDraw.Draw(img).rectangle([8, 8, 56, 56], outline="black", width=2)
+    return img
