@@ -132,6 +132,19 @@ def main():
     log(f"batched x{SLOTS}: {tokens} tok in {secs:.2f}s = {tps:.1f} tok/s "
         f"({steps} steps)")
 
+    # prefix-hit start latency (paged restore fused into the start program)
+    t0 = time.time()
+    ros = [engine.start(list(prompt) + [5], image_embeds=image_embeds,
+                        max_new_tokens=1, prefix=root_prefix, lazy=True)
+           for _ in range(SLOTS)]
+    engine.flush()
+    prefix_start_ms = (time.time() - t0) / SLOTS * 1e3
+    for r in ros:
+        engine.release(r)
+    engine.run()
+    log(f"prefix-hit start latency: {prefix_start_ms:.1f} ms "
+        f"(300-token prompt restored from pages, 1-token tail prefill)")
+
     # MCTS rollouts/min (secondary north-star metric, BASELINE.md): full
     # rollouts from the root with compile feedback, sequential (reference
     # execution order) vs parallel expansions. Hermetic compile backend
@@ -225,6 +238,7 @@ def main():
             x.nbytes for x in jax.tree.leaves(params8))
         eng8 = DecodeEngine(
             params8, cfg8, num_slots=SLOTS, max_len=640, decode_block=32,
+            prefix_budget_bytes=64 << 20,   # small page pool: HBM is tight
             sampling=SamplingParams(temperature=0.8, top_p=0.95, top_k=0))
         p8 = [cfg8.image_token_id] * cfg8.image_seq_len
         emb8 = jnp.zeros((1, cfg8.image_seq_len, cfg8.text.hidden_size),
@@ -261,6 +275,7 @@ def main():
             "mcts_rollouts_min_par8": round(rollout_rates[8], 1),
             "mcts_rollouts_min_par8_selfsim": round(rollouts_min_scored, 1),
             "p50_ttfc_s_par8_n10": round(p50_ttfc, 2),
+            "prefix_hit_start_ms": round(prefix_start_ms, 1),
             "v2_8b_int8_tok_s": round(tps_8b, 2) if tps_8b else None,
             "v2_8b_est_hbm_gbps": round(hbm_gbps_8b, 1)
             if hbm_gbps_8b else None,

@@ -56,6 +56,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_float), ctypes.c_int,
             ctypes.c_float, ctypes.c_float]
+        lib.count_ngrams.restype = ctypes.c_int64
+        lib.count_ngrams.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64]
         _lib = lib
         return _lib
 
@@ -76,6 +81,24 @@ def eed_distance_ids(hyp: Sequence[int], ref: Sequence[int],
         h.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(h),
         r.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(r),
         np.int32(blank_id)))
+
+
+def count_ngrams_ids(ids: Sequence[int], max_n: int):
+    """Hashed n-gram counts (FNV-1a over int32 token ids, n in the seed)
+    for one text; returns (hashes u64, counts i64) or None if no lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    arr = np.ascontiguousarray(ids, np.int32)
+    cap = max(len(arr) * max_n, 1)
+    hashes = np.empty((cap,), np.uint64)
+    counts = np.empty((cap,), np.int64)
+    n = lib.count_ngrams(
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(arr),
+        int(max_n),
+        hashes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), cap)
+    return hashes[:n], counts[:n]
 
 
 def resize_normalize(image: np.ndarray, size: int, mean: float = 0.5,

@@ -242,3 +242,45 @@ def test_sinkhorn_emd_error_bound_vs_exact_lp():
         exact = cost[r, c].mean()
         approx = float(sinkhorn_emd2(jnp.asarray(cost)[None])[0])
         assert abs(score(approx) - score(exact)) < 0.01, (corr, exact, approx)
+
+
+def test_trivially_shared_native_matches_python(tmp_path):
+    """The native hashed corpus pass must select the same trivially-shared
+    n-grams (and thus the same CrystalBLEU) as the Python Counter path."""
+    from detikzify_tpu import native
+    from detikzify_tpu.evaluate.crystalbleu import (HashedNgramSet, _ngrams,
+                                                    tex_tokenize,
+                                                    trivially_shared_ngrams)
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    corpus = [
+        "\\draw (0,0) -- (1,1);\n\\draw (0,0) -- (2,2);",
+        "\\begin{tikzpicture}\\draw (0,0) circle (1);\\end{tikzpicture}",
+        "\\node at (0,0) {x};\n\\node at (1,1) {y};",
+    ] * 3
+    k = 12
+    nat = trivially_shared_ngrams(corpus, k=k, cache_dir=str(tmp_path / "n"),
+                                  use_native=True)
+    py = trivially_shared_ngrams(corpus, k=k, cache_dir=str(tmp_path / "p"),
+                                 use_native=False)
+    assert isinstance(nat, HashedNgramSet) and len(nat) == len(py) == k
+    # membership agrees on every n-gram that occurs in the corpus
+    seen = set()
+    for text in corpus:
+        seen.update(_ngrams(tex_tokenize(text)))
+    native_members = {ng for ng in seen if ng in nat}
+    # top-k tie-breaking may differ; the decisive (untied) members agree
+    from collections import Counter
+    counts = Counter()
+    for text in corpus:
+        counts.update(_ngrams(tex_tokenize(text)))
+    ranked = counts.most_common()
+    threshold = ranked[k - 1][1]
+    must_have = {ng for ng, c in ranked if c > threshold}
+    must_not = {ng for ng, c in ranked if c < threshold}
+    assert must_have <= native_members
+    assert not (must_not & native_members)
+    assert must_have <= py
+    # unseen n-grams are never members
+    assert ("nonexistent-token",) not in nat
