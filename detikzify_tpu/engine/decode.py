@@ -267,6 +267,46 @@ class DecodeEngine:
                 body, (tok_dev, pos_dev, done0, cache, rng), None, length=k)
             return toks, cache, tok_dev, pos_dev, rng
 
+        @functools.partial(
+            jax.jit, donate_argnums=(1, 2, 3),
+            static_argnames=("m", "banned", "suppress"))
+        def start_slots(params, cache, tok_dev, pos_dev, slots, ids,
+                        image_embeds, start, seq_lens, rng, pool_k, pool_v,
+                        page_ids, samp, m, banned, suppress):
+            """Batched fused start: B same-bucket rollouts (optionally all
+            restoring ONE shared paged prefix) prefill + sample their first
+            tokens in a single device program. One dispatch per burst
+            instead of one per rollout -- GRPO groups and sample_batch
+            waves under axon dispatch latency."""
+            L, _, _, NKV, HD = cache.k.shape
+            b = slots.shape[0]
+            if m:
+                rows_k = pool_k[:, page_ids].reshape(L, 1, m * page, NKV, HD)
+                rows_v = pool_v[:, page_ids].reshape(L, 1, m * page, NKV, HD)
+                cache = KVCache(
+                    cache.k.at[:, slots, :m * page].set(jnp.broadcast_to(
+                        rows_k.astype(cache.k.dtype),
+                        (L, b, m * page, NKV, HD))),
+                    cache.v.at[:, slots, :m * page].set(jnp.broadcast_to(
+                        rows_v.astype(cache.v.dtype),
+                        (L, b, m * page, NKV, HD))))
+            small = KVCache(cache.k[:, slots], cache.v[:, slots])
+            starts = jnp.full_like(seq_lens, start)
+            logits, small = detikzify.prefill(
+                params, cfg, ids, image_embeds, starts, seq_lens, small)
+            cache = KVCache(cache.k.at[:, slots].set(small.k),
+                            cache.v.at[:, slots].set(small.v))
+            rng, sub = jax.random.split(rng)
+            firsts = sample(logits, sub,
+                            temperature=samp[:, 0], top_p=samp[:, 1],
+                            top_k=samp[:, 2].astype(jnp.int32),
+                            banned_tokens=banned,
+                            suppress_begin_tokens=suppress,
+                            is_first=jnp.ones((b,), bool))
+            tok_dev = tok_dev.at[slots].set(firsts)
+            pos_dev = pos_dev.at[slots].set(start + seq_lens)
+            return cache, tok_dev, pos_dev, rng, firsts
+
         @functools.partial(jax.jit, donate_argnums=(0, 1),
                            static_argnames=("m",))
         def save_pages(pool_k, pool_v, cache_k, cache_v, slot, page_ids,
@@ -303,6 +343,7 @@ class DecodeEngine:
 
         self._start_slot = start_slot
         self._start_slot_paged = start_slot_paged
+        self._start_slots = start_slots
         self._decode_many = decode_many
         self._save_pages = save_pages
         self._encode_image = encode_image
@@ -492,6 +533,89 @@ class DecodeEngine:
         if not lazy:
             self.flush()
         return ro
+
+    def start_many(
+        self,
+        prompts: Sequence[Sequence[int]],
+        image_embeds: Optional[jnp.ndarray] = None,   # [B,seq,H] or [1,..]
+        *,
+        max_new_tokens: int = 1024,
+        prefix: Optional[StoredPrefix] = None,        # shared by all
+        sampling: Optional[SamplingParams] = None,
+        on_token: Optional[Callable[[int], None]] = None,
+    ) -> List[Rollout]:
+        """Start a BURST of rollouts in one fused device program.
+
+        All prompts share one prefill bucket (and optionally one stored
+        prefix -- e.g. GRPO's g rollouts from the same image prompt).
+        Cost: one dispatch per burst vs one per rollout. Starts are lazy;
+        first tokens arrive at the next step()/flush()."""
+        b = len(prompts)
+        assert b >= 1
+        if b > len(self._free_slots):
+            raise RuntimeError("no free slots")
+        if prefix is not None and prefix.dropped:
+            prefix = None
+        start_pos = 0
+        if prefix is not None:
+            for p in prompts:
+                assert tuple(p[:prefix.length]) == prefix.token_ids, \
+                    "prefix mismatch"
+            start_pos = min(prefix.length,
+                            min(len(p) for p in prompts) - 1)
+            if start_pos < prefix.length:
+                prefix = None       # degenerate: fall back to full prefill
+                start_pos = 0
+
+        tails = [list(p)[start_pos:] for p in prompts]
+        bucket = _bucket(max(len(t) for t in tails), self.max_len)
+        ids = np.zeros((b, bucket), np.int32)
+        for i, t in enumerate(tails):
+            ids[i, :len(t)] = t
+        if image_embeds is None:
+            image_embeds = jnp.zeros(
+                (1, self.cfg.image_seq_len, self.cfg.text.hidden_size),
+                self.params.text["embed_tokens"].dtype)
+        if image_embeds.shape[0] == 1 and b > 1:
+            image_embeds = jnp.broadcast_to(
+                image_embeds, (b,) + image_embeds.shape[1:])
+
+        sp = sampling if sampling is not None else self.sampling
+        rollouts, slots = [], []
+        for p in prompts:
+            slot = self._free_slots.pop()
+            slots.append(slot)
+            self._samp_host[slot] = (sp.temperature, sp.top_p,
+                                     float(sp.top_k))
+            rollouts.append(Rollout(
+                slot=slot, prompt_len=len(p), token_ids=list(p),
+                max_new_tokens=max(
+                    min(max_new_tokens, self.max_len - 1 - len(p)), 1),
+                on_token=on_token))
+        self.counters["starts"] += b
+        self.counters["prefill_tokens"] += sum(len(t) for t in tails)
+        self.counters["prefill_tokens_saved"] += start_pos * b
+        if prefix is not None:
+            self.counters["prefix_starts"] += b
+            page_ids = jnp.asarray(prefix.pages, jnp.int32)
+            m = len(prefix.pages)
+        else:
+            page_ids = jnp.zeros((0,), jnp.int32)
+            m = 0
+        (self.cache, self._tok_dev, self._pos_dev, self.rng,
+         firsts) = self._start_slots(
+            self.params, self.cache, self._tok_dev, self._pos_dev,
+            jnp.asarray(slots, jnp.int32), jnp.asarray(ids), image_embeds,
+            jnp.int32(start_pos),
+            jnp.asarray([len(t) for t in tails], jnp.int32), self.rng,
+            self._pool.k, self._pool.v, page_ids,
+            jnp.asarray(self._samp_host[slots]), m=m,
+            banned=self._banned(), suppress=self._suppress())
+        for i, (slot, ro) in enumerate(zip(slots, rollouts)):
+            self._rollouts[slot] = ro
+            self._active[slot] = True
+            self._first_pending[slot] = firsts[i]
+        return rollouts
 
     def flush(self) -> List[Rollout]:
         """Fetch pending first tokens to the host; returns rollouts that

@@ -349,12 +349,16 @@ class DetikzifyGenerator:
                         break
         return attached
 
-    def _score_and_backprop(self, node: WideNode, tikz: TikzDocument
-                            ) -> Numeric:
+    def _score_and_backprop(self, node: WideNode, tikz: TikzDocument,
+                            precomputed: Optional[float] = None) -> Numeric:
         scorable = tikz.is_rasterizable and not (
             self.strict and tikz.compiled_with_errors)
         if self.metric is not None:
-            score = self.score(tikz.rasterize()) if scorable else -1
+            if scorable:
+                score = (precomputed if precomputed is not None
+                         else self.score(tikz.rasterize()))
+            else:
+                score = -1
             node.update_win_value(self.norm(score) if scorable else score)
         else:
             # fast mode: compiler diagnostics in {-1, 0, 1}
@@ -534,7 +538,8 @@ class DetikzifyGenerator:
             (exp.new_nodes or [exp.node])[-1].token_ids)
         exp.future = self.compiler.submit_doc(tikz)
 
-    def _complete_expansion(self, exp: "_Expansion"
+    def _complete_expansion(self, exp: "_Expansion",
+                            precomputed: Optional[float] = None
                             ) -> Tuple[Numeric, TikzDocument]:
         tikz = exp.future.result()
         for n in exp.path:
@@ -548,10 +553,36 @@ class DetikzifyGenerator:
             exp.node.expanded = True
         self.montecarlo.stats_expansion_count += 1
         score = self._score_and_backprop(
-            attached[-1] if attached else node, tikz)
+            attached[-1] if attached else node, tikz,
+            precomputed=precomputed)
         if self.solution:
             self.solution.pop()
         return score, tikz
+
+    def _batch_scores(self, exps: list) -> dict:
+        """Score all scorable renders of one completion wave in a single
+        batched encoder pass (SelfSim cost amortizes across expansions).
+        Text-conditioned scoring keeps the per-call path (the caption
+        conditions the reference embedding through the adapter)."""
+        if self.metric is None or self.text is not None or len(exps) < 2:
+            return {}
+        if not hasattr(self.metric, "score_batch"):
+            return {}
+        imgs, keys = [], []
+        for exp in exps:
+            doc = exp.future.result()
+            if doc.is_rasterizable and not (self.strict
+                                            and doc.compiled_with_errors):
+                img = doc.rasterize()
+                if img is not None:
+                    imgs.append(img)
+                    keys.append(id(exp))
+        if len(imgs) < 2:
+            return {}
+        t0 = time.time()
+        vals = self.metric.score_batch(imgs, [self.image] * len(imgs))
+        self.stats["score_time"] += time.time() - t0
+        return {k: float(v) for k, v in zip(keys, vals)}
 
     def _simulate_parallel(self, expansions: Optional[float],
                            parallelism: int
@@ -593,11 +624,14 @@ class DetikzifyGenerator:
                             decoding.remove(exp)
                             compiling.append(exp)
 
-                for exp in list(compiling):
-                    if exp.future.done():
+                ready = [exp for exp in compiling if exp.future.done()]
+                if ready:
+                    batch_scores = self._batch_scores(ready)
+                    for exp in ready:
                         compiling.remove(exp)
                         completed += 1
-                        yield self._complete_expansion(exp)
+                        yield self._complete_expansion(
+                            exp, precomputed=batch_scores.get(id(exp)))
 
                 if timed_out() or self.control.should_stop:
                     break

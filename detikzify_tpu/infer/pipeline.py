@@ -163,15 +163,17 @@ class DetikzifyPipeline:
 
         queue = list(range(len(pil)))
         rollouts: dict = {}
+        sampling = self._sampling_override(temperature, top_p, top_k)
         while queue or any(not r.finished for r in rollouts.values()):
-            while queue and self.engine.num_active < self.engine.num_slots:
-                i = queue.pop(0)
-                prompt = [int(t) for t in out.input_ids[i]]
-                rollouts[i] = self.engine.start(
-                    prompt, image_embeds=embeds[i:i + 1],
-                    max_new_tokens=max_new, lazy=True,
-                    sampling=self._sampling_override(temperature, top_p,
-                                                     top_k))
+            n = min(len(self.engine._free_slots), len(queue))
+            if n > 0:
+                # burst-start one figure wave as a single fused program
+                wave = [queue.pop(0) for _ in range(n)]
+                ros = self.engine.start_many(
+                    [[int(t) for t in out.input_ids[i]] for i in wave],
+                    image_embeds=embeds[jnp.asarray(wave)],
+                    max_new_tokens=max_new, sampling=sampling)
+                rollouts.update(dict(zip(wave, ros)))
             self.engine.step()
 
         docs = []

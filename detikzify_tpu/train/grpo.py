@@ -184,12 +184,14 @@ def refine(
         started = 0
         root_prefix = None
         while started < g or pending:
-            while started < g and engine.num_active < engine.num_slots:
-                ro = engine.start(list(prompt), image_embeds=image_embeds,
-                                  max_new_tokens=gcfg.max_new_tokens,
-                                  prefix=root_prefix, lazy=True)
-                pending.append(ro)
-                started += 1
+            n = min(len(engine._free_slots), g - started)
+            if n > 0:
+                # whole wave in ONE fused start program (start_many)
+                ros = engine.start_many(
+                    [list(prompt)] * n, image_embeds=image_embeds,
+                    max_new_tokens=gcfg.max_new_tokens, prefix=root_prefix)
+                pending.extend(ros)
+                started += n
             engine.step()
             for ro in list(pending):
                 if ro.finished:

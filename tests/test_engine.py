@@ -179,3 +179,49 @@ def test_per_slot_sampling_override(setup):
     eng.run()
     assert eng._decode_many._cache_size() == n_compiled
     assert len(r3.token_ids) > 2
+
+
+def test_start_many_matches_individual_starts(setup):
+    """A fused burst start (one device program for B rollouts) must produce
+    exactly the token streams of B individual starts -- greedy, mixed
+    prompt lengths, with and without a shared stored prefix."""
+    cfg, params = setup
+    eng = DecodeEngine(params, cfg, num_slots=4, max_len=96, page_size=16,
+                       sampling=SamplingParams(temperature=0.0))
+    prompts = [[cfg.bos_token_id, 71, 72],
+               [cfg.bos_token_id, 71, 73, 74],
+               [cfg.bos_token_id, 75]]
+
+    ros = eng.start_many(prompts, max_new_tokens=8)
+    eng.run()
+    burst = [list(r.token_ids) for r in ros]
+    for r in ros:
+        eng.release(r)
+
+    single = []
+    for p in prompts:
+        r = eng.start(p, max_new_tokens=8)
+        eng.run()
+        single.append(list(r.token_ids))
+        eng.release(r)
+    assert burst == single
+
+    # shared-prefix burst (GRPO shape: same prompt, one stored root)
+    root = [cfg.bos_token_id] + list(range(1, 33))
+    r0 = eng.start(root, max_new_tokens=4)
+    eng.run()
+    sp = eng.store_prefix("root", r0, length=32)
+    eng.release(r0)
+    extended = [root + [81], root + [82, 83]]
+    ros = eng.start_many(extended, max_new_tokens=6, prefix=sp)
+    eng.run()
+    burst = [list(r.token_ids) for r in ros]
+    for r in ros:
+        eng.release(r)
+    for p, got in zip(extended, burst):
+        r = eng.start(p, max_new_tokens=6)
+        eng.run()
+        assert list(r.token_ids) == got
+        eng.release(r)
+    # burst counted as ONE start dispatch worth of prefix restores
+    assert eng.counters["prefix_starts"] >= 2
