@@ -141,3 +141,33 @@ def test_save_params_npz(setup, tmp_path):
     save_params_npz(path, params, only="connector")
     loaded = tdata.np.load(path)
     assert "proj/kernel" in loaded.files
+
+
+def test_checkpoint_restore_across_mesh_shapes(setup, tmp_path):
+    """A checkpoint saved under one mesh restores into templates sharded
+    for a DIFFERENT mesh shape (elastic resume: Orbax reshards on load)."""
+    import jax.numpy as jnp
+
+    from detikzify_tpu.parallel.mesh import make_mesh, shard_params
+    from detikzify_tpu.train.checkpoint import Checkpointer
+
+    cfg, params, _ = setup
+    mesh_a = make_mesh(data=4, model=2)
+    mesh_b = make_mesh(data=2, model=4)
+    placed = jax.tree.map(
+        jax.device_put, params, shard_params(params, mesh_a, fsdp=True))
+
+    ckpt = Checkpointer(str(tmp_path / "xmesh"))
+    ckpt.save(1, placed, {"mesh": "4x2"})
+    ckpt.wait()
+
+    template = jax.tree.map(
+        lambda x, s: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=s),
+        params, shard_params(params, mesh_b, fsdp=True))
+    restored, meta = ckpt.restore_latest(template)
+    assert meta["mesh"] == "4x2"
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the restored shardings follow the NEW mesh
+    leaf = restored.text["embed_tokens"]
+    assert leaf.sharding.mesh.shape == dict(mesh_b.shape)
