@@ -16,10 +16,10 @@ def linear(p, x: jnp.ndarray) -> jnp.ndarray:
     """Dense layer. ``p = {'kernel': [in, out], 'bias'?: [out]}`` or an
     int8-quantized ``{'kernel_q': {'q', 'scale'}}`` (see ``ops.quant``)."""
     if "kernel_q" in p:
+        from ..ops.quant_matmul import int8_matmul
+
         q = p["kernel_q"]
-        y = jnp.dot(x, q["q"].astype(x.dtype),
-                    preferred_element_type=jnp.float32)
-        y = (y * q["scale"]).astype(x.dtype)
+        y = int8_matmul(x, q["q"], q["scale"])
     else:
         y = jnp.einsum("...i,io->...o", x, p["kernel"])
     if "bias" in p:

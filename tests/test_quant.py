@@ -105,3 +105,29 @@ def test_load_quantize(tmp_path):
                               attn_impl="xla")
     agree = (np.asarray(lf.argmax(-1)) == np.asarray(lq.argmax(-1))).mean()
     assert agree >= 0.8
+
+
+def test_int8_gemv_pallas_matches_xla():
+    """The fused dequant GEMV kernel (interpret mode off-TPU) must match
+    the XLA dequant path bit-for-bit-ish (same bf16 operands, f32 acc)."""
+    import jax.numpy as jnp
+
+    from detikzify_tpu.ops.quant import quantize_kernel
+    from detikzify_tpu.ops.quant_matmul import int8_matmul
+
+    rng = np.random.default_rng(0)
+    for b, k, n in [(8, 256, 384), (1, 128, 128), (16, 512, 256)]:
+        x = jnp.asarray(rng.standard_normal((b, k)), jnp.bfloat16)
+        w = jnp.asarray(rng.standard_normal((k, n)), jnp.float32)
+        qd = quantize_kernel(w)
+        want = np.asarray(int8_matmul(x, qd["q"], qd["scale"]))
+        got = np.asarray(int8_matmul(x, qd["q"], qd["scale"],
+                                     force_pallas=True, interpret=True))
+        np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
+
+    # ineligible shapes (vocab-sized N not multiple of tile) fall back
+    x = jnp.asarray(rng.standard_normal((4, 128)), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((128, 130)), jnp.float32)
+    qd = quantize_kernel(w)
+    out = int8_matmul(x, qd["q"], qd["scale"], force_pallas=True)
+    assert out.shape == (4, 130)
