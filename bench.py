@@ -232,7 +232,14 @@ def main():
         del pipe, pipe_model, engine, params, root_prefix, image_embeds
         gc.collect()
         cfg8 = get_config("detikzify-v2-8b").replace(model_max_length=640)
-        params8 = quantize_params(zero_params(cfg8, jnp.bfloat16))
+        # build the int8 tree DIRECTLY from shapes: materializing the full
+        # bf16 8B tree first (16 GB) cannot fit HBM
+        from detikzify_tpu.models import detikzify as _dtk
+
+        shapes8 = jax.eval_shape(lambda: quantize_params(
+            _dtk.init(jax.random.PRNGKey(0), cfg8, dtype=jnp.bfloat16)))
+        params8 = jax.jit(lambda: jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype), shapes8))()
         jax.block_until_ready(params8.text["embed_tokens"])
         param_bytes = sum(
             x.nbytes for x in jax.tree.leaves(params8))

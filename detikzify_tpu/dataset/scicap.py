@@ -20,15 +20,34 @@ HUB_REPO = "CrowdAILab/scicap"
 
 
 def rejoin_multipart_zip(parts: List[str], output: str) -> str:
-    """Recombine split zip volumes via ``zip -FF`` (reference :63-73)."""
+    """Recombine split zip volumes (``name.z01..`` + ``name.zip``).
+
+    Uses the first-party ZIP64-aware joiner (``dataset.splitzip``) --
+    the reference's ``zip -FF`` shell-out (scicap.py:63-73) is
+    interactive-prompt-prone and its output is rejected by Python's
+    zipfile; a last-resort ``zip -FF`` fallback is kept for genuinely
+    damaged archives, with the prompt auto-answered."""
+    import zipfile as _zf
+
+    from .splitzip import join_split_zip
+
+    try:
+        return join_split_zip(parts, output)
+    except Exception:
+        pass
     with tempfile.TemporaryDirectory() as tmp:
         linked = []
         for src in parts:
             dst = os.path.join(tmp, os.path.basename(src))
             os.symlink(os.path.abspath(src), dst)
             linked.append(dst)
-        subprocess.run(["zip", "-FF", linked[0], "--out", output],
-                       check=True, capture_output=True)
+        main = next((p for p in linked if p.endswith(".zip")), linked[0])
+        subprocess.run(["zip", "-FF", main, "--out", output], check=True,
+                       capture_output=True, input=b"y\n", timeout=3600)
+        with _zf.ZipFile(output) as zf:
+            if not zf.namelist():
+                raise RuntimeError(
+                    f"could not rejoin split archive from {parts}")
     return output
 
 
@@ -52,11 +71,14 @@ def iter_scicap(text_json: str, image_zip: str,
             ann = annots.get(rec.get("id"), rec)
             with zf.open(names[os.path.basename(fname)]) as f:
                 image = load_image(f.read())
+            # field mapping matches reference scicap.py:86-98: caption is
+            # caption_no_index, OCR lives on the IMAGE record
             yield dict(
-                caption=ann.get("caption", ""),
-                mention=[ann.get("mention", [])],
+                caption=ann.get("caption_no_index",
+                                ann.get("caption", "")),
+                mention=ann.get("mention", []),
                 paragraph=ann.get("paragraph", []),
-                ocr=ann.get("ocr", []),
+                ocr=rec.get("ocr", []),
                 image=expand(image, size),
             )
 

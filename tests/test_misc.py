@@ -165,3 +165,68 @@ def test_image_utils():
     img.save(buf, format="PNG")
     b64 = base64.b64encode(buf.getvalue()).decode()
     assert load(b64).size == img.size
+
+
+def test_scicap_loader_end_to_end(tmp_path):
+    """SciCap: COCO-style json + (multi-part) image zip -> item stream,
+    exercised against SYNTHETIC archives built in the reference's release
+    format (split zip volumes rejoined with zip -FF)."""
+    import io
+    import json
+    import shutil
+    import subprocess
+    import zipfile
+
+    import pytest
+    from PIL import Image
+
+    from detikzify_tpu.dataset.scicap import (iter_scicap, load_scicap,
+                                              rejoin_multipart_zip)
+
+    # build images + COCO-style annotations
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    images, annots = [], []
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        # noise images: incompressible, so the zip exceeds the 64 KB
+        # minimum volume size and actually splits
+        im = Image.fromarray(
+            rng.integers(0, 256, (200, 220 + 10 * i, 3), np.uint8), "RGB")
+        im.save(img_dir / f"fig{i}.png")
+        images.append({"id": i, "file_name": f"fig{i}.png",
+                       "ocr": [f"ocr{i}"]})
+        annots.append({"image_id": i, "caption_no_index": f"caption {i}",
+                       "mention": [[f"Fig. {i}"]],
+                       "paragraph": [f"para {i}"]})
+    text_json = tmp_path / "ann.json"
+    text_json.write_text(json.dumps(
+        {"images": images, "annotations": annots}))
+
+    whole = tmp_path / "imgs.zip"
+    with zipfile.ZipFile(whole, "w") as zf:
+        for i in range(3):
+            zf.write(img_dir / f"fig{i}.png", f"share/fig{i}.png")
+
+    items = list(iter_scicap(str(text_json), str(whole), size=64))
+    assert len(items) == 3
+    assert items[1]["caption"] == "caption 1"
+    assert items[1]["ocr"] == ["ocr1"]
+    assert items[2]["image"].size == (64, 64)
+
+    if shutil.which("zip") is None:
+        pytest.skip("zip tool unavailable for the multi-part path")
+    # a GENUINE multi-volume archive (zip -s), like the SciCap release
+    split_dir = tmp_path / "split"
+    split_dir.mkdir()
+    subprocess.run(["zip", "-s", "64k", "-j", "-q",
+                    str(split_dir / "imgs-split.zip")]
+                   + [str(img_dir / f"fig{i}.png") for i in range(3)],
+                   check=True)
+    parts = sorted(str(p) for p in split_dir.iterdir())
+    assert len(parts) >= 2, parts      # .z01(+) and .zip
+    joined = str(tmp_path / "joined.zip")
+    rejoin_multipart_zip(parts, joined)
+    items2 = list(iter_scicap(str(text_json), joined, size=64))
+    assert [it["caption"] for it in items2] == \
+        [it["caption"] for it in items]
