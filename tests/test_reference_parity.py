@@ -440,3 +440,38 @@ def test_mcts_scripted_trace_parity(ckpt):
     assert our_trace == ref_trace, "scripted MCTS solution streams diverge"
     assert _serialize(our_gen.montecarlo.root_node) == \
         _serialize(ref_gen.montecarlo.root_node), "scripted trees diverge"
+
+
+def test_caption_conditioned_prompt_parity(ckpt):
+    """TikZero+ prompt layout (model_expects_text): image tokens + caption
+    + <bos> separator must match the reference processor token-for-token,
+    and greedy continuation from that prompt must match the reference
+    model."""
+    import transformers
+
+    from detikzify_tpu.processing import DetikzifyProcessor as OurProcessor
+
+    img = _figure()
+    fast = ckpt["tokenizer"]
+    image_processor = transformers.SiglipImageProcessor(
+        size={"height": 42, "width": 42},
+        image_mean=[0.5] * 3, image_std=[0.5] * 3)
+    ref_plus = RefProcessor(image_processor=image_processor, tokenizer=fast,
+                            image_seq_len=3, image_token="<image>",
+                            model_expects_text=True)
+    our_plus = OurProcessor(fast, ckpt["our_cfg"], model_expects_text=True)
+
+    caption = "a circle with a line"
+    # the reference's AdapterProcessor routes captions into the base
+    # processor with add_bos_token=True when model_expects_text
+    ref_in = ref_plus(images=img, text=caption, add_bos_token=True,
+                      return_tensors="pt")
+    our_in = our_plus(images=img, text=caption, add_bos_token=True)
+    assert ref_in["input_ids"][0].tolist() == our_in.input_ids[0].tolist()
+    assert our_in.input_ids[0][-1] == fast.bos_token_id
+
+    ref_tokens = _ref_greedy(ckpt, ref_in["input_ids"],
+                             ref_in["pixel_values"], 16)
+    our_tokens = _our_greedy(ckpt, [int(t) for t in our_in.input_ids[0]],
+                             our_in.pixel_values, 16)
+    assert our_tokens == ref_tokens
