@@ -178,13 +178,43 @@ class ImageSim:
         e2 = self.features(img2, text2)
         return float(jax.device_get(self._pair_score(e1, e2))[0])
 
+    @staticmethod
+    def _bucket(n: int) -> int:
+        b = 1
+        while b < n:
+            b *= 2
+        return b
+
+    def score_against(self, imgs, ref_image=None,
+                      text: Optional[str] = None) -> np.ndarray:
+        """Score a batch of renders against ONE (cached) reference input --
+        the MCTS wave fast path. The render batch is padded to a power-of-
+        two bucket so only O(log max_wave) programs ever compile."""
+        k = len(imgs)
+        pix = np.stack([self._pixels(i) for i in imgs])
+        b = self._bucket(k)
+        if b > k:
+            pix = np.concatenate(
+                [pix, np.repeat(pix[-1:], b - k, axis=0)])
+        e1 = self._embed(self.vision_params, jnp.asarray(pix))
+        ref = self.features(ref_image, text)              # LRU-cached
+        e2 = jnp.broadcast_to(ref, e1.shape)
+        return np.asarray(jax.device_get(self._pair_score(e1, e2)))[:k]
+
     def score_batch(self, imgs1, imgs2) -> np.ndarray:
-        """Batched image-pair scoring -- the TPU-native MCTS fast path."""
-        pix1 = jnp.asarray(np.stack([self._pixels(i) for i in imgs1]))
-        pix2 = jnp.asarray(np.stack([self._pixels(i) for i in imgs2]))
-        e1 = self._embed(self.vision_params, pix1)
-        e2 = self._embed(self.vision_params, pix2)
-        return np.asarray(jax.device_get(self._pair_score(e1, e2)))
+        """Batched image-pair scoring (bucketed to limit recompiles)."""
+        k = len(imgs1)
+        pix1 = np.stack([self._pixels(i) for i in imgs1])
+        pix2 = np.stack([self._pixels(i) for i in imgs2])
+        b = self._bucket(k)
+        if b > k:
+            pix1 = np.concatenate(
+                [pix1, np.repeat(pix1[-1:], b - k, axis=0)])
+            pix2 = np.concatenate(
+                [pix2, np.repeat(pix2[-1:], b - k, axis=0)])
+        e1 = self._embed(self.vision_params, jnp.asarray(pix1))
+        e2 = self._embed(self.vision_params, jnp.asarray(pix2))
+        return np.asarray(jax.device_get(self._pair_score(e1, e2)))[:k]
 
     # torchmetrics-style stateful interface -------------------------------
 

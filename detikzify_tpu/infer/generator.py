@@ -566,7 +566,7 @@ class DetikzifyGenerator:
         conditions the reference embedding through the adapter)."""
         if self.metric is None or self.text is not None or len(exps) < 2:
             return {}
-        if not hasattr(self.metric, "score_batch"):
+        if not hasattr(self.metric, "score_against"):
             return {}
         imgs, keys = [], []
         for exp in exps:
@@ -580,7 +580,9 @@ class DetikzifyGenerator:
         if len(imgs) < 2:
             return {}
         t0 = time.time()
-        vals = self.metric.score_batch(imgs, [self.image] * len(imgs))
+        # one bucketed encoder pass for the whole wave; reference features
+        # come from the metric's LRU (encoded once per search)
+        vals = self.metric.score_against(imgs, self.image)
         self.stats["score_time"] += time.time() - t0
         return {k: float(v) for k, v in zip(keys, vals)}
 

@@ -31,11 +31,13 @@ def parse_args():
                    help="per-item score-improvement budget (0 = stop at "
                         "first compilable output)")
     p.add_argument("--limit", type=int, default=0)
+    p.add_argument("--parallelism", type=int, default=8,
+                   help="concurrent MCTS expansions per item (engine slots)")
     p.add_argument("--output", default="scores.json")
     return p.parse_args()
 
 
-def predict(name, ckpt, testset, cache_dir, timeout):
+def predict(name, ckpt, testset, cache_dir, timeout, parallelism=8):
     params, cfg, processor = load(ckpt)
     pipeline = DetikzifyPipeline(params, cfg, processor,
                                  metric="model" if timeout else "fast")
@@ -50,7 +52,8 @@ def predict(name, ckpt, testset, cache_dir, timeout):
             continue
         result = generate_until_compilable(
             pipeline, testset[idx]["image"],
-            score_improve=bool(timeout), min_seconds=timeout or 0.0)
+            score_improve=bool(timeout), min_seconds=timeout or 0.0,
+            parallelism=parallelism)
         row = {"code": result.best_code, "score": result.best_score,
                "num_programs": result.num_programs,
                "lengths": result.program_lengths,
@@ -119,7 +122,8 @@ def main():
     for pair in args.path:
         name, ckpt = pair.split("=", 1)
         rows, params, cfg, processor = predict(
-            name, ckpt, testset, args.cache_dir, args.timeout)
+            name, ckpt, testset, args.cache_dir, args.timeout,
+            parallelism=args.parallelism)
         scores[name] = score(name, rows, testset, params, cfg, processor)
         print(name, json.dumps(scores[name], indent=2))
     with open(args.output, "w") as f:

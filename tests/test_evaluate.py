@@ -284,3 +284,24 @@ def test_trivially_shared_native_matches_python(tmp_path):
     assert must_have <= py
     # unseen n-grams are never members
     assert ("nonexistent-token",) not in nat
+
+
+def test_score_against_matches_per_item():
+    """Bucketed wave scoring must equal per-pair score() for every item
+    (and compile only O(log max_wave) programs)."""
+    from PIL import Image, ImageDraw
+
+    cfg = tiny_test_config(vocab_size=128)
+    params = __import__("detikzify_tpu.models.detikzify",
+                        fromlist=["init"]).init(jax.random.PRNGKey(0), cfg)
+    metric = ImageSim(params.vision, cfg)
+    ref = Image.new("RGB", (50, 50), "white")
+    ImageDraw.Draw(ref).rectangle([5, 5, 45, 45], outline="black")
+    imgs = []
+    for i in range(3):                      # odd count: exercises padding
+        im = Image.new("RGB", (50, 50), "white")
+        ImageDraw.Draw(im).ellipse([5 + i, 5, 40, 40 - i], outline="blue")
+        imgs.append(im)
+    batch = metric.score_against(imgs, ref)
+    single = [metric.score(im, ref) for im in imgs]
+    np.testing.assert_allclose(batch, single, atol=1e-5)
