@@ -17,14 +17,29 @@ def parse_args():
                    help="refine with MCTS instead of one-shot sampling")
     p.add_argument("--timeout", type=int, default=600,
                    help="MCTS budget in seconds")
+    p.add_argument("--parallelism", type=int, default=8,
+                   help="concurrent MCTS expansions (engine slots)")
+    p.add_argument("--temperature", type=float, default=None)
+    p.add_argument("--top_p", type=float, default=None)
+    p.add_argument("--top_k", type=int, default=None)
+    p.add_argument("--caption", default=None,
+                   help="text condition (TikZero checkpoints)")
     p.add_argument("--output", help="save best program to this .tex path")
     return p.parse_args()
 
 
 def main():
     args = parse_args()
-    params, cfg, processor = load(args.model)
-    pipeline = DetikzifyPipeline(params, cfg, processor)
+    loaded = load(args.model)
+    if len(loaded) == 4:              # TikZero checkpoint with adapter
+        params, cfg, aproc, bundle = loaded
+        pipeline = DetikzifyPipeline(params, cfg, aproc.processor,
+                                     adapter=bundle)
+    else:
+        params, cfg, processor = loaded
+        pipeline = DetikzifyPipeline(params, cfg, processor)
+    gen_kwargs = dict(temperature=args.temperature, top_p=args.top_p,
+                      top_k=args.top_k)
     print("Enter an image path or URL (Ctrl-D to exit):")
     while True:
         try:
@@ -35,8 +50,9 @@ def main():
             continue
         if args.mcts:
             best = None
-            for score, doc in pipeline.simulate(image=line,
-                                                timeout=args.timeout):
+            for score, doc in pipeline.simulate(
+                    image=line, text=args.caption, timeout=args.timeout,
+                    parallelism=args.parallelism, **gen_kwargs):
                 print(f"[score {score:+.4f}] "
                       f"{'OK' if doc.is_rasterizable else 'FAIL'}")
                 if best is None or score >= best[0]:
@@ -45,7 +61,8 @@ def main():
                     break
             doc = best[1] if best else None
         else:
-            doc = pipeline.sample(image=line)
+            doc = pipeline.sample(image=line, text=args.caption,
+                                  **gen_kwargs)
         if doc is None:
             print("no output")
             continue
