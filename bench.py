@@ -197,6 +197,9 @@ def main():
     pipe_model = DetikzifyPipeline(params, cfg,
                                    DetikzifyProcessor(tok, cfg),
                                    metric="model", engine=engine)
+    # warm every scoring bucket (wave sizes are bucketed to powers of two)
+    for k in (1, 2, 4, 8):
+        pipe_model.metric.score_against([img] * k, img)
     list(pipe_model.simulate(image=img, expansions=1,
                              max_length=365))  # warmup score compiles
     t0 = time.time()

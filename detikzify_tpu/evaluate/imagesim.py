@@ -34,7 +34,6 @@ import numpy as np
 
 from ..config import DetikzifyConfig
 from ..models import siglip
-from ..processing import preprocess_image
 from ..utils.image import DUMMY_IMAGE
 
 
@@ -104,9 +103,17 @@ class ImageSim:
             return out["pooler_output"] if pooled \
                 else out["last_hidden_state"]
 
+        def _norm(pixels):
+            # pixels arrive as uint8 (4x less host->device traffic than
+            # f32 -- decisive over remote-TPU tunnels) or pre-normalized
+            # f32; normalization runs on device
+            if pixels.dtype == jnp.uint8:
+                return (pixels.astype(jnp.float32) / 255.0 - 0.5) / 0.5
+            return pixels
+
         @jax.jit
-        def embed(params, pixels):  # [B,H,W,C]
-            return _post(siglip.apply(params, vcfg, pixels))
+        def embed(params, pixels):  # [B,H,W,C] uint8 or normalized f32
+            return _post(siglip.apply(params, vcfg, _norm(pixels)))
 
         self._embed = embed
 
@@ -116,7 +123,8 @@ class ImageSim:
             @jax.jit
             def embed_adapter(params, pixels, alayers, cross, mask):
                 ai = siglip.AdapterInputs(alayers, acfg, cross, mask)
-                return _post(siglip.apply(params, vcfg, pixels, adapter=ai))
+                return _post(siglip.apply(params, vcfg, _norm(pixels),
+                                          adapter=ai))
 
             self._embed_adapter = embed_adapter
 
@@ -136,12 +144,23 @@ class ImageSim:
     # ------------------------------------------------------------------
 
     def _pixels(self, img) -> np.ndarray:
+        """PIL/path -> uint8 [H, W, C] (device-side normalize); already-
+        normalized float arrays pass through."""
         if img is None:
             img = DUMMY_IMAGE
         if isinstance(img, np.ndarray) and img.ndim == 3:
-            return img.astype(np.float32)
-        return preprocess_image(img, self.cfg.vision.image_size,
-                                do_trim=self.preprocess)
+            return np.ascontiguousarray(img, np.float32)
+        from PIL import Image
+
+        from ..utils.image import load, remove_alpha, trim
+
+        pil = load(img) if not isinstance(img, Image.Image) else img
+        if self.preprocess:
+            pil = trim(pil)
+        size = self.cfg.vision.image_size
+        pil = remove_alpha(pil).resize((size, size),
+                                       Image.Resampling.BICUBIC)
+        return np.asarray(pil, np.uint8)
 
     def features(self, image=None, text: Optional[str] = None) -> jnp.ndarray:
         """Vision features for one (image, text) input; either may be None.
