@@ -110,15 +110,20 @@ def load(
             _resolve(vision_tower))
         params = import_hf.import_v1(state, vstate, cfg, dtype=dtype)
         tokenizer = load_tokenizer(path)
-        return params, cfg, DetikzifyProcessor(tokenizer, cfg)
+        mean, std = _image_stats(_resolve(vision_tower))
+        return params, cfg, DetikzifyProcessor(tokenizer, cfg,
+                                               image_mean=mean,
+                                               image_std=std)
     params = import_hf.import_detikzify(state, cfg, dtype=dtype)
 
     if modality_projector is not None:
         params = _overlay_projector(params, modality_projector, dtype)
 
     tokenizer = load_tokenizer(path)
+    mean, std = _image_stats(path)
     processor = DetikzifyProcessor(
-        tokenizer, cfg, model_expects_text=_processor_expects_text(path))
+        tokenizer, cfg, model_expects_text=_processor_expects_text(path),
+        image_mean=mean, image_std=std)
 
     adapter_dir = os.path.join(path, "adapter")
     if os.path.isdir(adapter_dir) and adapter_embedding_model is not None:
@@ -137,6 +142,21 @@ def _processor_expects_text(path: str) -> bool:
         with open(pc) as f:
             return bool(json.load(f).get("model_expects_text", False))
     return False
+
+
+def _image_stats(path: str):
+    """Checkpoint-local normalization stats from preprocessor_config.json
+    (the reference's v1 loader derives them from the timm data config;
+    SigLIP default 0.5/0.5 otherwise)."""
+    import json
+
+    pc = os.path.join(path, "preprocessor_config.json")
+    if os.path.isfile(pc):
+        with open(pc) as f:
+            d = json.load(f)
+        if "image_mean" in d or "image_std" in d:
+            return (d.get("image_mean", 0.5), d.get("image_std", 0.5))
+    return 0.5, 0.5
 
 
 def _overlay_projector(params: Params, path: str, dtype) -> Params:

@@ -74,19 +74,23 @@ class ByteTokenizer:
         return {f"<byte{i}>": i for i in range(256)}
 
 
-def preprocess_image(image, size: int, do_trim: bool = False) -> np.ndarray:
+def preprocess_image(image, size: int, do_trim: bool = False,
+                     mean=IMAGE_MEAN, std=IMAGE_STD) -> np.ndarray:
     """PIL/path/bytes -> normalized float32 [H, W, C] array.
 
     Matches the reference's SiglipImageProcessor exactly: bicubic
-    stretch-resize to (size, size) + rescale + mean/std 0.5 normalize.
-    No trimming/padding here -- aspect-preserving square expansion happens
-    once at the pipeline level (``pipeline.load``, generate.py:389-393)."""
+    stretch-resize to (size, size) + rescale + mean/std normalize (0.5
+    for SigLIP towers; v1 checkpoints may carry their own stats in
+    preprocessor_config.json, honored by the loader). No trimming/padding
+    here -- aspect-preserving square expansion happens once at the
+    pipeline level (``pipeline.load``, generate.py:389-393)."""
     pil = load(image)
     if do_trim:
         pil = trim(pil)
     pil = remove_alpha(pil).resize((size, size), Image.Resampling.BICUBIC)
     arr = np.asarray(pil, np.float32) / 255.0
-    return (arr - IMAGE_MEAN) / IMAGE_STD
+    return (arr - np.asarray(mean, np.float32)) \
+        / np.asarray(std, np.float32)
 
 
 @dataclasses.dataclass
@@ -102,7 +106,8 @@ class ProcessorOutput:
 class DetikzifyProcessor:
     def __init__(self, tokenizer, cfg: DetikzifyConfig,
                  image_seq_len: Optional[int] = None,
-                 model_expects_text: bool = False):
+                 model_expects_text: bool = False,
+                 image_mean=IMAGE_MEAN, image_std=IMAGE_STD):
         self.tokenizer = tokenizer
         self.cfg = cfg
         self.image_seq_len = image_seq_len or cfg.image_seq_len
@@ -110,6 +115,9 @@ class DetikzifyProcessor:
         # True for TikZero+ checkpoints whose LLM was trained
         # caption-conditioned (reference processing_detikzify.py:53,65)
         self.model_expects_text = model_expects_text
+        # checkpoint-local normalization stats (v1 towers may differ)
+        self.image_mean = image_mean
+        self.image_std = image_std
 
     @property
     def model_max_length(self) -> int:
@@ -168,7 +176,8 @@ class DetikzifyProcessor:
         pixel_values = None
         if images is not None:
             pixel_values = np.stack([
-                preprocess_image(img, self.cfg.vision.image_size)
+                preprocess_image(img, self.cfg.vision.image_size,
+                                 mean=self.image_mean, std=self.image_std)
                 for img in images])
         return ProcessorOutput(input_ids=input_ids, pixel_values=pixel_values,
                                attention_mask=mask)

@@ -75,3 +75,35 @@ def test_full_load_path_with_tokenizer(tmp_path):
     logits, _ = detikzify.forward(params2, cfg2, jnp.asarray(ids), None,
                                   attn_impl="xla")
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_image_stats_from_preprocessor_config(tmp_path):
+    """Checkpoint-local image_mean/std in preprocessor_config.json are
+    honored (v1 towers may not be 0.5/0.5)."""
+    import json
+
+    from PIL import Image
+
+    cfg = tiny_test_config(vocab_size=128)
+    params = detikzify.init(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "ckpt")
+    save_pretrained(path, params, cfg)
+    with open(f"{path}/preprocessor_config.json", "w") as f:
+        json.dump({"image_mean": [0.4, 0.4, 0.4],
+                   "image_std": [0.2, 0.2, 0.2]}, f)
+
+    from tokenizers import Tokenizer, models, pre_tokenizers
+    import transformers
+
+    tok = Tokenizer(models.WordLevel({"a": 0, "b": 1}, unk_token="a"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    transformers.PreTrainedTokenizerFast(
+        tokenizer_object=tok, model_max_length=64).save_pretrained(path)
+
+    from detikzify_tpu.models.load import load
+
+    _, _, processor = load(path, dtype=jnp.float32)
+    assert processor.image_mean == [0.4, 0.4, 0.4]
+    out = processor(images=Image.new("RGB", (42, 42), "white"))
+    # white pixel: (1.0 - 0.4) / 0.2 = 3.0
+    np.testing.assert_allclose(out.pixel_values[0, 0, 0], 3.0, atol=1e-5)
