@@ -235,22 +235,26 @@ class DecodeEngine:
 
         @functools.partial(
             jax.jit, donate_argnums=(1, 2, 3),
-            static_argnames=("k", "banned", "suppress"))
+            static_argnames=("k", "kv_limit", "banned", "suppress"))
         def decode_many(params, cache, tok_dev, pos_dev, active, rng,
-                        samp, k, banned, suppress):
+                        samp, k, kv_limit, banned, suppress):
             """k decode steps for all slots inside one jitted scan: one host
             round-trip per k*slots tokens. Slots that emit EOS mid-scan
             freeze: their writes divert to the trash row, they re-emit EOS,
             and their position stops advancing. ``samp`` is the [S, 3]
             per-slot (temperature, top_p, top_k) table -- traced, so any
-            mix of greedy and sampled slots shares this one program."""
+            mix of greedy and sampled slots shares this one program.
+            ``kv_limit`` (static, bucketed by the dispatcher) bounds the
+            attended cache prefix so KV HBM traffic follows the LIVE max
+            sequence length, not max_len."""
 
             def body(carry, _):
                 tokens, positions, done, cache, rng = carry
                 write_pos = jnp.where(done, max_len - 1,
                                       jnp.minimum(positions, max_len - 1))
                 logits, cache = detikzify.decode_step(params, cfg, tokens,
-                                                      write_pos, cache)
+                                                      write_pos, cache,
+                                                      kv_limit=kv_limit)
                 rng, sub = jax.random.split(rng)
                 nxt = sample(logits, sub,
                              temperature=samp[:, 0], top_p=samp[:, 1],
@@ -673,6 +677,19 @@ class DecodeEngine:
     # stepping
     # ------------------------------------------------------------------
 
+    def _kv_limit(self, k: int) -> int:
+        """Smallest bucket covering every live slot's rows after k more
+        steps (+1 block of slack for pipelined dispatch)."""
+        live = [len(ro.token_ids) for slot, ro in self._rollouts.items()
+                if self._active[slot]]
+        if not live:
+            return self.max_len
+        need = max(live) + k + (self.decode_block if self.pipelined else 0)
+        for b in BUCKETS:
+            if need <= b <= self.max_len:
+                return b
+        return self.max_len
+
     def _dispatch(self, k: int) -> None:
         """Launch one decode scan asynchronously and record the snapshot of
         which rollout owned each slot at dispatch time."""
@@ -683,7 +700,7 @@ class DecodeEngine:
                 self.params, self.cache, self._tok_dev, self._pos_dev,
                 jnp.asarray(self._active), self.rng,
                 jnp.asarray(self._samp_host),
-                k, self._banned(), self._suppress())
+                k, self._kv_limit(k), self._banned(), self._suppress())
         owners = {slot: ro for slot, ro in self._rollouts.items()
                   if self._active[slot]}
         self._inflight = (toks_dev, k, owners)

@@ -180,9 +180,10 @@ def decode_step(
     token_ids: jnp.ndarray,          # [B]
     positions: jnp.ndarray,          # [B]
     cache: KVCache,
+    kv_limit=None,                   # static attended-prefix bound
 ) -> Tuple[jnp.ndarray, KVCache]:
     """One decode step; returns (logits [B, V] fp32, new cache)."""
     embeds = llama.embed(params.text, token_ids)
     hidden, cache = llama.decode_step(params.text, cfg.text, embeds,
-                                      positions, cache)
+                                      positions, cache, kv_limit=kv_limit)
     return llama.unembed(params.text, hidden), cache

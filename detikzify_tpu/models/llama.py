@@ -251,8 +251,14 @@ def decode_step(
     inputs_embeds: jnp.ndarray,   # [B, D] -- embedding of the newest token
     positions: jnp.ndarray,       # [B] int32 -- position of the new token
     cache: KVCache,
+    kv_limit: Optional[int] = None,   # static: attend to rows [0, kv_limit)
 ) -> Tuple[jnp.ndarray, KVCache]:
-    """One decode step for all slots; returns (hidden [B,D], new cache)."""
+    """One decode step for all slots; returns (hidden [B,D], new cache).
+
+    ``kv_limit`` (static) bounds the ATTENDED cache prefix: decode
+    attention HBM traffic scales with the live maximum sequence length
+    instead of ``max_len`` (writes still land in the full cache). Callers
+    must guarantee every attending slot's position < kv_limit."""
     b, d = inputs_embeds.shape
     act = ACTIVATIONS[cfg.hidden_act]
     hd, nh, nkv = cfg.head_dim, cfg.num_attention_heads, cfg.num_key_value_heads
@@ -278,7 +284,13 @@ def decode_step(
         k = apply_rope(k, cos, sin)
         kc = write(kc, k, positions)
         vc = write(vc, v, positions)
-        h = decode_attend(q, kc, vc, lengths)
+        if kv_limit is not None and kv_limit < kc.shape[1]:
+            # static slice fuses into the attention reads: traffic follows
+            # the live max length, not the allocation
+            h = decode_attend(q, kc[:, :kv_limit], vc[:, :kv_limit],
+                              jnp.minimum(lengths, kv_limit))
+        else:
+            h = decode_attend(q, kc, vc, lengths)
         h = linear(lp["attn"]["o"], h.reshape(b, -1))
         x = residual + h
         residual = x
