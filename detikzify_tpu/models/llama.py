@@ -116,18 +116,35 @@ def unembed(params: dict, hidden: jnp.ndarray) -> jnp.ndarray:
 # layer bodies
 # ---------------------------------------------------------------------------
 
+def _split_qkv(y, cfg: TextConfig):
+    hd, nh, nkv = cfg.head_dim, cfg.num_attention_heads, cfg.num_key_value_heads
+    q, k, v = jnp.split(y, [nh * hd, (nh + nkv) * hd], axis=-1)
+    shape = y.shape[:-1]
+    return (q.reshape(*shape, nh, hd), k.reshape(*shape, nkv, hd),
+            v.reshape(*shape, nkv, hd))
+
+
 def _qkv(lp, x, cfg: TextConfig, cos, sin):
     b, s, _ = x.shape
     hd, nh, nkv = cfg.head_dim, cfg.num_attention_heads, cfg.num_key_value_heads
-    q = linear(lp["attn"]["q"], x).reshape(b, s, nh, hd)
-    k = linear(lp["attn"]["k"], x).reshape(b, s, nkv, hd)
-    v = linear(lp["attn"]["v"], x).reshape(b, s, nkv, hd)
+    if "qkv" in lp["attn"]:
+        # packed projection (fuse_projections): one fat matmul instead of
+        # three -- shortens the per-layer op-latency chain in decode
+        q, k, v = _split_qkv(linear(lp["attn"]["qkv"], x), cfg)
+    else:
+        q = linear(lp["attn"]["q"], x).reshape(b, s, nh, hd)
+        k = linear(lp["attn"]["k"], x).reshape(b, s, nkv, hd)
+        v = linear(lp["attn"]["v"], x).reshape(b, s, nkv, hd)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     return q, k, v
 
 
 def _mlp(lp, x, act):
+    if "gateup" in lp["mlp"]:
+        y = linear(lp["mlp"]["gateup"], x)
+        gate, up = jnp.split(y, 2, axis=-1)
+        return linear(lp["mlp"]["down"], act(gate) * up)
     return linear(lp["mlp"]["down"],
                   act(linear(lp["mlp"]["gate"], x)) * linear(lp["mlp"]["up"], x))
 
@@ -277,9 +294,12 @@ def decode_step(
         lp, kc, vc = scanned
         residual = x
         h = rms_norm(lp["input_ln"], x, cfg.rms_norm_eps)
-        q = linear(lp["attn"]["q"], h).reshape(b, nh, hd)
-        k = linear(lp["attn"]["k"], h).reshape(b, nkv, hd)
-        v = linear(lp["attn"]["v"], h).reshape(b, nkv, hd)
+        if "qkv" in lp["attn"]:
+            q, k, v = _split_qkv(linear(lp["attn"]["qkv"], h), cfg)
+        else:
+            q = linear(lp["attn"]["q"], h).reshape(b, nh, hd)
+            k = linear(lp["attn"]["k"], h).reshape(b, nkv, hd)
+            v = linear(lp["attn"]["v"], h).reshape(b, nkv, hd)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         kc = write(kc, k, positions)

@@ -80,6 +80,67 @@ def params_nbytes(params) -> int:
     return sum(x.nbytes for x in jax.tree.leaves(params))
 
 
+def _concat_linear(parts):
+    """Concatenate linear-param dicts along the OUTPUT axis (plain or
+    int8-quantized; per-output-channel scales concatenate directly)."""
+    if all("kernel_q" in p for p in parts):
+        return {"kernel_q": {
+            "q": jnp.concatenate([p["kernel_q"]["q"] for p in parts],
+                                 axis=-1),
+            "scale": jnp.concatenate([p["kernel_q"]["scale"]
+                                      for p in parts], axis=-1)}}
+    assert all("kernel" in p for p in parts), "mixed quantization"
+    out = {"kernel": jnp.concatenate([p["kernel"] for p in parts],
+                                     axis=-1)}
+    if all("bias" in p for p in parts):
+        out["bias"] = jnp.concatenate([p["bias"] for p in parts], axis=-1)
+    return out
+
+
+def fuse_projections(params):
+    """Pack q/k/v into one matmul and gate/up into another (inference-time
+    transform; per-output-channel int8 scales pack losslessly).
+
+    Decode at small batch is partly bound by the serial per-op latency
+    chain, not HBM traffic (TODO.md measurements): 7 projections per layer
+    become 4. The layer bodies consume either layout; training keeps the
+    unfused tree (optimizer states key on it). Applies to the TEXT tower
+    only -- the SigLIP body reads q/k/v individually."""
+    if hasattr(params, "_fields") and hasattr(params, "text"):
+        return params._replace(text=fuse_projections(params.text))
+
+    def rewrite(node):
+        if isinstance(node, dict):
+            node = {k: rewrite(v) for k, v in node.items()}
+            if "attn" in node and all(
+                    k in node["attn"] for k in ("q", "k", "v")):
+                attn = {k: v for k, v in node["attn"].items()
+                        if k not in ("q", "k", "v")}
+                try:
+                    attn["qkv"] = _concat_linear(
+                        [node["attn"][k] for k in ("q", "k", "v")])
+                    node = {**node, "attn": attn}
+                except AssertionError:
+                    pass
+            if "mlp" in node and all(
+                    k in node["mlp"] for k in ("gate", "up")):
+                mlp = {k: v for k, v in node["mlp"].items()
+                       if k not in ("gate", "up")}
+                try:
+                    mlp["gateup"] = _concat_linear(
+                        [node["mlp"][k] for k in ("gate", "up")])
+                    node = {**node, "mlp": mlp}
+                except AssertionError:
+                    pass
+            return node
+        if hasattr(node, "_fields"):
+            return type(node)(*(rewrite(getattr(node, f))
+                                for f in node._fields))
+        return node
+
+    return rewrite(params)
+
+
 def quantize_params_host(params, keys: Tuple[str, ...] = _QUANT_KEYS,
                          device=None):
     """Quantize on the HOST (numpy) and place results on ``device``.

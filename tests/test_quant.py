@@ -131,3 +131,54 @@ def test_int8_gemv_pallas_matches_xla():
     qd = quantize_kernel(w)
     out = int8_matmul(x, qd["q"], qd["scale"], force_pallas=True)
     assert out.shape == (4, 130)
+
+
+def test_fuse_projections_exact():
+    """Packed qkv / gate-up must reproduce the unfused model exactly
+    (bf16/full precision) and near-exactly (int8) across forward, prefill,
+    and block decode."""
+    import jax
+    import jax.numpy as jnp
+
+    from detikzify_tpu.config import tiny_test_config
+    from detikzify_tpu.engine import DecodeEngine
+    from detikzify_tpu.models import detikzify
+    from detikzify_tpu.ops.quant import fuse_projections, quantize_params
+    from detikzify_tpu.ops.sampling import SamplingParams
+
+    cfg = tiny_test_config(vocab_size=256)
+    params = detikzify.init(jax.random.PRNGKey(0), cfg)
+    fused = fuse_projections(params)
+    assert "qkv" in fused.text["layers"]["attn"]
+    assert "gateup" in fused.text["layers"]["mlp"]
+    assert "q" not in fused.text["layers"]["attn"]
+
+    ids = np.full((1, cfg.image_seq_len + 6), cfg.image_token_id, np.int32)
+    ids[0, cfg.image_seq_len:] = [cfg.bos_token_id, 5, 6, 7, 8, 9]
+    pix = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, cfg.vision.image_size, cfg.vision.image_size, 3)), jnp.float32)
+    l0, _ = detikzify.forward(params, cfg, jnp.asarray(ids), pix,
+                              attn_impl="xla")
+    l1, _ = detikzify.forward(fused, cfg, jnp.asarray(ids), pix,
+                              attn_impl="xla")
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(l1),
+                               atol=1e-5, rtol=1e-4)
+
+    # greedy engine rollout equality (covers prefill + decode paths)
+    prompt = [cfg.bos_token_id, 11, 12, 13]
+    outs = []
+    for p in (params, fused):
+        eng = DecodeEngine(p, cfg, num_slots=2, max_len=64,
+                           sampling=SamplingParams(temperature=0.0))
+        ro = eng.start(prompt, max_new_tokens=8)
+        eng.run()
+        outs.append(list(ro.token_ids))
+    assert outs[0] == outs[1]
+
+    # int8: per-output-channel scales concatenate losslessly, so
+    # quantize-then-fuse == fuse-then-quantize
+    qf = fuse_projections(quantize_params(params))
+    fq = quantize_params(fuse_projections(params))
+    a = np.asarray(qf.text["layers"]["attn"]["qkv"]["kernel_q"]["q"])
+    b = np.asarray(fq.text["layers"]["attn"]["qkv"]["kernel_q"]["q"])
+    np.testing.assert_array_equal(a, b)
