@@ -152,11 +152,15 @@ class ImageSim:
             return np.ascontiguousarray(img, np.float32)
         from PIL import Image
 
-        from ..utils.image import load, remove_alpha, trim
+        from ..utils.image import expand, load, remove_alpha
 
         pil = load(img) if not isinstance(img, Image.Image) else img
         if self.preprocess:
-            pil = trim(pil)
+            # reference get_vision_features: trim -> pad to square at the
+            # ORIGINAL scale (imagesim.py:94-96), then the image processor
+            # bicubic-resizes; stretch-resizing a trimmed rectangle would
+            # distort
+            pil = expand(pil, max(pil.size), do_trim=True)
         size = self.cfg.vision.image_size
         pil = remove_alpha(pil).resize((size, size),
                                        Image.Resampling.BICUBIC)

@@ -475,3 +475,38 @@ def test_caption_conditioned_prompt_parity(ckpt):
     our_tokens = _our_greedy(ckpt, [int(t) for t in our_in.input_ids[0]],
                              our_in.pixel_values, 16)
     assert our_tokens == ref_tokens
+
+
+def test_selfsim_feature_parity(ckpt):
+    """SelfSim (cos mode) vision features + similarity must match the
+    reference ImageSim implementation on the shared checkpoint (same
+    trim -> pad-square -> bicubic preprocessing, same pooled-embedding
+    cosine)."""
+    import torch.nn.functional as F
+
+    from detikzify.evaluate.imagesim import ImageSim as RefImageSim
+
+    from detikzify_tpu.evaluate.imagesim import ImageSim
+
+    ref_metric = RefImageSim.from_detikzify(ckpt["ref_model"],
+                                            ckpt["ref_proc"], mode="cos")
+    # torchmetrics is stubbed: pin the device/dtype attrs it would manage
+    ref_metric.dtype = torch.float32
+    ref_metric.device = torch.device("cpu")
+    our_metric = ImageSim(ckpt["params"].vision, ckpt["our_cfg"],
+                          mode="cos")
+
+    img1 = _figure()
+    img2 = Image.new("RGB", (60, 40), "white")
+    ImageDraw.Draw(img2).rectangle([5, 5, 50, 34], outline="red", width=2)
+
+    for img in (img1, img2):
+        want = ref_metric.get_vision_features(img).float().numpy()
+        got = np.asarray(our_metric.features(img))[0]
+        np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+    want_sim = float(F.cosine_similarity(
+        ref_metric.get_vision_features(img1)[None].float(),
+        ref_metric.get_vision_features(img2)[None].float()))
+    got_sim = our_metric.score(img1, img2)
+    assert abs(got_sim - want_sim) < 1e-3
