@@ -305,3 +305,23 @@ def test_score_against_matches_per_item():
     batch = metric.score_against(imgs, ref)
     single = [metric.score(im, ref) for im in imgs]
     np.testing.assert_allclose(batch, single, atol=1e-5)
+
+
+def test_corpus_bleu_matches_nltk():
+    """With an empty exclusion set, CrystalBLEU's corpus BLEU must equal
+    nltk's reference corpus_bleu (uniform 1..4-gram weights + brevity
+    penalty)."""
+    nltk = pytest.importorskip("nltk")
+    from nltk.translate.bleu_score import corpus_bleu as nltk_bleu
+
+    from detikzify_tpu.evaluate.crystalbleu import corpus_bleu_excluding
+
+    cands = [list("the cat sat on the mat".split()),
+             list("a quick brown fox jumps".split()),
+             list("over the lazy dog again today".split())]
+    refs = [[list("the cat is on the mat".split())],
+            [list("the quick brown fox jumped".split())],
+            [list("over the lazy dog again".split())]]
+    want = nltk_bleu(refs, cands, weights=(0.25,) * 4)
+    got = corpus_bleu_excluding(cands, refs, exclude=set())
+    assert got == pytest.approx(want, abs=1e-9)

@@ -510,3 +510,26 @@ def test_selfsim_feature_parity(ckpt):
         ref_metric.get_vision_features(img2)[None].float()))
     got_sim = our_metric.score(img1, img2)
     assert abs(got_sim - want_sim) < 1e-3
+
+
+def test_train_tokenize_parity(ckpt):
+    """Training tokenization (image tokens + code + <eos>, labels masking
+    image/pad) must match the reference train.pretrain.tokenize on the
+    shared checkpoint."""
+    from detikzify.train.pretrain import tokenize as ref_tokenize
+
+    from detikzify_tpu.train.data import tokenize_batch
+
+    imgs = [_figure(), _figure()]
+    texts = ["\\draw (0,0) -- (1,1);", "\\node at (2,2) {x};\n"]
+    ref = ref_tokenize({"text": texts, "image": imgs}, ckpt["ref_proc"],
+                       padding=True)
+    ours = tokenize_batch(ckpt["our_proc"], texts, imgs)
+    for i in range(2):
+        mask = ours["attention_mask"][i]
+        n = int(mask.sum())
+        assert list(ours["input_ids"][i][:n]) == ref["input_ids"][i][:n]
+        assert list(ours["labels"][i][:n]) == ref["labels"][i][:n]
+        # padding labels masked on both sides
+        assert all(v == -100 for v in ref["labels"][i][n:])
+        assert (ours["labels"][i][n:] == -100).all()
