@@ -357,6 +357,13 @@ def import_adapter(state: Mapping[str, np.ndarray], vcfg: VisionConfig,
     365-371``) get zero blocks -- they are skipped statically in the encoder.
     """
     src = _Src(state)
+    # reference CrossAttentionAdapter.save_pretrained writes BARE keys
+    # (layers.N..., connector.*, dummy_input); adapters embedded in a
+    # composite checkpoint carry the adapter. prefix
+    if src.has("dummy_input"):
+        prefix = ""
+    if prefix:
+        prefix = prefix.rstrip(".") + "."
     d, i = vcfg.hidden_size, vcfg.intermediate_size
     hd = d // acfg.num_attention_heads
 
@@ -381,7 +388,7 @@ def import_adapter(state: Mapping[str, np.ndarray], vcfg: VisionConfig,
 
     layers = []
     for idx in range(vcfg.num_hidden_layers):
-        base = f"{prefix}.layers.{idx}"
+        base = f"{prefix}layers.{idx}"
         if not src.has(f"{base}.layer_norm1.weight"):
             layers.append(zeros_block())
             continue
@@ -406,10 +413,10 @@ def import_adapter(state: Mapping[str, np.ndarray], vcfg: VisionConfig,
                                     dtype),
         })
 
-    dummy = src(f"{prefix}.dummy_input")  # [C, H, W] -> [H, W, C]
+    dummy = src(f"{prefix}dummy_input")  # [C, H, W] -> [H, W, C]
     return {
         "layers": _stack(layers),
-        "connector": _lin(src, f"{prefix}.connector", dtype),
+        "connector": _lin(src, f"{prefix}connector", dtype),
         "dummy_input": jnp.asarray(np.transpose(dummy, (1, 2, 0)), dtype),
     }
 

@@ -306,8 +306,10 @@ def _export_text(text: dict, out: dict, prefix: str) -> None:
 def save_adapter(path: str, adapter_params: dict, vcfg,
                  active_every: int = 1) -> None:
     """Export TikZero adapter weights to reference-compatible safetensors
-    (inverse of ``import_adapter``; layer blocks under ``adapter.layers.{i}``,
-    inactive layers omitted like the reference's ``None`` entries)."""
+    (inverse of ``import_adapter``): BARE key names exactly as the
+    reference's ``CrossAttentionAdapter.save_pretrained`` writes them
+    (``layers.{i}...``, ``connector.*``, ``dummy_input``), inactive layers
+    omitted like the reference's ``None`` entries."""
     from safetensors.numpy import save_file
 
     os.makedirs(path, exist_ok=True)
@@ -323,7 +325,7 @@ def save_adapter(path: str, adapter_params: dict, vcfg,
         if (i + 1) % active_every != 0:
             continue
         lp = sel(layers, i)
-        base = f"adapter.layers.{i}"
+        base = f"layers.{i}"
         out[f"{base}.layer_norm1.weight"] = lp["ln1"]["scale"]
         out[f"{base}.layer_norm1.bias"] = lp["ln1"]["bias"]
         for ours, theirs in (("q", "q_proj"), ("k", "k_proj"),
@@ -343,11 +345,11 @@ def save_adapter(path: str, adapter_params: dict, vcfg,
         out[f"{base}.mlp.fc2.bias"] = lp["mlp"]["fc2"]["bias"]
         out[f"{base}.cross_attn_attn_gate"] = lp["attn_gate"]
         out[f"{base}.cross_attn_mlp_gate"] = lp["mlp_gate"]
-    out["adapter.connector.weight"] = np.asarray(
+    out["connector.weight"] = np.asarray(
         adapter_params["connector"]["kernel"]).T
-    out["adapter.connector.bias"] = np.asarray(
+    out["connector.bias"] = np.asarray(
         adapter_params["connector"]["bias"])
-    out["adapter.dummy_input"] = np.transpose(
+    out["dummy_input"] = np.transpose(
         np.asarray(adapter_params["dummy_input"]), (2, 0, 1))
     out = {k: np.ascontiguousarray(v) for k, v in out.items()}
     save_file(out, os.path.join(path, "model.safetensors"))

@@ -22,6 +22,7 @@ import pytest
 import torch
 from PIL import Image, ImageDraw
 
+import jax
 import jax.numpy as jnp
 
 from reference_loader import load_reference
@@ -533,3 +534,101 @@ def test_train_tokenize_parity(ckpt):
         # padding labels masked on both sides
         assert all(v == -100 for v in ref["labels"][i][n:])
         assert (ours["labels"][i][n:] == -100).all()
+
+
+def test_adapter_block_parity(tmp_path):
+    """TikZero gated cross-attention: import a REFERENCE-SAVED adapter
+    checkpoint and reproduce its active layer's output exactly (q/k-norm,
+    sigmoid gates, caption connector, additive mask semantics)."""
+    import transformers
+
+    from detikzify.model.adapter.modeling_adapter import (
+        CrossAttentionAdapter,
+    )
+
+    from detikzify_tpu.config import AdapterConfig, VisionConfig
+    from detikzify_tpu.models import siglip
+    from detikzify_tpu.models.adapter import make_inputs
+    from detikzify_tpu.models.import_hf import (
+        import_adapter, load_state_dict_from_safetensors,
+    )
+
+    torch.manual_seed(7)
+    vis_cfg = transformers.SiglipVisionConfig(
+        hidden_size=48, intermediate_size=96, num_hidden_layers=2,
+        num_attention_heads=4, image_size=42, patch_size=14,
+        attn_implementation="eager")
+    ref_adapter = CrossAttentionAdapter(vis_cfg, input_hidden_size=32,
+                                        cross_attn_every_n_layers=2).eval()
+    path = str(tmp_path / "adapter")
+    ref_adapter.save_pretrained(path, safe_serialization=True)
+
+    vcfg = VisionConfig(hidden_size=48, intermediate_size=96,
+                        num_hidden_layers=2, num_attention_heads=4,
+                        image_size=42, patch_size=14)
+    acfg = AdapterConfig(embedding_hidden_size=32,
+                         cross_attn_every_n_layers=2,
+                         num_attention_heads=4)
+    state = load_state_dict_from_safetensors(path)
+    aparams = import_adapter(state, vcfg, acfg, dtype=jnp.float32)
+
+    rng = np.random.default_rng(0)
+    hidden = rng.standard_normal((2, 9, 48)).astype(np.float32)
+    embeds = rng.standard_normal((2, 5, 32)).astype(np.float32)
+    mask = np.asarray([[1, 1, 1, 0, 0], [1, 1, 1, 1, 1]], np.int64)
+
+    # reference: layer idx 1 is the active block ((idx+1) % 2 == 0)
+    with torch.inference_mode():
+        cross = ref_adapter.connect(torch.from_numpy(embeds))
+        mask4d = ref_adapter.prepare_4d_attention_mask(
+            torch.from_numpy(mask), cross.dtype)
+        want = ref_adapter.layers[1](
+            torch.from_numpy(hidden), cross, mask4d,
+            attention_mask=None)[0].numpy()
+
+    ai = make_inputs(aparams, acfg, jnp.asarray(embeds),
+                     jnp.asarray(mask, bool))
+    block = jax.tree.map(lambda x: x[1], aparams["layers"])
+    got = np.asarray(siglip._cross_attn_layer(
+        block, jnp.asarray(hidden), ai, eps=1e-6, impl="xla"))
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
+def test_adapter_export_loads_in_reference(tmp_path):
+    """Round trip the OTHER direction: an adapter exported by this repo's
+    save_adapter must load through the reference's own from_pretrained
+    with identical weights."""
+    import transformers
+
+    from detikzify.model.adapter.modeling_adapter import (
+        CrossAttentionAdapter,
+    )
+
+    from detikzify_tpu.config import AdapterConfig, VisionConfig
+    from detikzify_tpu.models import adapter as adapter_mod
+    from detikzify_tpu.models.load import save_adapter
+
+    vcfg = VisionConfig(hidden_size=48, intermediate_size=96,
+                        num_hidden_layers=2, num_attention_heads=4,
+                        image_size=42, patch_size=14)
+    acfg = AdapterConfig(embedding_hidden_size=32,
+                         cross_attn_every_n_layers=2,
+                         num_attention_heads=4)
+    aparams = adapter_mod.init(jax.random.PRNGKey(3), vcfg, acfg,
+                               dtype=jnp.float32)
+    path = str(tmp_path / "ours")
+    save_adapter(path, aparams, vcfg, active_every=2)
+
+    vis_cfg = transformers.SiglipVisionConfig(
+        hidden_size=48, intermediate_size=96, num_hidden_layers=2,
+        num_attention_heads=4, image_size=42, patch_size=14,
+        attn_implementation="eager")
+    ref = CrossAttentionAdapter.from_pretrained(
+        path, config=vis_cfg, input_hidden_size=32,
+        cross_attn_every_n_layers=2)
+    want = np.asarray(aparams["layers"]["attn"]["q"]["kernel"][1]).T
+    got = ref.layers[1].cross_attn.q_proj.weight.detach().numpy()
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    got_c = ref.connector.weight.detach().numpy()
+    np.testing.assert_allclose(
+        got_c, np.asarray(aparams["connector"]["kernel"]).T, atol=1e-6)
