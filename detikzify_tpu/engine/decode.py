@@ -102,7 +102,13 @@ class DecodeEngine:
         decode_block: int = 16,
         pipelined: bool = False,
         page_size: int = 128,
+        device=None,
     ):
+        """``device``: commit all engine state (KV cache, page pool, RNG,
+        per-slot token/position vectors) to one jax device, so multiple
+        engines in one process each drive their own chip (replica-parallel
+        inference, see ``parallel.replicas``). ``params`` must already be
+        placed on the same device by the caller."""
         self.params = params
         self.cfg = cfg
         self.num_slots = num_slots
@@ -114,12 +120,17 @@ class DecodeEngine:
         # save/restore slices never clamp
         want = (max_len or cfg.model_max_length) + 1
         self.max_len = -(-want // page_size) * page_size
+        self._m_cap = self.max_len // page_size   # pages per full slot
         self.sampling = sampling
         self.eos_token_id = (cfg.eos_token_id if eos_token_id is None
                              else eos_token_id)
+        self.device = device
         self.cache = llama.init_cache(cfg.text, num_slots, self.max_len,
                                       cache_dtype)
         self.rng = jax.random.PRNGKey(0)
+        if device is not None:
+            self.cache = jax.device_put(self.cache, device)
+            self.rng = jax.device_put(self.rng, device)
 
         self._rollouts: Dict[int, Rollout] = {}
         self._free_slots = list(range(num_slots))
@@ -148,6 +159,10 @@ class DecodeEngine:
             jnp.zeros((tcfg.num_hidden_layers, n_pages, page_size,
                        tcfg.num_key_value_heads, tcfg.head_dim),
                       cache_dtype))
+        if device is not None:
+            self._pool = jax.device_put(self._pool, device)
+            self._tok_dev = jax.device_put(self._tok_dev, device)
+            self._pos_dev = jax.device_put(self._pos_dev, device)
         self._page_refs = np.zeros((n_pages,), np.int32)
         self._free_pages: List[int] = list(range(n_pages))
         self._prefix_store: Dict[object, StoredPrefix] = {}
@@ -158,7 +173,8 @@ class DecodeEngine:
 
         # observability + perf-regression pinning (SURVEY §5): device
         # program dispatches and token accounting
-        self.counters = {"starts": 0, "prefix_starts": 0,
+        self.counters = {"starts": 0, "start_dispatches": 0,
+                         "prefix_starts": 0,
                          "decode_dispatches": 0, "decode_steps": 0,
                          "prefix_saves": 0, "prefill_tokens": 0,
                          "prefill_tokens_saved": 0}
@@ -174,64 +190,74 @@ class DecodeEngine:
         max_len = self.max_len
         eos = self.eos_token_id
         page = self.page
+        m_cap = self._m_cap
 
-        def prefill_and_sample(params, cache, tok_dev, pos_dev, slot, ids,
-                               image_embeds, start, seq_len, rng, samp_row,
-                               banned, suppress):
-            small = KVCache(
-                jax.lax.dynamic_slice_in_dim(cache.k, slot, 1, axis=1),
-                jax.lax.dynamic_slice_in_dim(cache.v, slot, 1, axis=1))
+        def wave_core(params, cache, tok_dev, pos_dev, slots, ids,
+                      image_embeds, starts, seq_lens, rng, samp, small,
+                      banned, suppress):
+            """Shared tail of every fused start: bucketed prefill over the
+            wave's ``small`` per-slot caches + first-token sampling, all in
+            the enclosing single device program."""
+            b = slots.shape[0]
             logits, small = detikzify.prefill(
-                params, cfg, ids, image_embeds, start[None], seq_len[None],
-                small)
-            cache = KVCache(
-                jax.lax.dynamic_update_slice_in_dim(cache.k, small.k, slot,
-                                                    axis=1),
-                jax.lax.dynamic_update_slice_in_dim(cache.v, small.v, slot,
-                                                    axis=1))
+                params, cfg, ids, image_embeds, starts, seq_lens, small)
+            cache = KVCache(cache.k.at[:, slots].set(small.k),
+                            cache.v.at[:, slots].set(small.v))
             rng, sub = jax.random.split(rng)
-            first = sample(logits, sub,
-                           temperature=samp_row[0], top_p=samp_row[1],
-                           top_k=samp_row[2].astype(jnp.int32),
-                           banned_tokens=banned,
-                           suppress_begin_tokens=suppress,
-                           is_first=jnp.ones((1,), bool))[0]
-            tok_dev = tok_dev.at[slot].set(first)
-            pos_dev = pos_dev.at[slot].set(start + seq_len)
-            return cache, tok_dev, pos_dev, rng, first
+            firsts = sample(logits, sub,
+                            temperature=samp[:, 0], top_p=samp[:, 1],
+                            top_k=samp[:, 2].astype(jnp.int32),
+                            banned_tokens=banned,
+                            suppress_begin_tokens=suppress,
+                            is_first=jnp.ones((b,), bool))
+            tok_dev = tok_dev.at[slots].set(firsts)
+            pos_dev = pos_dev.at[slots].set(starts + seq_lens)
+            return cache, tok_dev, pos_dev, rng, firsts
 
         @functools.partial(
             jax.jit, donate_argnums=(1, 2, 3),
             static_argnames=("banned", "suppress"))
-        def start_slot(params, cache, tok_dev, pos_dev, slot, ids,
-                       image_embeds, start, seq_len, rng,
-                       samp_row, banned, suppress):
-            return prefill_and_sample(params, cache, tok_dev, pos_dev, slot,
-                                      ids, image_embeds, start, seq_len, rng,
-                                      samp_row, banned, suppress)
+        def start_wave(params, cache, tok_dev, pos_dev, slots, ids,
+                       image_embeds, starts, seq_lens, rng, samp,
+                       banned, suppress):
+            """Fused start for B fresh rollouts (no stored prefix): every
+            row prefills from position 0, so the wave's slot caches begin
+            as zeros (stale rows are masked everywhere by lengths)."""
+            L, _, _, NKV, HD = cache.k.shape
+            b = slots.shape[0]
+            small = KVCache(
+                jnp.zeros((L, b, max_len, NKV, HD), cache.k.dtype),
+                jnp.zeros((L, b, max_len, NKV, HD), cache.v.dtype))
+            return wave_core(params, cache, tok_dev, pos_dev, slots, ids,
+                             image_embeds, starts, seq_lens, rng, samp,
+                             small, banned, suppress)
 
         @functools.partial(
             jax.jit, donate_argnums=(1, 2, 3),
-            static_argnames=("m", "banned", "suppress"))
-        def start_slot_paged(params, cache, tok_dev, pos_dev, slot, ids,
-                             image_embeds, start, seq_len, rng, pool_k,
-                             pool_v, page_ids, samp_row, m, banned,
-                             suppress):
-            """Fused prefix-restore (page-table gather) + prefill + first
-            sample: still ONE device program per start."""
+            static_argnames=("banned", "suppress"))
+        def start_wave_paged(params, cache, tok_dev, pos_dev, slots, ids,
+                             image_embeds, starts, seq_lens, rng, pool_k,
+                             pool_v, page_tab, samp, banned, suppress):
+            """Fused prefix-restore + prefill + first sample for B rollouts
+            with PER-SLOT page tables -- one device program per wave.
+
+            ``page_tab`` is [B, m_cap] with a FIXED page count (the whole
+            slot), padding short tables with filler pages: the page-count
+            dimension stays out of the jit cache key, so MCTS waves mixing
+            arbitrary tree depths (and rows without any prefix at all)
+            share ONE compiled program per (B, bucket). Filler/garbage rows
+            land above each row's valid prefix and are masked everywhere by
+            lengths (StoredPrefix invariant, see module docstring)."""
             L, _, _, NKV, HD = cache.k.shape
-            rows_k = pool_k[:, page_ids].reshape(L, 1, m * page, NKV, HD)
-            rows_v = pool_v[:, page_ids].reshape(L, 1, m * page, NKV, HD)
-            cache = KVCache(
-                jax.lax.dynamic_update_slice(
-                    cache.k, rows_k.astype(cache.k.dtype),
-                    (0, slot, 0, 0, 0)),
-                jax.lax.dynamic_update_slice(
-                    cache.v, rows_v.astype(cache.v.dtype),
-                    (0, slot, 0, 0, 0)))
-            return prefill_and_sample(params, cache, tok_dev, pos_dev, slot,
-                                      ids, image_embeds, start, seq_len, rng,
-                                      samp_row, banned, suppress)
+            b = slots.shape[0]
+            small = KVCache(
+                pool_k[:, page_tab].reshape(L, b, m_cap * page, NKV, HD)
+                .astype(cache.k.dtype),
+                pool_v[:, page_tab].reshape(L, b, m_cap * page, NKV, HD)
+                .astype(cache.v.dtype))
+            return wave_core(params, cache, tok_dev, pos_dev, slots, ids,
+                             image_embeds, starts, seq_lens, rng, samp,
+                             small, banned, suppress)
 
         @functools.partial(
             jax.jit, donate_argnums=(1, 2, 3),
@@ -271,46 +297,6 @@ class DecodeEngine:
                 body, (tok_dev, pos_dev, done0, cache, rng), None, length=k)
             return toks, cache, tok_dev, pos_dev, rng
 
-        @functools.partial(
-            jax.jit, donate_argnums=(1, 2, 3),
-            static_argnames=("m", "banned", "suppress"))
-        def start_slots(params, cache, tok_dev, pos_dev, slots, ids,
-                        image_embeds, start, seq_lens, rng, pool_k, pool_v,
-                        page_ids, samp, m, banned, suppress):
-            """Batched fused start: B same-bucket rollouts (optionally all
-            restoring ONE shared paged prefix) prefill + sample their first
-            tokens in a single device program. One dispatch per burst
-            instead of one per rollout -- GRPO groups and sample_batch
-            waves under axon dispatch latency."""
-            L, _, _, NKV, HD = cache.k.shape
-            b = slots.shape[0]
-            if m:
-                rows_k = pool_k[:, page_ids].reshape(L, 1, m * page, NKV, HD)
-                rows_v = pool_v[:, page_ids].reshape(L, 1, m * page, NKV, HD)
-                cache = KVCache(
-                    cache.k.at[:, slots, :m * page].set(jnp.broadcast_to(
-                        rows_k.astype(cache.k.dtype),
-                        (L, b, m * page, NKV, HD))),
-                    cache.v.at[:, slots, :m * page].set(jnp.broadcast_to(
-                        rows_v.astype(cache.v.dtype),
-                        (L, b, m * page, NKV, HD))))
-            small = KVCache(cache.k[:, slots], cache.v[:, slots])
-            starts = jnp.full_like(seq_lens, start)
-            logits, small = detikzify.prefill(
-                params, cfg, ids, image_embeds, starts, seq_lens, small)
-            cache = KVCache(cache.k.at[:, slots].set(small.k),
-                            cache.v.at[:, slots].set(small.v))
-            rng, sub = jax.random.split(rng)
-            firsts = sample(logits, sub,
-                            temperature=samp[:, 0], top_p=samp[:, 1],
-                            top_k=samp[:, 2].astype(jnp.int32),
-                            banned_tokens=banned,
-                            suppress_begin_tokens=suppress,
-                            is_first=jnp.ones((b,), bool))
-            tok_dev = tok_dev.at[slots].set(firsts)
-            pos_dev = pos_dev.at[slots].set(start + seq_lens)
-            return cache, tok_dev, pos_dev, rng, firsts
-
         @functools.partial(jax.jit, donate_argnums=(0, 1),
                            static_argnames=("m",))
         def save_pages(pool_k, pool_v, cache_k, cache_v, slot, page_ids,
@@ -345,9 +331,8 @@ class DecodeEngine:
 
             self._encode_image_adapter = encode_image_adapter
 
-        self._start_slot = start_slot
-        self._start_slot_paged = start_slot_paged
-        self._start_slots = start_slots
+        self._start_wave = start_wave
+        self._start_wave_paged = start_wave_paged
         self._decode_many = decode_many
         self._save_pages = save_pages
         self._encode_image = encode_image
@@ -462,6 +447,88 @@ class DecodeEngine:
     # rollout lifecycle
     # ------------------------------------------------------------------
 
+    def _launch_group(self, rollouts: List[Rollout],
+                      prefixes: List[Optional[StoredPrefix]],
+                      image_embeds: Optional[jnp.ndarray]) -> None:
+        """Dispatch ONE fused start program for these rollouts.
+
+        Each row may carry its own stored prefix (or none): restores go
+        through per-slot page tables of fixed width, so any mix of tree
+        depths shares one compiled program per (B, bucket). Starts are
+        lazy; first tokens arrive at the next ``step()``/``flush()``."""
+        b = len(rollouts)
+        use_paged = any(pf is not None for pf in prefixes)
+        page_tab = np.zeros((b, self._m_cap), np.int32)
+        starts_l: List[int] = []
+        tails: List[List[int]] = []
+        for i, (ro, pf) in enumerate(zip(rollouts, prefixes)):
+            start_pos = 0
+            if pf is not None:
+                start_pos = min(pf.length, len(ro.token_ids) - 1)
+                page_tab[i, :len(pf.pages)] = pf.pages
+                self.counters["prefix_starts"] += 1
+            starts_l.append(start_pos)
+            tails.append(ro.token_ids[start_pos:])
+        bucket = _bucket(max(len(t) for t in tails), self.max_len)
+        ids = np.zeros((b, bucket), np.int32)
+        for i, t in enumerate(tails):
+            ids[i, :len(t)] = t
+        if image_embeds is None:
+            image_embeds = jnp.zeros(
+                (1, self.cfg.image_seq_len, self.cfg.text.hidden_size),
+                self.params.text["embed_tokens"].dtype)
+        if image_embeds.shape[0] == 1 and b > 1:
+            image_embeds = jnp.broadcast_to(
+                image_embeds, (b,) + image_embeds.shape[1:])
+
+        slots = [ro.slot for ro in rollouts]
+        self.counters["starts"] += b
+        self.counters["start_dispatches"] += 1
+        self.counters["prefill_tokens"] += sum(len(t) for t in tails)
+        self.counters["prefill_tokens_saved"] += sum(starts_l)
+        args = (self.params, self.cache, self._tok_dev, self._pos_dev,
+                jnp.asarray(slots, jnp.int32), jnp.asarray(ids),
+                image_embeds, jnp.asarray(starts_l, jnp.int32),
+                jnp.asarray([len(t) for t in tails], jnp.int32), self.rng)
+        samp = jnp.asarray(self._samp_host[slots])
+        if use_paged:
+            (self.cache, self._tok_dev, self._pos_dev, self.rng,
+             firsts) = self._start_wave_paged(
+                *args, self._pool.k, self._pool.v, jnp.asarray(page_tab),
+                samp, banned=self._banned(), suppress=self._suppress())
+        else:
+            (self.cache, self._tok_dev, self._pos_dev, self.rng,
+             firsts) = self._start_wave(
+                *args, samp, banned=self._banned(),
+                suppress=self._suppress())
+        for i, ro in enumerate(rollouts):
+            self._rollouts[ro.slot] = ro
+            self._active[ro.slot] = True
+            self._first_pending[ro.slot] = firsts[i]
+
+    def _make_rollout(self, token_ids: Sequence[int], max_new_tokens: int,
+                      sampling: Optional[SamplingParams],
+                      on_token) -> Rollout:
+        slot = self._free_slots.pop()
+        sp = sampling if sampling is not None else self.sampling
+        self._samp_host[slot] = (sp.temperature, sp.top_p, float(sp.top_k))
+        return Rollout(slot=slot, prompt_len=len(token_ids),
+                       token_ids=list(token_ids),
+                       max_new_tokens=max(
+                           min(max_new_tokens,
+                               self.max_len - 1 - len(token_ids)), 1),
+                       on_token=on_token)
+
+    @staticmethod
+    def _check_prefix(token_ids: Sequence[int],
+                      prefix: Optional[StoredPrefix]
+                      ) -> Optional[StoredPrefix]:
+        if prefix is None or prefix.dropped:
+            return None     # evicted: its pages may have been recycled
+        assert tuple(token_ids[:prefix.length]) == prefix.token_ids, \
+            "prefix mismatch"
+        return prefix
+
     def start(
         self,
         token_ids: Sequence[int],
@@ -483,57 +550,10 @@ class DecodeEngine:
         if not self._free_slots:
             raise RuntimeError("no free slots")
         token_ids = list(token_ids)
-        slot = self._free_slots.pop()
-        sp = sampling if sampling is not None else self.sampling
-        self._samp_host[slot] = (sp.temperature, sp.top_p, float(sp.top_k))
-        ro = Rollout(slot=slot, prompt_len=len(token_ids),
-                     token_ids=list(token_ids),
-                     max_new_tokens=max(
-                         min(max_new_tokens,
-                             self.max_len - 1 - len(token_ids)), 1),
-                     on_token=on_token)
-
-        if prefix is not None and prefix.dropped:
-            prefix = None   # evicted: its pages may have been recycled
-        start_pos = 0
-        if prefix is not None:
-            assert tuple(token_ids[:prefix.length]) == prefix.token_ids, \
-                "prefix mismatch"
-            start_pos = min(prefix.length, len(token_ids) - 1)
-
-        tail = token_ids[start_pos:]
-        bucket = _bucket(len(tail), self.max_len)
-        ids = np.zeros((1, bucket), np.int32)
-        ids[0, :len(tail)] = tail
-        if image_embeds is None:
-            image_embeds = jnp.zeros(
-                (1, self.cfg.image_seq_len, self.cfg.text.hidden_size),
-                self.params.text["embed_tokens"].dtype)
-
-        samp_row = jnp.asarray(self._samp_host[slot])
-        args = (self.params, self.cache, self._tok_dev, self._pos_dev,
-                jnp.int32(slot), jnp.asarray(ids), image_embeds,
-                jnp.int32(start_pos), jnp.int32(len(tail)), self.rng)
-        self.counters["starts"] += 1
-        self.counters["prefill_tokens"] += len(tail)
-        self.counters["prefill_tokens_saved"] += start_pos
-        if prefix is not None:
-            self.counters["prefix_starts"] += 1
-            (self.cache, self._tok_dev, self._pos_dev, self.rng,
-             first) = self._start_slot_paged(
-                *args, self._pool.k, self._pool.v,
-                jnp.asarray(prefix.pages, jnp.int32), samp_row=samp_row,
-                m=len(prefix.pages), banned=self._banned(),
-                suppress=self._suppress())
-        else:
-            (self.cache, self._tok_dev, self._pos_dev, self.rng,
-             first) = self._start_slot(
-                *args, samp_row=samp_row, banned=self._banned(),
-                suppress=self._suppress())
-
-        self._rollouts[slot] = ro
-        self._active[slot] = True
-        self._first_pending[slot] = first
+        prefix = self._check_prefix(token_ids, prefix)
+        ro = self._make_rollout(token_ids, max_new_tokens, sampling,
+                                on_token)
+        self._launch_group([ro], [prefix], image_embeds)
         if not lazy:
             self.flush()
         return ro
@@ -543,82 +563,47 @@ class DecodeEngine:
         prompts: Sequence[Sequence[int]],
         image_embeds: Optional[jnp.ndarray] = None,   # [B,seq,H] or [1,..]
         *,
-        max_new_tokens: int = 1024,
+        max_new_tokens=1024,                          # int or per-prompt seq
         prefix: Optional[StoredPrefix] = None,        # shared by all
+        prefixes: Optional[Sequence[Optional[StoredPrefix]]] = None,
         sampling: Optional[SamplingParams] = None,
         on_token: Optional[Callable[[int], None]] = None,
     ) -> List[Rollout]:
-        """Start a BURST of rollouts in one fused device program.
+        """Start a BURST of rollouts in fused device programs.
 
-        All prompts share one prefill bucket (and optionally one stored
-        prefix -- e.g. GRPO's g rollouts from the same image prompt).
-        Cost: one dispatch per burst vs one per rollout. Starts are lazy;
-        first tokens arrive at the next step()/flush()."""
+        Rollouts may share one stored prefix (``prefix`` -- e.g. GRPO's g
+        rollouts from one image prompt) or carry per-prompt ``prefixes``
+        (MCTS expansion waves mixing tree depths). Bursts are chunked into
+        power-of-two group sizes so the jit cache stays bounded: cost is
+        one dispatch per chunk vs one per rollout. Starts are lazy; first
+        tokens arrive at the next ``step()``/``flush()``."""
         b = len(prompts)
         assert b >= 1
         if b > len(self._free_slots):
             raise RuntimeError("no free slots")
-        if prefix is not None and prefix.dropped:
-            prefix = None
-        start_pos = 0
-        if prefix is not None:
-            for p in prompts:
-                assert tuple(p[:prefix.length]) == prefix.token_ids, \
-                    "prefix mismatch"
-            start_pos = min(prefix.length,
-                            min(len(p) for p in prompts) - 1)
-            if start_pos < prefix.length:
-                prefix = None       # degenerate: fall back to full prefill
-                start_pos = 0
-
-        tails = [list(p)[start_pos:] for p in prompts]
-        bucket = _bucket(max(len(t) for t in tails), self.max_len)
-        ids = np.zeros((b, bucket), np.int32)
-        for i, t in enumerate(tails):
-            ids[i, :len(t)] = t
-        if image_embeds is None:
-            image_embeds = jnp.zeros(
-                (1, self.cfg.image_seq_len, self.cfg.text.hidden_size),
-                self.params.text["embed_tokens"].dtype)
-        if image_embeds.shape[0] == 1 and b > 1:
+        if prefixes is None:
+            prefixes = [prefix] * b
+        assert len(prefixes) == b
+        pfs = [self._check_prefix(p, pf)
+               for p, pf in zip(prompts, prefixes)]
+        mnt = (list(max_new_tokens)
+               if isinstance(max_new_tokens, (list, tuple))
+               else [max_new_tokens] * b)
+        assert len(mnt) == b
+        rollouts = [self._make_rollout(list(p), m, sampling, on_token)
+                    for p, m in zip(prompts, mnt)]
+        if (image_embeds is not None and image_embeds.shape[0] == 1
+                and b > 1):
             image_embeds = jnp.broadcast_to(
                 image_embeds, (b,) + image_embeds.shape[1:])
-
-        sp = sampling if sampling is not None else self.sampling
-        rollouts, slots = [], []
-        for p in prompts:
-            slot = self._free_slots.pop()
-            slots.append(slot)
-            self._samp_host[slot] = (sp.temperature, sp.top_p,
-                                     float(sp.top_k))
-            rollouts.append(Rollout(
-                slot=slot, prompt_len=len(p), token_ids=list(p),
-                max_new_tokens=max(
-                    min(max_new_tokens, self.max_len - 1 - len(p)), 1),
-                on_token=on_token))
-        self.counters["starts"] += b
-        self.counters["prefill_tokens"] += sum(len(t) for t in tails)
-        self.counters["prefill_tokens_saved"] += start_pos * b
-        if prefix is not None:
-            self.counters["prefix_starts"] += b
-            page_ids = jnp.asarray(prefix.pages, jnp.int32)
-            m = len(prefix.pages)
-        else:
-            page_ids = jnp.zeros((0,), jnp.int32)
-            m = 0
-        (self.cache, self._tok_dev, self._pos_dev, self.rng,
-         firsts) = self._start_slots(
-            self.params, self.cache, self._tok_dev, self._pos_dev,
-            jnp.asarray(slots, jnp.int32), jnp.asarray(ids), image_embeds,
-            jnp.int32(start_pos),
-            jnp.asarray([len(t) for t in tails], jnp.int32), self.rng,
-            self._pool.k, self._pool.v, page_ids,
-            jnp.asarray(self._samp_host[slots]), m=m,
-            banned=self._banned(), suppress=self._suppress())
-        for i, (slot, ro) in enumerate(zip(slots, rollouts)):
-            self._rollouts[slot] = ro
-            self._active[slot] = True
-            self._first_pending[slot] = firsts[i]
+        i = 0
+        while i < b:
+            n = 1
+            while n * 2 <= b - i and n * 2 <= self.num_slots:
+                n *= 2
+            emb = None if image_embeds is None else image_embeds[i:i + n]
+            self._launch_group(rollouts[i:i + n], pfs[i:i + n], emb)
+            i += n
         return rollouts
 
     def flush(self) -> List[Rollout]:

@@ -439,7 +439,7 @@ class DetikzifyGenerator:
     class _Expansion:
         __slots__ = ("node", "path", "ro", "boundary", "line", "num_lines",
                      "continuation", "processed", "new_nodes", "stopped",
-                     "future", "t0")
+                     "future", "t0", "prompt", "prefix")
 
         def __init__(self, node, path):
             self.node = node
@@ -449,6 +449,8 @@ class DetikzifyGenerator:
             self.stopped = False
             self.future = None
             self.t0 = time.time()
+            self.prompt = None      # token ids to roll out from (None=leaf)
+            self.prefix = None      # StoredPrefix to restore, if any
 
     def _select_leaf(self) -> WideNode:
         node = self.montecarlo.root_node
@@ -467,7 +469,10 @@ class DetikzifyGenerator:
             n = n.parent
         return path
 
-    def _launch_expansion(self) -> "_Expansion":
+    def _prepare_expansion(self) -> "_Expansion":
+        """Select a leaf (with virtual loss) and resolve its rollout prompt
+        + stored prefix, WITHOUT starting it: waves of prepared expansions
+        launch together through one fused burst start."""
         node = self._select_leaf()
         exp = self._Expansion(node, self._virtual_loss(node))
         ids = list(node.state.token_ids)
@@ -479,17 +484,27 @@ class DetikzifyGenerator:
         if prefix is not None:
             self.stats["prefix_hits"] += 1
             self.stats["prefix_tokens_saved"] += prefix.length
-        exp.ro = self.engine.start(
-            ids, image_embeds=self.image_embeds,
-            max_new_tokens=self.max_length - len(ids),
-            prefix=prefix, on_token=self.on_token, lazy=True,
-            sampling=self.sampling)
-        exp.boundary = ids
-        exp.line = []
-        exp.num_lines = node.state.num_lines
-        exp.continuation = False
-        exp.processed = len(ids)
+        exp.prompt = ids
+        exp.prefix = prefix
         return exp
+
+    def _launch_wave(self, wave: List["_Expansion"]) -> None:
+        """Start a wave of prepared expansions as fused burst programs (one
+        dispatch per power-of-two chunk instead of one per expansion)."""
+        ros = self.engine.start_many(
+            [exp.prompt for exp in wave],
+            image_embeds=self.image_embeds,
+            max_new_tokens=[self.max_length - len(exp.prompt)
+                            for exp in wave],
+            prefixes=[exp.prefix for exp in wave],
+            sampling=self.sampling, on_token=self.on_token)
+        for exp, ro in zip(wave, ros):
+            exp.ro = ro
+            exp.boundary = list(exp.prompt)
+            exp.line = []
+            exp.num_lines = exp.node.state.num_lines
+            exp.continuation = False
+            exp.processed = len(exp.prompt)
 
     def _advance_segmentation(self, exp: "_Expansion") -> None:
         """Consume newly decoded tokens, cutting nodes at line boundaries
@@ -603,19 +618,25 @@ class DetikzifyGenerator:
 
         try:
             while target is None or completed < target:
+                wave: List = []
                 while ((target is None or launched < target)
-                       and len(decoding) + len(compiling) < parallelism
-                       and self.engine.num_active < self.engine.num_slots
+                       and len(decoding) + len(compiling) + len(wave)
+                       < parallelism
+                       and self.engine.num_active + len(wave)
+                       < self.engine.num_slots
                        and not timed_out()
                        and not self.control.should_stop):
-                    exp = self._launch_expansion()
+                    exp = self._prepare_expansion()
                     launched += 1
-                    if exp.ro is None:          # terminal state
+                    if exp.prompt is None:      # terminal state
                         exp.future = self.compiler.submit_doc(
                             self.decode(exp.node.token_ids))
                         compiling.append(exp)
                     else:
-                        decoding.append(exp)
+                        wave.append(exp)
+                if wave:
+                    self._launch_wave(wave)
+                    decoding.extend(wave)
 
                 if decoding:
                     self.engine.step()

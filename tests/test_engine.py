@@ -225,3 +225,41 @@ def test_start_many_matches_individual_starts(setup):
         eng.release(r)
     # burst counted as ONE start dispatch worth of prefix restores
     assert eng.counters["prefix_starts"] >= 2
+
+
+def test_start_many_heterogeneous_prefixes(setup):
+    """A burst mixing PER-PROMPT prefixes of different depths (and a row
+    with no prefix at all) must reproduce individual starts exactly --
+    the MCTS expansion-wave shape."""
+    cfg, params = setup
+    eng = DecodeEngine(params, cfg, num_slots=4, max_len=96, page_size=16,
+                       sampling=SamplingParams(temperature=0.0))
+    root = [cfg.bos_token_id] + list(range(1, 33))          # 33 tokens
+    r0 = eng.start(root, max_new_tokens=4)
+    eng.run()
+    sp_root = eng.store_prefix("r", r0, length=32)          # 2 pages
+    eng.release(r0)
+    deep = root + [91, 92, 93] + list(range(100, 113))      # 49 tokens
+    r1 = eng.start(deep, max_new_tokens=4, prefix=sp_root)
+    eng.run()
+    sp_deep = eng.store_prefix("d", r1, length=48)          # 3 pages (CoW)
+    eng.release(r1)
+
+    prompts = [root + [70],                 # shallow prefix (2 pages)
+               deep + [71, 72],             # deep prefix (3 pages)
+               [cfg.bos_token_id, 60, 61]]  # no prefix
+    prefixes = [sp_root, sp_deep, None]
+    before = eng.counters["prefill_tokens"]
+    ros = eng.start_many(prompts, max_new_tokens=6, prefixes=prefixes)
+    eng.run()
+    burst = [list(r.token_ids) for r in ros]
+    for r in ros:
+        eng.release(r)
+    # tail-only prefill: 2 + 3 + 3 tokens embedded (bucketed block padding
+    # is masked), never the restored prefixes
+    assert eng.counters["prefill_tokens"] - before == 2 + 3 + 3
+    for p, pf, got in zip(prompts, prefixes, burst):
+        r = eng.start(p, max_new_tokens=6, prefix=pf)
+        eng.run()
+        assert list(r.token_ids) == got
+        eng.release(r)

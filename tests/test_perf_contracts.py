@@ -105,7 +105,7 @@ def test_sampling_overrides_do_not_recompile(setup):
                    sampling=SamplingParams(temperature=0.7, top_p=0.9))
     eng.run()
     eng.release(ro)
-    n_start = eng._start_slot._cache_size()
+    n_start = eng._start_wave._cache_size()
     n_decode = eng._decode_many._cache_size()
     for t, p, k in [(0.0, 1.0, 0), (1.3, 0.5, 5), (0.2, 0.99, 50)]:
         ro = eng.start([cfg.bos_token_id, 2], max_new_tokens=4,
@@ -113,8 +113,35 @@ def test_sampling_overrides_do_not_recompile(setup):
                                                top_k=k))
         eng.run()
         eng.release(ro)
-    assert eng._start_slot._cache_size() == n_start
+    assert eng._start_wave._cache_size() == n_start
     assert eng._decode_many._cache_size() == n_decode
+
+
+def test_parallel_wave_batches_starts(setup):
+    """A parallel MCTS expansion wave must start its rollouts through fused
+    burst programs (power-of-two chunks), not one dispatch per expansion --
+    dispatch latency on remote TPU tunnels makes per-rollout starts the
+    dominant wave cost."""
+    cfg, params, tok = setup
+    set_backend(FakeBackend())
+    try:
+        eng = DecodeEngine(params, cfg, num_slots=4, max_len=96,
+                           page_size=16)
+        gen = DetikzifyGenerator(
+            engine=eng, processor=DetikzifyProcessor(tok, cfg),
+            image=_figure(), metric=None,
+            compile_service=CompileService(workers=1,
+                                           backend=FakeBackend()))
+        for _ in gen.simulate(expansions=8, parallelism=4):
+            pass
+        c = eng.counters
+        # the first full wave of 4 expansions must be ONE fused program
+        # (later refills may be smaller chunks, terminal leaves none)
+        assert c["starts"] >= 4
+        assert c["start_dispatches"] <= c["starts"] - 3
+        gen.close()
+    finally:
+        set_backend(None)
 
 
 def _figure():
