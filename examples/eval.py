@@ -16,7 +16,7 @@ from detikzify_tpu.evaluate.harness import (PredictionCache,
                                             mean_sampling_throughput,
                                             mean_token_efficiency,
                                             shard_indices)
-from detikzify_tpu.infer import DetikzifyPipeline, TikzDocument
+from detikzify_tpu.infer import TikzDocument
 from detikzify_tpu.models.load import load
 
 
@@ -38,27 +38,39 @@ def parse_args():
 
 
 def predict(name, ckpt, testset, cache_dir, timeout, parallelism=8):
+    """Striped across processes (multi-host) AND across this host's chips:
+    one model replica per local device, as the reference places one replica
+    per torchrun rank (reference examples/eval.py:110-133)."""
+    import jax
+
+    from detikzify_tpu.parallel.replicas import ReplicaPool
+
     params, cfg, processor = load(ckpt)
-    pipeline = DetikzifyPipeline(params, cfg, processor,
-                                 metric="model" if timeout else "fast")
+    metric = "model" if timeout else "fast"
+    pool = ReplicaPool(params, cfg, processor, metric=metric,
+                       devices=jax.local_devices())
     os.makedirs(cache_dir, exist_ok=True)
     cache = PredictionCache(os.path.join(cache_dir, f"{name}.jsonl"))
-    local = []
+    local, todo = [], []
     for idx in shard_indices(len(testset)):
         key = f"{name}-{idx}"
         hit = cache.get(key)
         if hit is not None:
             local.append((idx, hit))
-            continue
-        result = generate_until_compilable(
-            pipeline, testset[idx]["image"],
-            score_improve=bool(timeout), min_seconds=timeout or 0.0,
-            parallelism=parallelism)
+        else:
+            todo.append(idx)
+    results = pool.map_until_compilable(
+        [testset[idx]["image"] for idx in todo],
+        score_improve=bool(timeout), min_seconds=timeout or 0.0,
+        parallelism=parallelism)
+    for idx, result in zip(todo, results):
+        if isinstance(result, Exception):
+            raise result
         row = {"code": result.best_code, "score": result.best_score,
                "num_programs": result.num_programs,
                "lengths": result.program_lengths,
                "seconds": result.seconds}
-        cache.put(key, row)
+        cache.put(f"{name}-{idx}", row)
         local.append((idx, row))
     return gather_interleaved(local, len(testset)), params, cfg, processor
 
