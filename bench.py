@@ -182,7 +182,7 @@ def main():
     ImageDraw.Draw(img).rectangle([10, 10, 90, 90], outline="black")
     list(pipe.simulate(image=img, expansions=1, max_length=365))  # warmup
     rollout_rates = {}
-    for par, reps in ((1, 1), (8, 2)):      # par8 best-of-2: tunnel jitter
+    for par, reps in ((1, 2), (8, 2)):      # best-of-2: tunnel jitter
         best = 0.0
         for _ in range(reps):
             t0 = time.time()
