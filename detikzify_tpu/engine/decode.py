@@ -193,14 +193,15 @@ class DecodeEngine:
         m_cap = self._m_cap
 
         def wave_core(params, cache, tok_dev, pos_dev, slots, ids,
-                      image_embeds, starts, seq_lens, rng, samp, small,
-                      banned, suppress):
+                      image_embeds, starts, seq_lens, img_offsets, rng,
+                      samp, small, banned, suppress):
             """Shared tail of every fused start: bucketed prefill over the
             wave's ``small`` per-slot caches + first-token sampling, all in
             the enclosing single device program."""
             b = slots.shape[0]
             logits, small = detikzify.prefill(
-                params, cfg, ids, image_embeds, starts, seq_lens, small)
+                params, cfg, ids, image_embeds, starts, seq_lens, small,
+                image_offsets=img_offsets)
             cache = KVCache(cache.k.at[:, slots].set(small.k),
                             cache.v.at[:, slots].set(small.v))
             rng, sub = jax.random.split(rng)
@@ -218,8 +219,8 @@ class DecodeEngine:
             jax.jit, donate_argnums=(1, 2, 3),
             static_argnames=("banned", "suppress"))
         def start_wave(params, cache, tok_dev, pos_dev, slots, ids,
-                       image_embeds, starts, seq_lens, rng, samp,
-                       banned, suppress):
+                       image_embeds, starts, seq_lens, img_offsets, rng,
+                       samp, banned, suppress):
             """Fused start for B fresh rollouts (no stored prefix): every
             row prefills from position 0, so the wave's slot caches begin
             as zeros (stale rows are masked everywhere by lengths)."""
@@ -229,15 +230,16 @@ class DecodeEngine:
                 jnp.zeros((L, b, max_len, NKV, HD), cache.k.dtype),
                 jnp.zeros((L, b, max_len, NKV, HD), cache.v.dtype))
             return wave_core(params, cache, tok_dev, pos_dev, slots, ids,
-                             image_embeds, starts, seq_lens, rng, samp,
-                             small, banned, suppress)
+                             image_embeds, starts, seq_lens, img_offsets,
+                             rng, samp, small, banned, suppress)
 
         @functools.partial(
             jax.jit, donate_argnums=(1, 2, 3),
             static_argnames=("banned", "suppress"))
         def start_wave_paged(params, cache, tok_dev, pos_dev, slots, ids,
-                             image_embeds, starts, seq_lens, rng, pool_k,
-                             pool_v, page_tab, samp, banned, suppress):
+                             image_embeds, starts, seq_lens, img_offsets,
+                             rng, pool_k, pool_v, page_tab, samp, banned,
+                             suppress):
             """Fused prefix-restore + prefill + first sample for B rollouts
             with PER-SLOT page tables -- one device program per wave.
 
@@ -256,8 +258,8 @@ class DecodeEngine:
                 pool_v[:, page_tab].reshape(L, b, m_cap * page, NKV, HD)
                 .astype(cache.v.dtype))
             return wave_core(params, cache, tok_dev, pos_dev, slots, ids,
-                             image_embeds, starts, seq_lens, rng, samp,
-                             small, banned, suppress)
+                             image_embeds, starts, seq_lens, img_offsets,
+                             rng, samp, small, banned, suppress)
 
         @functools.partial(
             jax.jit, donate_argnums=(1, 2, 3),
@@ -340,6 +342,14 @@ class DecodeEngine:
     # ------------------------------------------------------------------
     # prefix store
     # ------------------------------------------------------------------
+
+    def _put(self, x) -> jnp.ndarray:
+        """Transient host array -> device array, committed to the engine's
+        device when one is set (replica engines on chips 1..R-1 must not
+        route per-dispatch scalars through the default device)."""
+        if self.device is not None:
+            return jax.device_put(x, self.device)
+        return jnp.asarray(x)
 
     def _alloc_pages(self, n: int) -> Optional[List[int]]:
         """Pop n free pages, LRU-evicting stored prefixes as needed."""
@@ -460,7 +470,9 @@ class DecodeEngine:
         use_paged = any(pf is not None for pf in prefixes)
         page_tab = np.zeros((b, self._m_cap), np.int32)
         starts_l: List[int] = []
+        img_offsets: List[int] = []
         tails: List[List[int]] = []
+        image_tok = self.cfg.image_token_id
         for i, (ro, pf) in enumerate(zip(rollouts, prefixes)):
             start_pos = 0
             if pf is not None:
@@ -468,6 +480,11 @@ class DecodeEngine:
                 page_tab[i, :len(pf.pages)] = pf.pages
                 self.counters["prefix_starts"] += 1
             starts_l.append(start_pos)
+            # image tokens already in the restored cache before this block:
+            # a re-prefilled image token must receive its TRUE position's
+            # embedding, not image_embeds[:, 0] (GRPO prompts are all image
+            # tokens, so their prefix-restored tails hit this)
+            img_offsets.append(ro.token_ids[:start_pos].count(image_tok))
             tails.append(ro.token_ids[start_pos:])
         bucket = _bucket(max(len(t) for t in tails), self.max_len)
         ids = np.zeros((b, bucket), np.int32)
@@ -486,15 +503,17 @@ class DecodeEngine:
         self.counters["start_dispatches"] += 1
         self.counters["prefill_tokens"] += sum(len(t) for t in tails)
         self.counters["prefill_tokens_saved"] += sum(starts_l)
+        dev = self._put
         args = (self.params, self.cache, self._tok_dev, self._pos_dev,
-                jnp.asarray(slots, jnp.int32), jnp.asarray(ids),
-                image_embeds, jnp.asarray(starts_l, jnp.int32),
-                jnp.asarray([len(t) for t in tails], jnp.int32), self.rng)
-        samp = jnp.asarray(self._samp_host[slots])
+                dev(np.asarray(slots, np.int32)), dev(ids),
+                image_embeds, dev(np.asarray(starts_l, np.int32)),
+                dev(np.asarray([len(t) for t in tails], np.int32)),
+                dev(np.asarray(img_offsets, np.int32)), self.rng)
+        samp = dev(self._samp_host[slots])
         if use_paged:
             (self.cache, self._tok_dev, self._pos_dev, self.rng,
              firsts) = self._start_wave_paged(
-                *args, self._pool.k, self._pool.v, jnp.asarray(page_tab),
+                *args, self._pool.k, self._pool.v, dev(page_tab),
                 samp, banned=self._banned(), suppress=self._suppress())
         else:
             (self.cache, self._tok_dev, self._pos_dev, self.rng,
@@ -599,7 +618,7 @@ class DecodeEngine:
         i = 0
         while i < b:
             n = 1
-            while n * 2 <= b - i and n * 2 <= self.num_slots:
+            while n * 2 <= b - i:    # largest power of two that still fits
                 n *= 2
             emb = None if image_embeds is None else image_embeds[i:i + n]
             self._launch_group(rollouts[i:i + n], pfs[i:i + n], emb)
@@ -683,8 +702,8 @@ class DecodeEngine:
         toks_dev, self.cache, self._tok_dev, self._pos_dev, self.rng = \
             self._decode_many(
                 self.params, self.cache, self._tok_dev, self._pos_dev,
-                jnp.asarray(self._active), self.rng,
-                jnp.asarray(self._samp_host),
+                self._put(self._active), self.rng,
+                self._put(self._samp_host),
                 k, self._kv_limit(k), self._banned(), self._suppress())
         owners = {slot: ro for slot, ro in self._rollouts.items()
                   if self._active[slot]}
@@ -777,6 +796,8 @@ class DecodeEngine:
 
         With ``adapter_inputs`` (an ``AdapterInputs``), the vision tower is
         caption-conditioned through the TikZero cross-attention blocks."""
+        if self.device is not None:
+            pixel_values = jax.device_put(pixel_values, self.device)
         if adapter_inputs is None:
             return self._encode_image(self.params, pixel_values)
         return self._encode_image_adapter(

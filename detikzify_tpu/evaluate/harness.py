@@ -139,8 +139,11 @@ class PredictionCache:
     """JSONL prediction cache so crashed eval runs resume (eval.py:121-136)."""
 
     def __init__(self, path: str):
+        import threading
+
         self.path = path
         self._data = {}
+        self._lock = threading.Lock()   # replica threads put() concurrently
         if os.path.exists(path):
             with open(path) as f:
                 for line in f:
@@ -152,9 +155,10 @@ class PredictionCache:
 
     def put(self, key: str, value: dict) -> None:
         row = {"key": key, **value}
-        self._data[key] = row
-        with open(self.path, "a") as f:
-            f.write(json.dumps(row) + "\n")
+        with self._lock:
+            self._data[key] = row
+            with open(self.path, "a") as f:
+                f.write(json.dumps(row) + "\n")
 
 
 def shard_indices(n_items: int, process_index: Optional[int] = None,
@@ -173,13 +177,16 @@ def gather_interleaved(local_results: List, n_items: int,
                        process_count: Optional[int] = None) -> List:
     """All-gather striped per-process results back into item order
     (reference uses dist.all_gather_object + interleave, eval.py:125-133).
-    In single-process runs this is a passthrough; multi-process JAX uses
+    ``local_results`` are (item_index, row) pairs; the return value is rows
+    sorted by item index -- in single-process runs too, so callers can mix
+    cache hits and computed items in any order. Multi-process JAX uses
     multihost_utils.process_allgather on serialized payloads."""
     import jax
 
     process_count = process_count or jax.process_count()
     if process_count == 1:
-        return local_results
+        merged = dict(local_results)
+        return [merged[i] for i in range(n_items) if i in merged]
     from jax.experimental import multihost_utils
 
     payload = json.dumps([(i, r) for i, r in local_results]).encode()

@@ -87,17 +87,25 @@ def encode_image(params: Params, cfg: DetikzifyConfig,
 
 def merge_inputs(cfg: DetikzifyConfig, input_ids: jnp.ndarray,
                  inputs_embeds: jnp.ndarray,
-                 image_embeds: jnp.ndarray) -> jnp.ndarray:
+                 image_embeds: jnp.ndarray,
+                 image_offsets: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Scatter image embeddings into the <image> token positions.
 
     jit-safe equivalent of the reference's boolean-mask assignment
     (``inputs_merger``): for each sequence position, if it is the k-th
     ``<image>`` token of its row, take image_embeds[row, k].
+
+    ``image_offsets`` [B] shifts k for PARTIAL blocks: when a prefill block
+    is the tail of a longer prompt (prefix-restored starts), it holds the
+    number of image tokens already in the cache before the block, so a
+    re-prefilled image token still receives its true position's embedding.
     """
     is_image = input_ids == cfg.image_token_id                   # [B, S]
     # k-th image token of the row (0-based); positions beyond the number of
     # provided image tokens clamp into range (mask makes them inert).
     k = jnp.cumsum(is_image.astype(jnp.int32), axis=-1) - 1
+    if image_offsets is not None:
+        k = k + image_offsets[:, None]
     k = jnp.clip(k, 0, image_embeds.shape[1] - 1)
     idx = jnp.broadcast_to(k[..., None], k.shape + (image_embeds.shape[-1],))
     gathered = jnp.take_along_axis(image_embeds, idx, axis=1)    # [B, S, D]
@@ -159,12 +167,14 @@ def prefill(
     seq_len: jnp.ndarray,            # [B] valid lengths in this block
     cache: KVCache,
     *,
+    image_offsets: Optional[jnp.ndarray] = None,   # [B] image toks < start
     attn_impl: str = "auto",
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Prefill a token block; returns (last-valid-token logits [B,V], cache)."""
     embeds = llama.embed(params.text, input_ids)
     if image_embeds is not None:
-        embeds = merge_inputs(cfg, input_ids, embeds, image_embeds)
+        embeds = merge_inputs(cfg, input_ids, embeds, image_embeds,
+                              image_offsets)
     hidden, cache = llama.prefill(params.text, cfg.text, embeds, start,
                                   seq_len, cache, attn_impl=attn_impl)
     last_idx = jnp.maximum(seq_len - 1, 0)  # index within block

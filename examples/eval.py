@@ -59,18 +59,23 @@ def predict(name, ckpt, testset, cache_dir, timeout, parallelism=8):
             local.append((idx, hit))
         else:
             todo.append(idx)
-    results = pool.map_until_compilable(
-        [testset[idx]["image"] for idx in todo],
-        score_improve=bool(timeout), min_seconds=timeout or 0.0,
-        parallelism=parallelism)
-    for idx, result in zip(todo, results):
-        if isinstance(result, Exception):
-            raise result
+
+    def run_item(pipe, idx):
+        # cache each item as it completes: interrupted runs resume
+        result = generate_until_compilable(
+            pipe, testset[idx]["image"],
+            score_improve=bool(timeout), min_seconds=timeout or 0.0,
+            parallelism=parallelism)
         row = {"code": result.best_code, "score": result.best_score,
                "num_programs": result.num_programs,
                "lengths": result.program_lengths,
                "seconds": result.seconds}
         cache.put(f"{name}-{idx}", row)
+        return row
+
+    for idx, row in zip(todo, pool.run(run_item, todo)):
+        if isinstance(row, Exception):
+            raise row
         local.append((idx, row))
     return gather_interleaved(local, len(testset)), params, cfg, processor
 

@@ -227,6 +227,44 @@ def test_start_many_matches_individual_starts(setup):
     assert eng.counters["prefix_starts"] >= 2
 
 
+def test_prefix_restart_with_image_tokens_in_tail(setup):
+    """GRPO shape: the prompt is ALL image tokens and the stored prefix
+    covers the whole prompt, so the re-prefilled one-token tail is an
+    image token. It must receive its true position's image embedding
+    (image_offsets), not image_embeds[:, 0] -- greedy continuations with
+    and without the prefix must match exactly (CLAUDE.md invariant:
+    prefix restore == no-reuse rollout)."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg, params = setup
+    eng = DecodeEngine(params, cfg, num_slots=2, max_len=96, page_size=16,
+                       sampling=SamplingParams(temperature=0.0))
+    prompt = [cfg.image_token_id] * cfg.image_seq_len
+    embeds = jax.random.normal(
+        jax.random.PRNGKey(7),
+        (1, cfg.image_seq_len, cfg.text.hidden_size), jnp.float32) * 0.1
+
+    ro = eng.start(prompt, image_embeds=embeds, max_new_tokens=6)
+    eng.run()
+    want = list(ro.token_ids)
+    sp = eng.store_prefix("img-root", ro, length=len(prompt))
+    eng.release(ro)
+
+    r2 = eng.start(prompt, image_embeds=embeds, max_new_tokens=6, prefix=sp)
+    eng.run()
+    assert list(r2.token_ids) == want
+    eng.release(r2)
+
+    # and through the burst path (GRPO's actual call shape)
+    ros = eng.start_many([prompt, prompt], image_embeds=embeds,
+                         max_new_tokens=6, prefix=sp)
+    eng.run()
+    for r in ros:
+        assert list(r.token_ids) == want
+        eng.release(r)
+
+
 def test_start_many_heterogeneous_prefixes(setup):
     """A burst mixing PER-PROMPT prefixes of different depths (and a row
     with no prefix at all) must reproduce individual starts exactly --
