@@ -124,10 +124,18 @@ class DecodeEngine:
         self.sampling = sampling
         self.eos_token_id = (cfg.eos_token_id if eos_token_id is None
                              else eos_token_id)
+        import contextlib
+
         self.device = device
-        self.cache = llama.init_cache(cfg.text, num_slots, self.max_len,
-                                      cache_dtype)
-        self.rng = jax.random.PRNGKey(0)
+        # allocate engine state DIRECTLY on the target device: building the
+        # KV cache + page pool on the default chip and copying would spike
+        # chip-0 HBM (and pay an extra transfer) for every replica engine
+        dev_ctx = (jax.default_device(device) if device is not None
+                   else contextlib.nullcontext())
+        with dev_ctx:
+            self.cache = llama.init_cache(cfg.text, num_slots, self.max_len,
+                                          cache_dtype)
+            self.rng = jax.random.PRNGKey(0)
         if device is not None:
             self.cache = jax.device_put(self.cache, device)
             self.rng = jax.device_put(self.rng, device)
@@ -152,13 +160,14 @@ class DecodeEngine:
                       * tcfg.num_key_value_heads * tcfg.head_dim
                       * jnp.dtype(cache_dtype).itemsize)
         n_pages = int(min(max(prefix_budget_bytes // page_bytes, 2), 4096))
-        self._pool = KVCache(
-            jnp.zeros((tcfg.num_hidden_layers, n_pages, page_size,
-                       tcfg.num_key_value_heads, tcfg.head_dim),
-                      cache_dtype),
-            jnp.zeros((tcfg.num_hidden_layers, n_pages, page_size,
-                       tcfg.num_key_value_heads, tcfg.head_dim),
-                      cache_dtype))
+        with dev_ctx:
+            self._pool = KVCache(
+                jnp.zeros((tcfg.num_hidden_layers, n_pages, page_size,
+                           tcfg.num_key_value_heads, tcfg.head_dim),
+                          cache_dtype),
+                jnp.zeros((tcfg.num_hidden_layers, n_pages, page_size,
+                           tcfg.num_key_value_heads, tcfg.head_dim),
+                          cache_dtype))
         if device is not None:
             self._pool = jax.device_put(self._pool, device)
             self._tok_dev = jax.device_put(self._tok_dev, device)
@@ -414,9 +423,10 @@ class DecodeEngine:
         if new_ids:
             pk, pv = self._save_pages(
                 self._pool.k, self._pool.v, self.cache.k, self.cache.v,
-                jnp.int32(rollout.slot),
-                jnp.asarray(new_ids, jnp.int32),
-                jnp.int32(len(shared) * self.page), m=len(new_ids))
+                self._put(np.int32(rollout.slot)),
+                self._put(np.asarray(new_ids, np.int32)),
+                self._put(np.int32(len(shared) * self.page)),
+                m=len(new_ids))
             self._pool = KVCache(pk, pv)
             self.counters["prefix_saves"] += 1
         sp = StoredPrefix(pages=shared + tuple(new_ids), length=length,
@@ -436,7 +446,11 @@ class DecodeEngine:
 
     def best_prefix(self, token_ids: Sequence[int], namespace: object = None
                     ) -> Optional[Tuple[object, StoredPrefix]]:
-        """Longest stored prefix in ``namespace`` matching ``token_ids[:len]``."""
+        """Longest stored prefix in ``namespace`` matching ``token_ids[:len]``.
+
+        A hit refreshes the key's LRU position: the hottest prefixes (the
+        root image+prompt above every rollout) must survive pool-pressure
+        eviction, not die in insertion order."""
         best = None
         ids = tuple(token_ids)
         for key, sp in self._prefix_store.items():
@@ -445,7 +459,17 @@ class DecodeEngine:
             if sp.length <= len(ids) and sp.token_ids == ids[:sp.length]:
                 if best is None or sp.length > best[1].length:
                     best = (key, sp)
+        if best is not None and best[0] in self._prefix_lru:
+            self._prefix_lru.remove(best[0])
+            self._prefix_lru.append(best[0])
         return best
+
+    def has_prefix(self, key) -> bool:
+        return key in self._prefix_store
+
+    def drop_prefix(self, key) -> None:
+        """Evict one stored prefix (frees its unshared pages)."""
+        self._drop_key(key)
 
     def drop_namespace(self, namespace: object) -> None:
         """Evict all prefixes belonging to one generator/image."""
@@ -470,9 +494,7 @@ class DecodeEngine:
         use_paged = any(pf is not None for pf in prefixes)
         page_tab = np.zeros((b, self._m_cap), np.int32)
         starts_l: List[int] = []
-        img_offsets: List[int] = []
         tails: List[List[int]] = []
-        image_tok = self.cfg.image_token_id
         for i, (ro, pf) in enumerate(zip(rollouts, prefixes)):
             start_pos = 0
             if pf is not None:
@@ -480,13 +502,24 @@ class DecodeEngine:
                 page_tab[i, :len(pf.pages)] = pf.pages
                 self.counters["prefix_starts"] += 1
             starts_l.append(start_pos)
-            # image tokens already in the restored cache before this block:
-            # a re-prefilled image token must receive its TRUE position's
-            # embedding, not image_embeds[:, 0] (GRPO prompts are all image
-            # tokens, so their prefix-restored tails hit this)
-            img_offsets.append(ro.token_ids[:start_pos].count(image_tok))
             tails.append(ro.token_ids[start_pos:])
         bucket = _bucket(max(len(t) for t in tails), self.max_len)
+        for i, ro in enumerate(rollouts):
+            # the [B, bucket] block writes at per-row start: a start past
+            # max_len - bucket would make dynamic_update_slice CLAMP the
+            # write (silently shifting the whole block). Re-prefill a bit
+            # more of the (matching) prefix instead -- the adjusted tail
+            # still fits: len(p) - (max_len - bucket) <= bucket - 1.
+            if starts_l[i] + bucket > self.max_len:
+                starts_l[i] = self.max_len - bucket
+                tails[i] = ro.token_ids[starts_l[i]:]
+        # image tokens already in the restored cache before each block: a
+        # re-prefilled image token must receive its TRUE position's
+        # embedding, not image_embeds[:, 0] (GRPO prompts are all image
+        # tokens, so their prefix-restored tails hit this)
+        image_tok = self.cfg.image_token_id
+        img_offsets = [ro.token_ids[:s].count(image_tok)
+                       for ro, s in zip(rollouts, starts_l)]
         ids = np.zeros((b, bucket), np.int32)
         for i, t in enumerate(tails):
             ids[i, :len(t)] = t

@@ -337,8 +337,11 @@ class DetikzifyGenerator:
                 # attach only prefixes strictly before the error line; cache
                 # the failing suffix so future rollouts skip regeneration
                 for idx, new_node in enumerate(new_nodes):
-                    info = self._newline.get(new_node.token_ids[-1])
-                    ends_eol = bool(info and info[1])
+                    # reference truthiness: the last token CONTAINS a newline
+                    # (newlineinfo.get(...), generate.py:330-333) -- NOT the
+                    # trailing flag; the final segment of a rollout is the
+                    # only boundary whose last token has no newline at all
+                    ends_eol = new_node.token_ids[-1] in self._newline
                     if new_node.num_lines < errorln and idx < skip_idx:
                         node.add_child(new_node)
                         node = new_node
@@ -380,21 +383,28 @@ class DetikzifyGenerator:
                 break
         return node, nodes_to_merge
 
-    def _store_prefixes_for(self, ro, nodes: List[WideNode]) -> None:
+    def _store_prefixes_for(self, ro, nodes: List[WideNode]) -> List[tuple]:
         """Store KV prefixes (rollout prompt + candidate tree nodes) from a
         live slot. This is what makes child expansions re-prefill only
-        tails; the root image+prompt prefill is computed once per figure."""
+        tails; the root image+prompt prefill is computed once per figure.
+        Returns the candidate-node keys NEWLY stored by this call (so the
+        parallel path can evict candidates that end up unattached)."""
         prompt_ids = tuple(ro.token_ids[:ro.prompt_len])
         self.engine.store_prefix((self.namespace, prompt_ids), ro,
                                  length=ro.prompt_len,
                                  namespace=self.namespace)
+        new_keys = []
         for new_node in nodes:
             n = len(new_node.token_ids)
             if (n <= ro.length
                     and tuple(ro.token_ids[:n]) == new_node.token_ids):
-                self.engine.store_prefix(
-                    (self.namespace, new_node.state), ro, length=n,
-                    namespace=self.namespace)
+                key = (self.namespace, new_node.state)
+                if self.engine.has_prefix(key):
+                    continue    # stored by an earlier rollout: not ours
+                if self.engine.store_prefix(key, ro, length=n,
+                                            namespace=self.namespace):
+                    new_keys.append((key, new_node.state))
+        return new_keys
 
     def _finish_rollout(self, attached: List[WideNode]) -> None:
         ro = self._pending_rollout
@@ -426,6 +436,12 @@ class DetikzifyGenerator:
             self.montecarlo.simulate()
             if self.solution:
                 yield self.solution.pop()
+            if self.control.should_stop:
+                # the whole SEARCH stops, not just the in-flight rollout
+                # (reference raises InterruptedError, generate.py:278-280;
+                # rollout() resets the flag per rollout, so without this
+                # check an aborted search would keep running)
+                return
             if (self.mcts_timeout is not None
                     and time.time() - start > self.mcts_timeout):
                 return
@@ -439,7 +455,7 @@ class DetikzifyGenerator:
     class _Expansion:
         __slots__ = ("node", "path", "ro", "boundary", "line", "num_lines",
                      "continuation", "processed", "new_nodes", "stopped",
-                     "future", "t0", "prompt", "prefix")
+                     "future", "t0", "prompt", "prefix", "stored_keys")
 
         def __init__(self, node, path):
             self.node = node
@@ -451,6 +467,7 @@ class DetikzifyGenerator:
             self.t0 = time.time()
             self.prompt = None      # token ids to roll out from (None=leaf)
             self.prefix = None      # StoredPrefix to restore, if any
+            self.stored_keys: List = []   # speculative prefix stores
 
     def _select_leaf(self) -> WideNode:
         node = self.montecarlo.root_node
@@ -545,9 +562,13 @@ class DetikzifyGenerator:
         self.stats["rollouts"] += 1
         self.stats["rollout_tokens"] += ro.new_tokens
         self.stats["rollout_time"] += time.time() - exp.t0
-        # prefix candidates: only the first sqrt(n) nodes can be attached
+        # prefix candidates: only the first sqrt(n) nodes can be attached.
+        # Stored SPECULATIVELY (the slot must be freed before the async
+        # compile resolves); _complete_expansion drops whatever ends up
+        # unattached, matching the sequential path's attached-only stores.
         skip_idx = round(sqrt(len(exp.new_nodes)))
-        self._store_prefixes_for(ro, exp.new_nodes[:skip_idx])
+        exp.stored_keys = self._store_prefixes_for(
+            ro, exp.new_nodes[:skip_idx])
         self.engine.release(ro)
         tikz = self.decode(
             (exp.new_nodes or [exp.node])[-1].token_ids)
@@ -564,9 +585,21 @@ class DetikzifyGenerator:
             node.visits += 1
             node, new_nodes = self._merge(node.parent, new_nodes)
         attached = self._attach(node, new_nodes, tikz)
+        # evict speculative prefix stores for candidates that did NOT get
+        # attached (sequential path stores attached-only) -- keeps pool
+        # pressure identical between the two modes
+        attached_states = {n.state for n in attached}
+        for key, state in exp.stored_keys:
+            if state not in attached_states:
+                self.engine.drop_prefix(key)
         if exp.node.children:
             exp.node.expanded = True
+        # mirror MonteCarlo.expand bookkeeping (sequential path)
         self.montecarlo.stats_expansion_count += 1
+        if not exp.node.children:
+            self.montecarlo.stats_failed_expansion_count += 1
+        if self.montecarlo.on_expansion is not None:
+            self.montecarlo.on_expansion(exp.node)
         score = self._score_and_backprop(
             attached[-1] if attached else node, tikz,
             precomputed=precomputed)

@@ -265,6 +265,50 @@ def test_prefix_restart_with_image_tokens_in_tail(setup):
         eng.release(r)
 
 
+def test_prefix_restart_near_max_len_no_write_clamp(setup):
+    """A restored start whose write offset is within one bucket of max_len
+    must not let the padded prefill block clamp/shift (the engine
+    re-prefills a little more of the matching prefix instead): greedy
+    continuation equals the no-prefix rollout exactly."""
+    cfg, params = setup
+    eng = DecodeEngine(params, cfg, num_slots=2, max_len=63, page_size=16,
+                       sampling=SamplingParams(temperature=0.0))
+    assert eng.max_len == 64
+    prompt = [cfg.bos_token_id] + list(range(1, 58))        # 58 tokens
+    ro = eng.start(prompt, max_new_tokens=4)
+    eng.run()
+    want = list(ro.token_ids)
+    sp = eng.store_prefix("deep", ro, length=56)            # 4 pages
+    eng.release(ro)
+    # start 56 + bucket 16 > 64: without the host-side clamp the whole
+    # block lands at 48 with the tail tokens at the wrong rows
+    r2 = eng.start(prompt, max_new_tokens=4, prefix=sp)
+    eng.run()
+    assert list(r2.token_ids) == want
+    eng.release(r2)
+
+
+def test_best_prefix_refreshes_lru(setup):
+    """Pool-pressure eviction must drop COLD prefixes, not the hottest one
+    (the root image+prompt restored by every rollout)."""
+    cfg, params = setup
+    eng = DecodeEngine(params, cfg, num_slots=2, max_len=96, page_size=16,
+                       sampling=SamplingParams(temperature=0.0))
+    root = [cfg.bos_token_id] + list(range(1, 33))
+    ro = eng.start(root, max_new_tokens=2)
+    eng.run()
+    eng.store_prefix("hot", ro, length=32, namespace="ns")
+    eng.release(ro)
+    ro = eng.start(root + [40, 41, 42], max_new_tokens=2)
+    eng.run()
+    eng.store_prefix("cold", ro, length=35, namespace="ns")
+    eng.release(ro)
+    # a best_prefix hit on "hot" must move it behind "cold" in the LRU
+    found = eng.best_prefix(root + [99], namespace="ns")
+    assert found is not None and found[0] == "hot"
+    assert eng._prefix_lru[0] == "cold"
+
+
 def test_start_many_heterogeneous_prefixes(setup):
     """A burst mixing PER-PROMPT prefixes of different depths (and a row
     with no prefix at all) must reproduce individual starts exactly --

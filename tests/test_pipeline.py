@@ -86,6 +86,22 @@ def test_mcts_grows_tree_and_reuses_prefixes(pipeline, figure):
         gen.close()
 
 
+def test_sequential_abort_stops_search(pipeline, figure):
+    """control.abort() must end the whole SEQUENTIAL search (reference
+    raises InterruptedError, generate.py:278-280), not just the in-flight
+    rollout -- rollout() resets the flag per rollout, so without the loop
+    check an aborted search keeps running."""
+    gen = pipeline._generator(figure, None, True, metric=pipeline.metric)
+    try:
+        results = []
+        for item in gen.simulate(expansions=50):
+            results.append(item)
+            gen.control.abort()
+        assert len(results) == 1
+    finally:
+        gen.close()
+
+
 def test_simulate_respects_timeout(pipeline, figure):
     results = list(pipeline.simulate(image=figure, expansions=50,
                                      timeout=1e-6))

@@ -346,6 +346,12 @@ class ScriptedEngine:
     def store_prefix(self, key, ro, length=None, namespace=None):
         return None
 
+    def has_prefix(self, key):
+        return False
+
+    def drop_prefix(self, key):
+        pass
+
     def drop_namespace(self, namespace):
         pass
 
