@@ -136,10 +136,13 @@ class DetikzifyConfig(_ConfigBase):
     # v1 (legacy LLaVA-style) knobs -- reference model/v1/:
     # tap vision features at an intermediate layer (None = v2 behavior:
     # final post-norm hidden state), biased projector, pooling mode used by
-    # SelfSim ("cos" for v2; v1 defaulted to "cos", "emd" available)
+    # SelfSim. ``pooling_mode=None`` means "not declared by the checkpoint":
+    # ImageSim.from_detikzify then falls back to "emd", exactly like the
+    # reference's getattr(config, "pooling_mode", "emd") (imagesim.py:64);
+    # v1 checkpoints pin "cos" (v1 configuration_detikzify.py:12-13)
     feature_layer: Optional[int] = None
     projector_bias: bool = False
-    pooling_mode: str = "cos"
+    pooling_mode: Optional[str] = None
     is_v1: bool = False
 
     @property
@@ -207,6 +210,7 @@ def tiny_test_config(vocab_size: int = 512) -> DetikzifyConfig:
         concat_factor=3,
         model_max_length=256,
         dtype="float32",
+        pooling_mode="cos",     # keep hermetic tests on the cheap mode
     )
 
 
@@ -215,15 +219,15 @@ PRESETS = {
     "detikzify-tl-1.1b": DetikzifyConfig(
         text=_tinyllama_text(), image_token_id=32000, bos_token_id=1,
         eos_token_id=2, pad_token_id=32001, model_max_length=2048,
-        is_v1=True, projector_bias=True),
+        is_v1=True, projector_bias=True, pooling_mode="cos"),
     "detikzify-ds-1.3b": DetikzifyConfig(
         text=_deepseek13_text(), image_token_id=32013, bos_token_id=32013,
         eos_token_id=32014, pad_token_id=32014, model_max_length=2048,
-        is_v1=True, projector_bias=True),
+        is_v1=True, projector_bias=True, pooling_mode="cos"),
     "detikzify-ds-7b": DetikzifyConfig(
         text=_deepseek7_text(), image_token_id=32013, bos_token_id=32013,
         eos_token_id=32014, pad_token_id=32014, model_max_length=2048,
-        is_v1=True, projector_bias=True),
+        is_v1=True, projector_bias=True, pooling_mode="cos"),
     # v2 family (reference configuration_detikzify.py defaults)
     "detikzify-v2-8b": DetikzifyConfig(text=_llama31_8b_text()),
     "detikzify-v2.5-8b": DetikzifyConfig(text=_llama31_8b_text()),

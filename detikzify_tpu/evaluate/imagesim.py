@@ -73,13 +73,18 @@ class ImageSim:
 
     def __init__(self, vision_params: dict, cfg: DetikzifyConfig,
                  mode: str = "cos", preprocess: bool = True,
-                 adapter=None):
+                 adapter=None, image_mean=0.5, image_std=0.5):
         assert mode in ("cos", "cos_avg", "emd")
         self.vision_params = vision_params
         self.cfg = cfg
         self.mode = mode
         self.preprocess = preprocess
         self.adapter = adapter
+        # checkpoint-local normalization stats: renders must be normalized
+        # exactly like the model's prompt pixels (the reference embeds via
+        # the checkpoint's own AutoImageProcessor)
+        self.image_mean = image_mean
+        self.image_std = image_std
         self._sum = 0.0
         self._n = 0
         from collections import OrderedDict
@@ -88,10 +93,23 @@ class ImageSim:
         self._build()
 
     @classmethod
-    def from_detikzify(cls, params, cfg: DetikzifyConfig, mode: str = "cos",
+    def from_detikzify(cls, params, cfg: DetikzifyConfig,
+                       processor=None, mode: Optional[str] = None,
                        adapter=None, **kw) -> "ImageSim":
         """Build from a composite model's params (reference :61-89); pass the
-        model's AdapterBundle for text-conditioned (TikZero) scoring."""
+        model's AdapterBundle for text-conditioned (TikZero) scoring.
+
+        ``mode`` resolves like the reference (imagesim.py:64): explicit
+        argument > checkpoint config ``pooling_mode`` > ``"emd"``. The
+        ``processor`` (when given) supplies checkpoint-local image
+        normalization stats."""
+        if mode is None:
+            mode = getattr(cfg, "pooling_mode", None) or "emd"
+        if processor is not None:
+            kw.setdefault("image_mean",
+                          getattr(processor, "image_mean", 0.5))
+            kw.setdefault("image_std",
+                          getattr(processor, "image_std", 0.5))
         return cls(params.vision, cfg, mode=mode, adapter=adapter, **kw)
 
     def _build(self):
@@ -103,12 +121,15 @@ class ImageSim:
             return out["pooler_output"] if pooled \
                 else out["last_hidden_state"]
 
+        mean = jnp.float32(self.image_mean)
+        std = jnp.float32(self.image_std)
+
         def _norm(pixels):
             # pixels arrive as uint8 (4x less host->device traffic than
             # f32 -- decisive over remote-TPU tunnels) or pre-normalized
-            # f32; normalization runs on device
+            # f32; normalization runs on device with the CHECKPOINT's stats
             if pixels.dtype == jnp.uint8:
-                return (pixels.astype(jnp.float32) / 255.0 - 0.5) / 0.5
+                return (pixels.astype(jnp.float32) / 255.0 - mean) / std
             return pixels
 
         @jax.jit
@@ -145,11 +166,18 @@ class ImageSim:
 
     def _pixels(self, img) -> np.ndarray:
         """PIL/path -> uint8 [H, W, C] (device-side normalize); already-
-        normalized float arrays pass through."""
+        normalized FLOAT arrays pass through. A raw uint8 HWC array is an
+        image, not features: it goes through the normal resize+normalize
+        path via PIL."""
         if img is None:
             img = DUMMY_IMAGE
         if isinstance(img, np.ndarray) and img.ndim == 3:
-            return np.ascontiguousarray(img, np.float32)
+            if img.dtype == np.uint8:
+                from PIL import Image as _Image
+
+                img = _Image.fromarray(img)
+            else:
+                return np.ascontiguousarray(img, np.float32)
         from PIL import Image
 
         from ..utils.image import expand, load, remove_alpha

@@ -63,6 +63,7 @@ class DetikzifyPipeline:
                                     top_k=top_k))
         if metric == "model":   # SelfSim on the model's own vision tower
             self.metric = ImageSim.from_detikzify(params, cfg,
+                                                  processor=processor,
                                                   adapter=adapter)
         elif metric == "fast":  # compiler diagnostics only
             self.metric = None

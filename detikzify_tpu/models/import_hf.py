@@ -468,6 +468,9 @@ def config_from_hf_json(path_or_dict) -> DetikzifyConfig:
         eos_token_id=t.get("eos_token_id", hf.get("eos_token_id", 128001)),
         pad_token_id=hf.get("pad_token_id", 128004),
         concat_factor=hf.get("concat_factor", 3),
+        # None when the checkpoint does not declare one: SelfSim then falls
+        # back to "emd" exactly like the reference (imagesim.py:64)
+        pooling_mode=hf.get("pooling_mode"),
     )
 
 

@@ -168,10 +168,16 @@ def apply(
         if adapter is not None:
             # adapter runs as a *pre-layer* block, matching the reference's
             # forward pre-hook placement (modeling_adapter.py:473-526);
-            # `active` gates layers per cross_attn_every_n_layers.
+            # `active` gates layers per cross_attn_every_n_layers. lax.cond
+            # (not jnp.where) so inactive layers SKIP the cross-attention
+            # compute entirely -- with every_n > 1 the wasted FLOPs would
+            # dominate adapter-mode scoring.
             ap, active = lp["adapter"], lp["adapter_active"]
-            xa = _cross_attn_layer(ap, x, adapter, eps, attn_impl)
-            x = jnp.where(active, xa, x)
+            x = jax.lax.cond(
+                active,
+                lambda x, ap=ap: _cross_attn_layer(ap, x, adapter, eps,
+                                                   attn_impl),
+                lambda x: x, x)
         residual = x
         h = layer_norm(lp["ln1"], x, eps)
         h = _mha(lp["attn"], h, h, nh, impl=attn_impl)

@@ -97,6 +97,11 @@ def attend(
 
     ``implementation``: "auto" | "pallas" | "xla".
     """
+    # kv_limits is only applied inside the per-batch offset window (both
+    # here and in the Pallas kernel); passing it alone would silently be
+    # ignored -- fail loudly instead of attending to stale rows
+    assert kv_limits is None or q_offsets is not None, \
+        "kv_limits requires q_offsets (pass zeros for offset-free bounds)"
     kw = dict(causal=causal, kv_mask=kv_mask, scale=scale,
               q_offsets=q_offsets, kv_limits=kv_limits)
     if implementation == "xla":

@@ -51,7 +51,7 @@ def _decode_kernel(lengths_ref,            # scalar prefetch [B]
                    out_ref,
                    acc_ref, m_ref, l_ref, kbuf, vbuf, sem,
                    *, scale: float, block_kv: int, nkv: int, groups: int,
-                   hd_pad: int, max_len: int):
+                   hd_pad: int):
     b = pl.program_id(0)
     length = lengths_ref[b]
     nblocks = pl.cdiv(length, block_kv)
@@ -138,7 +138,7 @@ def decode_attend_pallas(
 
     kernel = functools.partial(
         _decode_kernel, scale=scale, block_kv=block_kv, nkv=nkv,
-        groups=groups, hd_pad=hd_pad, max_len=len_pad)
+        groups=groups, hd_pad=hd_pad)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

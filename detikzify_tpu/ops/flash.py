@@ -103,33 +103,41 @@ def flash_attention(
 
     With ``q_offsets``/``kv_limits`` the mask becomes per-batch
     ``kpos <= q_offsets[b] + i  AND  kpos < kv_limits[b]`` -- the decode
-    engine's offset-prefill pattern, replacing a [B,1,S,T] bias."""
+    engine's offset-prefill pattern, replacing a [B,1,S,T] bias.
 
-    def kernel_fn(q, k, v):
+    ``kv_mask``/``q_offsets``/``kv_limits`` thread through the custom_vjp
+    as EXPLICIT primal arguments (None cotangents): closing over them
+    would capture tracers when they are batch-dependent (padded-batch
+    training), which crashes at grad time with "No constant handler for
+    DynamicJaxprTracer"."""
+
+    def kernel_fn(q, k, v, kv_mask, q_offsets, kv_limits):
         return _flash_impl(q, k, v, causal=causal, kv_mask=kv_mask,
                            scale=scale, q_offsets=q_offsets,
                            kv_limits=kv_limits, interpret=interpret)
 
-    def xla_fn(q, k, v):
-        from .attention import attend_xla
-
-        return attend_xla(q, k, v, causal=causal, kv_mask=kv_mask,
-                          scale=scale, q_offsets=q_offsets,
-                          kv_limits=kv_limits)
-
     @jax.custom_vjp
-    def f(q, k, v):
-        return kernel_fn(q, k, v)
+    def f(q, k, v, kv_mask, q_offsets, kv_limits):
+        return kernel_fn(q, k, v, kv_mask, q_offsets, kv_limits)
 
-    def fwd(q, k, v):
-        return kernel_fn(q, k, v), (q, k, v)
+    def fwd(q, k, v, kv_mask, q_offsets, kv_limits):
+        out = kernel_fn(q, k, v, kv_mask, q_offsets, kv_limits)
+        return out, (q, k, v, kv_mask, q_offsets, kv_limits)
 
     def bwd(res, g):
-        _, pullback = jax.vjp(xla_fn, *res)
-        return pullback(g)
+        q, k, v, kv_mask, q_offsets, kv_limits = res
+        from .attention import attend_xla
+
+        def xla_fn(q, k, v):
+            return attend_xla(q, k, v, causal=causal, kv_mask=kv_mask,
+                              scale=scale, q_offsets=q_offsets,
+                              kv_limits=kv_limits)
+
+        _, pullback = jax.vjp(xla_fn, q, k, v)
+        return (*pullback(g), None, None, None)
 
     f.defvjp(fwd, bwd)
-    return f(q, k, v)
+    return f(q, k, v, kv_mask, q_offsets, kv_limits)
 
 
 def _flash_impl(

@@ -99,8 +99,11 @@ def _sample_impl(logits, rng, temperature, top_p, top_k, is_first,
     probs = jax.nn.softmax(top_logits, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
     # keep the smallest prefix whose mass reaches top_p (rank 0 always
-    # survives, so greedy rows are unaffected by the nucleus mask)
-    p_eff = jnp.where((top_p <= 0.0) | (top_p >= 1.0), 1.0, top_p)[:, None]
+    # survives, so greedy rows are unaffected by the nucleus mask).
+    # top_p >= 1 disables the filter; top_p <= 0 keeps ONLY the top token
+    # (HF TopPLogitsWarper's min_tokens_to_keep=1), not "disabled".
+    p_eff = jnp.where(top_p >= 1.0, 1.0,
+                      jnp.maximum(top_p, 1e-9))[:, None]
     keep = (cum - probs) < p_eff
     top_logits = jnp.where(keep, top_logits, _NEG_INF)
 

@@ -99,7 +99,7 @@ def score(name, rows, testset, params, cfg, processor):
         "MeanSamplingThroughput": mean_sampling_throughput(
             [row["num_programs"] for row in rows]),
     }
-    selfsim = ImageSim.from_detikzify(params, cfg)
+    selfsim = ImageSim.from_detikzify(params, cfg, processor=processor)
     if pairs:
         out["SelfSim"] = float(selfsim.score_batch(
             [a for a, _ in pairs], [b for _, b in pairs]).mean())

@@ -45,7 +45,7 @@ def main():
               if random.random() < args.sketch_ratio else ex["image"]
               for ex in ds]
 
-    metric = ImageSim.from_detikzify(params, cfg)
+    metric = ImageSim.from_detikzify(params, cfg, processor=processor)
     reward = SelfSimReward(
         metric, CompileService(workers=args.num_compile_workers),
         strict=args.strict)

@@ -49,6 +49,40 @@ def test_imagesim_identity_and_symmetry(model):
     assert metric.score(_img(1), _img(0)) == pytest.approx(diff, abs=1e-3)
 
 
+def test_from_detikzify_mode_and_stats_resolution(model):
+    """Reference semantics (imagesim.py:64): explicit mode > checkpoint
+    config pooling_mode > 'emd' fallback; checkpoint-local normalization
+    stats flow from the processor."""
+    cfg, params = model
+    assert ImageSim.from_detikzify(params, cfg).mode == (
+        cfg.pooling_mode or "emd")
+    undeclared = cfg.replace(pooling_mode=None)
+    assert ImageSim.from_detikzify(params, undeclared).mode == "emd"
+    declared = cfg.replace(pooling_mode="cos_avg")
+    assert ImageSim.from_detikzify(params, declared).mode == "cos_avg"
+    assert ImageSim.from_detikzify(params, declared, mode="cos").mode \
+        == "cos"
+
+    class P:
+        image_mean, image_std = 0.4, 0.3
+
+    m = ImageSim.from_detikzify(params, cfg, processor=P())
+    assert (m.image_mean, m.image_std) == (0.4, 0.3)
+    # renders normalized with checkpoint stats still score identity ~1
+    assert m.score(_img(0), _img(0)) == pytest.approx(1.0, abs=1e-3)
+
+
+def test_imagesim_uint8_ndarray_is_an_image(model):
+    """A raw uint8 HWC array routes through resize+normalize like a PIL
+    image (it is NOT pre-normalized features)."""
+    cfg, params = model
+    metric = ImageSim.from_detikzify(params, cfg, mode="cos")
+    img = _img(0)
+    via_pil = metric.score(img, img)
+    via_arr = metric.score(np.asarray(img, np.uint8), img)
+    assert via_arr == pytest.approx(via_pil, abs=1e-4)
+
+
 def test_imagesim_modes_and_state(model):
     cfg, params = model
     for mode in ("cos", "cos_avg", "emd"):

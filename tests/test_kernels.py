@@ -173,3 +173,34 @@ def test_flash_attention_grad_matches_xla():
     for a, b_ in zip(gf, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=1e-4, rtol=1e-3)
+
+
+def test_flash_attention_grad_with_traced_mask():
+    """Gradients must flow when kv_mask/q_offsets/kv_limits are TRACED
+    batch inputs (padded-batch training): the custom VJP threads them as
+    explicit primal args -- closing over tracers crashes at grad time with
+    'No constant handler for DynamicJaxprTracer'."""
+    rng = np.random.default_rng(7)
+    b, s, nh, hd = 2, 16, 2, 16
+    q = jnp.asarray(rng.standard_normal((b, s, nh, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, nh, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, nh, hd)), jnp.float32)
+    mask = jnp.asarray([[True] * 12 + [False] * 4, [True] * 16])
+    offs = jnp.asarray([0, 0], jnp.int32)
+    lims = jnp.asarray([12, 16], jnp.int32)
+
+    @jax.jit
+    def loss_flash(q, k, v, mask, offs, lims):
+        out = flash_attention(q, k, v, kv_mask=mask, q_offsets=offs,
+                              kv_limits=lims, interpret=True)
+        return jnp.sum(out ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(attend_xla(q, k, v, kv_mask=mask, q_offsets=offs,
+                                  kv_limits=lims) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v, mask, offs, lims)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-4, rtol=1e-3)
