@@ -122,15 +122,22 @@ def forward(
     attention_mask: Optional[jnp.ndarray] = None,   # [B, S] bool
     labels: Optional[jnp.ndarray] = None,           # [B, S], -100 = ignore
     adapter: Optional[AdapterInputs] = None,
+    image_embeds: Optional[jnp.ndarray] = None,     # precomputed [B, N, Dt]
     attn_impl: str = "auto",
     remat: bool = False,
 ):
-    """Full forward. Returns (logits [B,S,V] fp32, loss or None)."""
+    """Full forward. Returns (logits [B,S,V] fp32, loss or None).
+
+    ``image_embeds`` (already-projected image tokens) skips the vision
+    tower -- used when the encoder is frozen (e.g. GRPO with
+    freeze_encoder, reference refine.py:198-207) so one encoder pass
+    serves a whole rollout group."""
     embeds = llama.embed(params.text, input_ids)
-    if pixel_values is not None:
+    if image_embeds is None and pixel_values is not None:
         image_embeds = encode_image(params, cfg, pixel_values,
                                     adapter=adapter, attn_impl=attn_impl,
                                     remat=remat)
+    if image_embeds is not None:
         embeds = merge_inputs(cfg, input_ids, embeds, image_embeds)
     hidden = llama.forward(params.text, cfg.text, embeds,
                            attention_mask=attention_mask,

@@ -15,6 +15,7 @@ speed; only the scoring pass and the update are extra.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, List, NamedTuple, Optional
 
 import jax
@@ -38,6 +39,7 @@ class GRPOConfig:
     beta: float = 0.0                  # KL-to-reference coefficient
     grad_clip: float = 1.0
     strict: bool = False               # treat recoverable errors as fatal
+    freeze_encoder: bool = True        # reference refine.py:198-207
 
 
 class GRPOState(NamedTuple):
@@ -50,9 +52,12 @@ def sequence_logprobs(params: Params, cfg: DetikzifyConfig,
                       tokens: jnp.ndarray,          # [B, S]
                       pixel_values: Optional[jnp.ndarray],
                       completion_mask: jnp.ndarray,  # [B, S] True on sampled
-                      attn_impl: str = "auto") -> jnp.ndarray:
+                      attn_impl: str = "auto",
+                      image_embeds: Optional[jnp.ndarray] = None
+                      ) -> jnp.ndarray:
     """Per-token logprobs of tokens[t] given tokens[<t]; 0 where masked."""
     logits, _ = detikzify.forward(params, cfg, tokens, pixel_values,
+                                  image_embeds=image_embeds,
                                   attn_impl=attn_impl)
     logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
     target = tokens[:, 1:]
@@ -63,16 +68,23 @@ def sequence_logprobs(params: Params, cfg: DetikzifyConfig,
 def make_grpo_step(cfg: DetikzifyConfig, optimizer, gcfg: GRPOConfig,
                    attn_impl: str = "auto"):
     """(state, batch) -> (state, metrics). Batch arrays:
-    tokens [B,S], completion_mask [B,S], old_logprobs [B,S-1],
-    ref_logprobs [B,S-1] (zeros when beta=0), advantages [B],
-    pixel_values [B,H,W,C] or absent."""
+    tokens [B,S], completion_mask [B,S], advantages [B], and either
+    pixel_values [B,H,W,C] or image_embeds [B,N,D] (frozen encoder);
+    optional old_logprobs [B,S-1] (absent = rollouts came from the
+    CURRENT policy, the single-update-per-batch case: ratio is then
+    exp(lp - stop_gradient(lp)), saving a whole forward pass) and
+    ref_logprobs [B,S-1] (required when beta > 0)."""
 
     def loss_fn(params, batch):
         lp = sequence_logprobs(params, cfg, batch["tokens"],
                                batch.get("pixel_values"),
-                               batch["completion_mask"], attn_impl)
+                               batch["completion_mask"], attn_impl,
+                               image_embeds=batch.get("image_embeds"))
         mask = batch["completion_mask"][:, 1:]
-        ratio = jnp.exp(lp - batch["old_logprobs"])
+        old_lp = batch.get("old_logprobs")
+        if old_lp is None:
+            old_lp = jax.lax.stop_gradient(lp)
+        ratio = jnp.exp(lp - old_lp)
         adv = batch["advantages"][:, None]
         unclipped = ratio * adv
         clipped = jnp.clip(ratio, 1 - gcfg.clip_eps,
@@ -158,78 +170,112 @@ def refine(
         params, cfg, num_slots=min(g, 16),
         max_len=cfg.image_seq_len + 2 + gcfg.max_new_tokens,
         sampling=SamplingParams())
-    optimizer = optax.chain(
+    base = optax.chain(
         optax.clip_by_global_norm(gcfg.grad_clip),
         optax.adamw(gcfg.learning_rate))
+    if gcfg.freeze_encoder:
+        # reference refine.py:198-207: the vision tower does not train
+        mask = jax.tree.map(lambda _: "train", params)._replace(
+            vision=jax.tree.map(lambda _: "freeze", params.vision))
+        optimizer = optax.multi_transform(
+            {"train": base, "freeze": optax.set_to_zero()}, mask)
+    else:
+        optimizer = base
     state = GRPOState(params, optimizer.init(params),
                       jnp.zeros((), jnp.int32))
+    ref_params = params if gcfg.beta > 0 else None   # KL anchor: t=0 policy
     step_fn = jax.jit(make_grpo_step(cfg, optimizer, gcfg, attn_impl))
-    logprob_fn = jax.jit(
-        lambda p, t, pix, m: sequence_logprobs(p, cfg, t, pix, m, attn_impl))
+    logprob_fn = jax.jit(functools.partial(
+        sequence_logprobs, cfg=cfg, pixel_values=None, attn_impl=attn_impl))
 
     rng = np.random.default_rng(seed)
     size = cfg.vision.image_size
+    # rollouts pad to ONE static width: a data-dependent width would
+    # retrace the jitted update nearly every step (30-100 s compiles)
+    prompt = [cfg.image_token_id] * cfg.image_seq_len
+    width = min(len(prompt) + gcfg.max_new_tokens, engine.max_len - 1)
+    pad = cfg.pad_token_id
     from ..processing import preprocess_image
 
     for it in range(steps):
-        image = images[int(rng.integers(len(images)))]
-        pixels = jnp.asarray(preprocess_image(image, size))[None]
-        image_embeds = engine.encode_image(pixels)
-        engine.params = state.params   # sample from the current policy
-        # reference refine.py prompts with "" -> image tokens only, no bos
-        prompt = [cfg.image_token_id] * cfg.image_seq_len
+        engine.params = state.params   # sample from the CURRENT policy
+        batch_imgs = [images[int(rng.integers(len(images)))]
+                      for _ in range(prompts_per_step)]
+        all_rollouts: List[List[int]] = []
+        embeds_rows = []
+        for p_idx, image in enumerate(batch_imgs):
+            pixels = jnp.asarray(preprocess_image(image, size))[None]
+            image_embeds = engine.encode_image(pixels)
+            embeds_rows.append(image_embeds)
 
-        # --- rollout phase: g generations via continuous batching ---
-        rollouts, pending = [], []
-        started = 0
-        root_prefix = None
-        while started < g or pending:
-            n = min(len(engine._free_slots), g - started)
-            if n > 0:
-                # whole wave in ONE fused start program (start_many)
-                ros = engine.start_many(
-                    [list(prompt)] * n, image_embeds=image_embeds,
-                    max_new_tokens=gcfg.max_new_tokens, prefix=root_prefix)
-                pending.extend(ros)
-                started += n
-            engine.step()
-            for ro in list(pending):
-                if ro.finished:
-                    if root_prefix is None:
-                        root_prefix = engine.store_prefix(
-                            ("grpo", it), ro, length=len(prompt),
-                            namespace=("grpo", it))
-                    rollouts.append(list(ro.token_ids))
-                    engine.release(ro)
-                    pending.remove(ro)
+            # --- rollout phase: g generations via continuous batching ---
+            rollouts, pending = [], []
+            started = 0
+            root_prefix = None
+            ns = ("grpo", it, p_idx)
+            while started < g or pending:
+                n = min(len(engine._free_slots), g - started)
+                if n > 0:
+                    # whole wave in ONE fused start program (start_many)
+                    ros = engine.start_many(
+                        [list(prompt)] * n, image_embeds=image_embeds,
+                        max_new_tokens=gcfg.max_new_tokens,
+                        prefix=root_prefix)
+                    pending.extend(ros)
+                    started += n
+                engine.step()
+                for ro in list(pending):
+                    if ro.finished:
+                        if root_prefix is None:
+                            root_prefix = engine.store_prefix(
+                                ns, ro, length=len(prompt), namespace=ns)
+                        rollouts.append(list(ro.token_ids))
+                        engine.release(ro)
+                        pending.remove(ro)
+            engine.drop_namespace(ns)
+            all_rollouts.extend(rollouts)
 
+        b = prompts_per_step * g
         codes = [processor.decode(ids[len(prompt):],
                                   skip_special_tokens=True)
-                 for ids in rollouts]
-        rewards = np.asarray(reward_fn([image] * g, codes), np.float64)
+                 for ids in all_rollouts]
+        imgs_flat = [img for img in batch_imgs for _ in range(g)]
+        rewards = np.asarray(reward_fn(imgs_flat, codes), np.float64)
         advantages = group_advantages(rewards, g)
 
-        # --- update phase ---
-        width = max(len(ids) for ids in rollouts)
-        pad = cfg.pad_token_id
-        tokens = np.full((g, width), pad, np.int32)
-        comp_mask = np.zeros((g, width), bool)
-        for i, ids in enumerate(rollouts):
+        # --- update phase (one static [B, width] shape for all steps) ---
+        tokens = np.full((b, width), pad, np.int32)
+        comp_mask = np.zeros((b, width), bool)
+        for i, ids in enumerate(all_rollouts):
             tokens[i, :len(ids)] = ids
             comp_mask[i, len(prompt):len(ids)] = True
-        pixel_batch = jnp.broadcast_to(pixels, (g,) + pixels.shape[1:])
-        old_lp = logprob_fn(state.params, jnp.asarray(tokens), pixel_batch,
-                            jnp.asarray(comp_mask))
+        embeds_flat = jnp.concatenate(
+            [jnp.broadcast_to(e, (g,) + e.shape[1:]) for e in embeds_rows])
         batch = {
             "tokens": jnp.asarray(tokens),
             "completion_mask": jnp.asarray(comp_mask),
-            "pixel_values": pixel_batch,
-            "old_logprobs": jax.lax.stop_gradient(old_lp),
-            "ref_logprobs": jnp.zeros_like(old_lp),
+            # frozen encoder: one vision pass per image (already computed
+            # for sampling) serves the update too; rollouts came from the
+            # current policy, so old_logprobs is implied (stop_gradient)
+            "image_embeds": embeds_flat,
             "advantages": jnp.asarray(advantages, jnp.float32),
         }
+        if not gcfg.freeze_encoder:
+            pixels_flat = jnp.concatenate(
+                [jnp.broadcast_to(
+                    jnp.asarray(preprocess_image(img, size))[None],
+                    (g, size, size, 3)) for img in batch_imgs])
+            batch["pixel_values"] = pixels_flat
+            del batch["image_embeds"]   # grads must flow through vision
+        if ref_params is not None:
+            # KL anchor = the t=0 policy (TRL ref model); with a frozen
+            # encoder the current image embeds are exactly the ref ones
+            batch["ref_logprobs"] = jax.lax.stop_gradient(logprob_fn(
+                ref_params, tokens=batch["tokens"],
+                completion_mask=batch["completion_mask"],
+                image_embeds=batch.get("image_embeds"),
+                pixel_values=batch.get("pixel_values")))
         state, metrics = step_fn(state, batch)
-        engine.drop_namespace(("grpo", it))
         log_fn(f"grpo step {it}: reward mean {rewards.mean():.4f} "
                f"(max {rewards.max():.4f}), loss "
                f"{float(metrics['loss']):.5f}")

@@ -61,3 +61,38 @@ def test_refine_runs_and_updates(setup_figure=None):
     assert np.isfinite(delta)
     # rewards -1..1; with a live fake compiler most rollouts compile
     assert "reward mean" in logs[0]
+    # reference refine.py:198-207 default: the vision tower is FROZEN
+    v_delta = max(float(jnp.abs(a - b).max()) for a, b in zip(
+        jax.tree.leaves(new_params.vision),
+        jax.tree.leaves(params.vision)))
+    assert v_delta == 0.0
+
+
+def test_refine_kl_and_multi_prompt():
+    """beta > 0 anchors the KL to the INITIAL policy (not logprob 0), and
+    prompts_per_step batches several images' groups into one update."""
+    cfg = tiny_test_config(vocab_size=512)
+    params = detikzify.init(jax.random.PRNGKey(2), cfg)
+    tok = ByteTokenizer(vocab_size=512, image_token_id=cfg.image_token_id,
+                        bos_token_id=cfg.bos_token_id,
+                        eos_token_id=cfg.eos_token_id, model_max_length=64)
+    processor = DetikzifyProcessor(tok, cfg)
+    imgs = []
+    for i in range(2):
+        im = Image.new("RGB", (80, 80), "white")
+        ImageDraw.Draw(im).ellipse([8 + 6 * i, 8, 70, 70], outline="black")
+        imgs.append(im)
+    metric = ImageSim.from_detikzify(params, cfg)
+    reward = SelfSimReward(
+        metric, CompileService(workers=2, backend=FakeBackend()))
+    gcfg = GRPOConfig(num_generations=2, max_new_tokens=8,
+                      learning_rate=1e-4, beta=0.04)
+    logs = []
+    new_params = refine(params, cfg, processor, imgs, reward, gcfg=gcfg,
+                        steps=2, prompts_per_step=2, attn_impl="xla",
+                        log_fn=lambda m: logs.append(m))
+    assert len(logs) == 2
+    assert all(np.isfinite(float(m.split("loss ")[1])) for m in logs)
+    delta = float(jnp.abs(new_params.text["embed_tokens"]
+                          - params.text["embed_tokens"]).max())
+    assert np.isfinite(delta) and delta > 0
