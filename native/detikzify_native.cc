@@ -114,26 +114,41 @@ void resize_normalize(const uint8_t* src, int h, int w, float* dst,
                       int out_size, float mean, float std) {
   const float inv255 = 1.0f / 255.0f;
   const float inv_std = 1.0f / std;
+  // The x-axis sample positions are identical for every output row:
+  // precompute byte offsets + lerp weights once (the naive loop redid
+  // this per row), leaving a tight multiply-add inner loop the compiler
+  // can keep in registers/vectorize.
+  std::vector<int> xo0(out_size), xo1(out_size);
+  std::vector<float> fxs(out_size);
+  for (int ox = 0; ox < out_size; ++ox) {
+    float sx = (ox + 0.5f) * w / out_size - 0.5f;
+    int x0 = sx < 0 ? 0 : static_cast<int>(sx);
+    int x1 = std::min(x0 + 1, w - 1);
+    float fx = sx - x0;
+    xo0[ox] = x0 * 3;
+    xo1[ox] = x1 * 3;
+    fxs[ox] = fx < 0 ? 0 : fx;
+  }
   for (int oy = 0; oy < out_size; ++oy) {
     float sy = (oy + 0.5f) * h / out_size - 0.5f;
     int y0 = sy < 0 ? 0 : static_cast<int>(sy);
     int y1 = std::min(y0 + 1, h - 1);
     float fy = sy - y0;
     if (fy < 0) fy = 0;
+    const uint8_t* row0 = src + static_cast<size_t>(y0) * w * 3;
+    const uint8_t* row1 = src + static_cast<size_t>(y1) * w * 3;
+    float* out = dst + static_cast<size_t>(oy) * out_size * 3;
     for (int ox = 0; ox < out_size; ++ox) {
-      float sx = (ox + 0.5f) * w / out_size - 0.5f;
-      int x0 = sx < 0 ? 0 : static_cast<int>(sx);
-      int x1 = std::min(x0 + 1, w - 1);
-      float fx = sx - x0;
-      if (fx < 0) fx = 0;
+      const uint8_t* p00 = row0 + xo0[ox];
+      const uint8_t* p01 = row0 + xo1[ox];
+      const uint8_t* p10 = row1 + xo0[ox];
+      const uint8_t* p11 = row1 + xo1[ox];
+      float fx = fxs[ox];
       for (int c = 0; c < 3; ++c) {
-        float v00 = src[(y0 * w + x0) * 3 + c];
-        float v01 = src[(y0 * w + x1) * 3 + c];
-        float v10 = src[(y1 * w + x0) * 3 + c];
-        float v11 = src[(y1 * w + x1) * 3 + c];
-        float v = v00 * (1 - fx) * (1 - fy) + v01 * fx * (1 - fy) +
-                  v10 * (1 - fx) * fy + v11 * fx * fy;
-        dst[(oy * out_size + ox) * 3 + c] = (v * inv255 - mean) * inv_std;
+        float top = p00[c] + fx * (p01[c] - p00[c]);
+        float bot = p10[c] + fx * (p11[c] - p10[c]);
+        float v = top + fy * (bot - top);
+        out[ox * 3 + c] = (v * inv255 - mean) * inv_std;
       }
     }
   }
