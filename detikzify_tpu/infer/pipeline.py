@@ -103,7 +103,7 @@ class DetikzifyPipeline:
     def _generator(self, image, text, preprocess, *, metric=None,
                    mcts_timeout=None, control=None, on_token=None,
                    temperature=None, top_p=None, top_k=None,
-                   exploration=None,
+                   exploration=None, compile_timeout=None,
                    **kw) -> DetikzifyGenerator:
         self.check_inputs(image, text)
         return DetikzifyGenerator(
@@ -113,7 +113,8 @@ class DetikzifyPipeline:
             image=self.load(image, preprocess) if image is not None else None,
             text=text,
             metric=metric,
-            compile_timeout=self.compile_timeout,
+            compile_timeout=self.compile_timeout
+            if compile_timeout is None else compile_timeout,
             mcts_timeout=mcts_timeout,
             exploration=self.exploration if exploration is None
             else exploration,

@@ -188,3 +188,16 @@ def test_remat_forward_matches():
     assert float(l0) == pytest.approx(float(l1), rel=1e-6)
     d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), g0, g1)
     assert max(jax.tree.leaves(d)) < 1e-5
+
+
+def test_per_call_generation_overrides(pipeline, figure):
+    """Reference gen_kwargs pass-through (generate.py:404,436): sampling
+    params, max_length, and compile_timeout can all be overridden per call
+    without touching the pipeline defaults."""
+    doc = pipeline.sample(image=figure, temperature=0.0, top_p=1.0,
+                          top_k=0, max_length=80, compile_timeout=5)
+    assert isinstance(doc, TikzDocument)
+    assert doc.timeout == 5
+    # pipeline defaults untouched
+    assert pipeline.compile_timeout == 60.0
+    assert pipeline.engine.sampling.temperature == 0.8
