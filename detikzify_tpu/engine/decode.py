@@ -39,7 +39,7 @@ from ..config import DetikzifyConfig
 from ..models import detikzify, llama
 from ..models.detikzify import Params
 from ..models.llama import KVCache
-from ..ops.sampling import SamplingParams, sample
+from ..ops.sampling import SamplingParams, sample, speculative_accept
 
 BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048)
 
@@ -102,24 +102,48 @@ class DecodeEngine:
         decode_block: int = 16,
         pipelined: bool = False,
         page_size: int = 128,
+        speculate: int = 0,
+        spec_min_rate: float = 1.15,
         device=None,
     ):
         """``device``: commit all engine state (KV cache, page pool, RNG,
         per-slot token/position vectors) to one jax device, so multiple
         engines in one process each drive their own chip (replica-parallel
         inference, see ``parallel.replicas``). ``params`` must already be
-        placed on the same device by the caller."""
+        placed on the same device by the caller.
+
+        ``speculate=K > 0`` turns on n-gram prompt-lookup speculative
+        decoding: each scan step drafts K tokens from the slot's own
+        recent token history (device-side bigram lookup -- TikZ code is
+        highly repetitive), verifies them in ONE offset-prefill forward,
+        and emits 1..K+1 tokens via distribution-preserving acceptance
+        (``ops.sampling.speculative_accept``). Greedy slots emit streams
+        token-identical to non-speculative decoding; sampled slots draw
+        from the identical warped distribution. The per-step device cost
+        is nearly flat in K (weights dominate), so acceptance directly
+        multiplies tokens/sec.
+
+        ``spec_min_rate``: measured tokens-per-step floor below which the
+        engine PERMANENTLY falls back to plain decoding for this engine
+        (checked once enough speculative steps have been observed) --
+        workloads whose drafts never hit pay a fixed verify overhead, so
+        speculation must earn its keep. 0 disables the bail-out."""
         self.params = params
         self.cfg = cfg
         self.num_slots = num_slots
         self.decode_block = decode_block
         self.pipelined = pipelined
         self.page = page_size
-        # last cache row is a trash row for frozen/inactive slots' writes;
-        # rows are padded to a whole number of prefix pages so page
-        # save/restore slices never clamp
-        want = (max_len or cfg.model_max_length) + 1
+        self.spec = int(speculate)
+        self.spec_min_rate = spec_min_rate
+        self._spec_on = self.spec > 0
+        # last spec+1 cache rows are trash rows for frozen/inactive slots'
+        # writes (one row when speculation is off -- the historical single
+        # trash row); rows are padded to a whole number of prefix pages so
+        # page save/restore slices never clamp
+        want = (max_len or cfg.model_max_length) + 1 + self.spec
         self.max_len = -(-want // page_size) * page_size
+        self._trash_start = self.max_len - 1 - self.spec
         self._m_cap = self.max_len // page_size   # pages per full slot
         self.sampling = sampling
         self.eos_token_id = (cfg.eos_token_id if eos_token_id is None
@@ -145,6 +169,14 @@ class DecodeEngine:
         # device-resident per-slot state
         self._tok_dev = jnp.zeros((num_slots,), jnp.int32)
         self._pos_dev = jnp.zeros((num_slots,), jnp.int32)
+        # speculative decoding: device-side token history per slot (wider
+        # than the cache so K+1-token writes at the last position never
+        # clamp); -1 = empty, never matches a real token id
+        self._buf_dev = None
+        if self.spec > 0:
+            with dev_ctx:
+                self._buf_dev = jnp.full(
+                    (num_slots, self.max_len + self.spec + 1), -1, jnp.int32)
         self._active = np.zeros((num_slots,), bool)       # host-controlled
         # per-slot (temperature, top_p, top_k): traced into the decode
         # programs, so per-call overrides never recompile
@@ -172,6 +204,8 @@ class DecodeEngine:
             self._pool = jax.device_put(self._pool, device)
             self._tok_dev = jax.device_put(self._tok_dev, device)
             self._pos_dev = jax.device_put(self._pos_dev, device)
+            if self._buf_dev is not None:
+                self._buf_dev = jax.device_put(self._buf_dev, device)
         self._page_refs = np.zeros((n_pages,), np.int32)
         self._free_pages: List[int] = list(range(n_pages))
         self._prefix_store: Dict[object, StoredPrefix] = {}
@@ -185,6 +219,8 @@ class DecodeEngine:
         self.counters = {"starts": 0, "start_dispatches": 0,
                          "prefix_starts": 0,
                          "decode_dispatches": 0, "decode_steps": 0,
+                         "decode_tokens": 0,
+                         "spec_steps": 0, "spec_tokens": 0,
                          "prefix_saves": 0, "prefill_tokens": 0,
                          "prefill_tokens_saved": 0}
 
@@ -307,6 +343,144 @@ class DecodeEngine:
             (tok_dev, pos_dev, _, cache, rng), toks = jax.lax.scan(
                 body, (tok_dev, pos_dev, done0, cache, rng), None, length=k)
             return toks, cache, tok_dev, pos_dev, rng
+
+        spec = self.spec
+        if spec > 0:
+            k1 = spec + 1
+            trash = self._trash_start
+
+            @functools.partial(
+                jax.jit, donate_argnums=(1, 2, 3, 11),
+                static_argnames=("banned", "suppress"))
+            def start_wave_spec(params, cache, tok_dev, pos_dev, slots, ids,
+                                image_embeds, starts, seq_lens, img_offsets,
+                                rng, buf, full_ids, samp, banned, suppress):
+                """start_wave + token-history rows for speculative drafts:
+                the full prompt (incl. any restored prefix) and the first
+                sampled token land in ``buf`` inside the same program."""
+                L, _, _, NKV, HD = cache.k.shape
+                b = slots.shape[0]
+                small = KVCache(
+                    jnp.zeros((L, b, max_len, NKV, HD), cache.k.dtype),
+                    jnp.zeros((L, b, max_len, NKV, HD), cache.v.dtype))
+                cache, tok_dev, pos_dev, rng, firsts = wave_core(
+                    params, cache, tok_dev, pos_dev, slots, ids,
+                    image_embeds, starts, seq_lens, img_offsets, rng, samp,
+                    small, banned, suppress)
+                buf = buf.at[slots].set(full_ids)
+                buf = buf.at[slots, starts + seq_lens].set(firsts)
+                return cache, tok_dev, pos_dev, rng, firsts, buf
+
+            @functools.partial(
+                jax.jit, donate_argnums=(1, 2, 3, 14),
+                static_argnames=("banned", "suppress"))
+            def start_wave_paged_spec(params, cache, tok_dev, pos_dev,
+                                      slots, ids, image_embeds, starts,
+                                      seq_lens, img_offsets, rng, pool_k,
+                                      pool_v, page_tab, buf, full_ids, samp,
+                                      banned, suppress):
+                L, _, _, NKV, HD = cache.k.shape
+                b = slots.shape[0]
+                small = KVCache(
+                    pool_k[:, page_tab].reshape(L, b, m_cap * page, NKV, HD)
+                    .astype(cache.k.dtype),
+                    pool_v[:, page_tab].reshape(L, b, m_cap * page, NKV, HD)
+                    .astype(cache.v.dtype))
+                cache, tok_dev, pos_dev, rng, firsts = wave_core(
+                    params, cache, tok_dev, pos_dev, slots, ids,
+                    image_embeds, starts, seq_lens, img_offsets, rng, samp,
+                    small, banned, suppress)
+                buf = buf.at[slots].set(full_ids)
+                buf = buf.at[slots, starts + seq_lens].set(firsts)
+                return cache, tok_dev, pos_dev, rng, firsts, buf
+
+            @functools.partial(
+                jax.jit, donate_argnums=(1, 2, 3, 4),
+                static_argnames=("k", "banned"))
+            def decode_many_spec(params, cache, tok_dev, pos_dev, buf,
+                                 active, rng, samp, k, banned):
+                """k speculative steps for all slots in one jitted scan.
+
+                Per step and slot: draft ``spec`` tokens by bigram lookup
+                over the slot's own token history, verify them in ONE
+                offset-prefill forward (rows pos..pos+spec; rows beyond the
+                accepted count stay invisible -- attention is bounded by
+                per-slot positions), and emit 1..spec+1 tokens via
+                distribution-preserving acceptance. Frozen slots write to
+                the trash block and re-emit EOS. Returns per-step token
+                blocks [k, S, spec+1] and emit counts [k, S]."""
+
+                def body(carry, _):
+                    tokens, positions, done, cache, buf, rng = carry
+                    # --- draft: bigram match over the slot's history.
+                    # Prefer the most recent match whose continuation lies
+                    # FULLY in history (a tail-adjacent match would draft
+                    # off the end of the sequence -- mostly empty), falling
+                    # back to the most recent match of any kind.
+                    t_prev = jnp.take_along_axis(
+                        buf, jnp.maximum(positions - 1, 0)[:, None], 1)[:, 0]
+                    match = ((buf[:, :-1] == t_prev[:, None])
+                             & (buf[:, 1:] == tokens[:, None]))
+                    iidx = jnp.arange(buf.shape[1] - 1)[None, :]
+                    earlier = match & (iidx + 1 < positions[:, None])
+                    full = earlier & (iidx + 1 + spec <= positions[:, None])
+                    j_full = jnp.where(full, iidx, -1).max(axis=1)
+                    j_any = jnp.where(earlier, iidx, -1).max(axis=1)
+                    jstar = jnp.where(j_full >= 0, j_full, j_any)  # [S]
+                    src = jnp.clip(jstar + 2, 0, buf.shape[1] - spec)
+                    gathered = jax.vmap(
+                        lambda row, s0: jax.lax.dynamic_slice(
+                            row, (s0,), (spec,)))(buf, src)
+                    in_hist = (src[:, None] + jnp.arange(spec)[None, :]
+                               <= positions[:, None])
+                    drafts = jnp.where((jstar >= 0)[:, None] & in_hist,
+                                       gathered, -1)
+                    # --- verify forward over [last, d_1..d_spec]
+                    w = jnp.where(done, trash,
+                                  jnp.minimum(positions, trash))
+                    block = jnp.concatenate(
+                        [tokens[:, None], jnp.maximum(drafts, 0)], axis=1)
+                    logits, cache = detikzify.decode_verify_step(
+                        params, cfg, block, w, cache)
+                    rng, sub = jax.random.split(rng)
+                    emitted, counts = speculative_accept(
+                        logits, drafts, sub,
+                        temperature=samp[:, 0], top_p=samp[:, 1],
+                        top_k=samp[:, 2].astype(jnp.int32),
+                        banned_tokens=banned)
+                    # --- EOS truncation + frozen-slot forcing
+                    pos_k = jnp.arange(k1)[None, :]
+                    hit = (emitted == eos) & (pos_k < counts[:, None])
+                    has_eos = hit.any(axis=1)
+                    counts = jnp.where(has_eos,
+                                       jnp.argmax(hit, axis=1) + 1, counts)
+                    emitted = jnp.where(
+                        done[:, None],
+                        jnp.where(pos_k == 0, eos, 0), emitted)
+                    counts = jnp.where(done, 1, counts)
+                    adv = jnp.where(done, 0, counts)
+                    # --- token history update (garbage beyond the accepted
+                    # count is masked by the position bounds above)
+                    buf = jax.vmap(
+                        lambda row, e, p: jax.lax.dynamic_update_slice(
+                            row, e, (p,)))(buf, emitted, positions + 1)
+                    last = jnp.take_along_axis(
+                        emitted, jnp.maximum(counts - 1, 0)[:, None],
+                        1)[:, 0]
+                    new_done = done | has_eos
+                    return ((last, positions + adv, new_done, cache, buf,
+                             rng), (emitted, adv))
+
+                done0 = ~active | (tok_dev == eos)
+                ((tok_dev, pos_dev, _, cache, buf, rng),
+                 (toks, counts)) = jax.lax.scan(
+                    body, (tok_dev, pos_dev, done0, cache, buf, rng),
+                    None, length=k)
+                return toks, counts, cache, tok_dev, pos_dev, buf, rng
+
+            self._start_wave_spec = start_wave_spec
+            self._start_wave_paged_spec = start_wave_paged_spec
+            self._decode_many_spec = decode_many_spec
 
         @functools.partial(jax.jit, donate_argnums=(0, 1),
                            static_argnames=("m",))
@@ -543,7 +717,22 @@ class DecodeEngine:
                 dev(np.asarray([len(t) for t in tails], np.int32)),
                 dev(np.asarray(img_offsets, np.int32)), self.rng)
         samp = dev(self._samp_host[slots])
-        if use_paged:
+        if self.spec > 0:
+            full_ids = np.full((b, self._buf_dev.shape[1]), -1, np.int32)
+            for i, ro in enumerate(rollouts):
+                full_ids[i, :len(ro.token_ids)] = ro.token_ids
+            if use_paged:
+                (self.cache, self._tok_dev, self._pos_dev, self.rng,
+                 firsts, self._buf_dev) = self._start_wave_paged_spec(
+                    *args, self._pool.k, self._pool.v, dev(page_tab),
+                    self._buf_dev, dev(full_ids), samp,
+                    banned=self._banned(), suppress=self._suppress())
+            else:
+                (self.cache, self._tok_dev, self._pos_dev, self.rng,
+                 firsts, self._buf_dev) = self._start_wave_spec(
+                    *args, self._buf_dev, dev(full_ids), samp,
+                    banned=self._banned(), suppress=self._suppress())
+        elif use_paged:
             (self.cache, self._tok_dev, self._pos_dev, self.rng,
              firsts) = self._start_wave_paged(
                 *args, self._pool.k, self._pool.v, dev(page_tab),
@@ -568,7 +757,7 @@ class DecodeEngine:
                        token_ids=list(token_ids),
                        max_new_tokens=max(
                            min(max_new_tokens,
-                               self.max_len - 1 - len(token_ids)), 1),
+                               self._trash_start - len(token_ids)), 1),
                        on_token=on_token)
 
     @staticmethod
@@ -732,28 +921,45 @@ class DecodeEngine:
         which rollout owned each slot at dispatch time."""
         self.counters["decode_dispatches"] += 1
         self.counters["decode_steps"] += k
-        toks_dev, self.cache, self._tok_dev, self._pos_dev, self.rng = \
-            self._decode_many(
-                self.params, self.cache, self._tok_dev, self._pos_dev,
-                self._put(self._active), self.rng,
-                self._put(self._samp_host),
-                k, self._kv_limit(k), self._banned(), self._suppress())
+        if self.spec > 0 and self._spec_on:
+            (toks_dev, counts_dev, self.cache, self._tok_dev,
+             self._pos_dev, self._buf_dev, self.rng) = \
+                self._decode_many_spec(
+                    self.params, self.cache, self._tok_dev, self._pos_dev,
+                    self._buf_dev, self._put(self._active), self.rng,
+                    self._put(self._samp_host), k, self._banned())
+        else:
+            counts_dev = None
+            toks_dev, self.cache, self._tok_dev, self._pos_dev, self.rng = \
+                self._decode_many(
+                    self.params, self.cache, self._tok_dev, self._pos_dev,
+                    self._put(self._active), self.rng,
+                    self._put(self._samp_host),
+                    k, self._kv_limit(k), self._banned(), self._suppress())
         owners = {slot: ro for slot, ro in self._rollouts.items()
                   if self._active[slot]}
-        self._inflight = (toks_dev, k, owners)
+        self._inflight = (toks_dev, counts_dev, k, owners)
 
     def _consume(self, inflight) -> List[Rollout]:
         """Fetch a dispatched scan's tokens (one host sync, shared with any
         pending first tokens) and deliver them to their rollouts."""
         first_slots = list(self._first_pending)
         firsts_dev = [self._first_pending[s] for s in first_slots]
+        spec_run = False
         if inflight is None:
             firsts = jax.device_get(firsts_dev) if first_slots else []
-            toks, k, owners = None, 0, {}
+            toks, counts, k, owners = None, None, 0, {}
         else:
-            toks_dev, k, owners = inflight
-            firsts, toks = jax.device_get((firsts_dev, toks_dev))
-            toks = np.asarray(toks)                     # [k, S]
+            toks_dev, counts_dev, k, owners = inflight
+            firsts, toks, counts = jax.device_get(
+                (firsts_dev, toks_dev, counts_dev))
+            toks = np.asarray(toks)      # [k, S] or [k, S, spec+1]
+            if counts is None:           # non-speculative: 1 token/step
+                toks = toks[:, :, None]
+                counts = np.ones(toks.shape[:2], np.int32)
+            else:
+                spec_run = True
+                counts = np.asarray(counts)
         self._first_pending.clear()
 
         finished = []
@@ -769,11 +975,36 @@ class DecodeEngine:
             if self._rollouts.get(slot) is not ro or ro.finished:
                 continue
             for i in range(k):
-                self._accept_token(ro, int(toks[i, slot]))
+                if spec_run:
+                    self.counters["spec_steps"] += 1
+                for j in range(int(counts[i, slot])):
+                    self.counters["decode_tokens"] += 1
+                    if spec_run:
+                        self.counters["spec_tokens"] += 1
+                    self._accept_token(ro, int(toks[i, slot, j]))
+                    if ro.finished:
+                        finished.append(ro)
+                        break
                 if ro.finished:
-                    finished.append(ro)
                     break
+        self._maybe_disable_spec()
         return finished
+
+    @property
+    def spec_rate(self) -> float:
+        """Measured speculative tokens-per-step (1 = no draft ever
+        accepted, spec+1 = every draft accepted)."""
+        steps = self.counters["spec_steps"]
+        return self.counters["spec_tokens"] / steps if steps else 0.0
+
+    def _maybe_disable_spec(self) -> None:
+        """Fall back to plain decoding when drafts are not earning their
+        verify overhead (the acceptance rate is workload-dependent; TikZ
+        repetition usually pays, arbitrary text may not)."""
+        if (self._spec_on and self.spec_min_rate > 0
+                and self.counters["spec_steps"] >= 512
+                and self.spec_rate < self.spec_min_rate):
+            self._spec_on = False
 
     def step(self, k: Optional[int] = None) -> List[Rollout]:
         """Advance decoding by one block. Returns rollouts that finished.

@@ -47,6 +47,7 @@ class DetikzifyPipeline:
         max_len: Optional[int] = None,
         exploration: float = 0.6,
         compile_workers: int = 4,
+        speculate: int = 0,                # n-gram speculative decoding
         engine: Optional[DecodeEngine] = None,
         adapter=None,                      # AdapterBundle (TikZero)
     ):
@@ -59,6 +60,7 @@ class DetikzifyPipeline:
             params, cfg, num_slots=num_slots,
             max_len=max_len or min(processor.model_max_length,
                                    cfg.model_max_length),
+            speculate=speculate,
             sampling=SamplingParams(temperature=temperature, top_p=top_p,
                                     top_k=top_k))
         if metric == "model":   # SelfSim on the model's own vision tower

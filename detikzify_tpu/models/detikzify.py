@@ -204,3 +204,25 @@ def decode_step(
     hidden, cache = llama.decode_step(params.text, cfg.text, embeds,
                                       positions, cache, kv_limit=kv_limit)
     return llama.unembed(params.text, hidden), cache
+
+
+def decode_verify_step(
+    params: Params,
+    cfg: DetikzifyConfig,
+    token_block: jnp.ndarray,        # [B, K+1]: [last_token, drafts...]
+    start: jnp.ndarray,              # [B] cache row of token_block[:, 0]
+    cache: KVCache,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Speculative-decoding verify forward: process K+1 tokens per slot in
+    one step and return logits at EVERY position ([B, K+1, V] fp32) --
+    ``logits[:, i]`` is the distribution for the token following input i.
+    Reuses the offset-prefill machinery (per-slot causal block starting at
+    ``start``); KV for all K+1 inputs is written at rows
+    ``start .. start+K``, rows beyond the eventually-accepted count stay
+    invisible because attention is always bounded by per-slot positions."""
+    b, k1 = token_block.shape
+    embeds = llama.embed(params.text, token_block)
+    hidden, cache = llama.prefill(
+        params.text, cfg.text, embeds, start,
+        jnp.full((b,), k1, jnp.int32), cache)
+    return llama.unembed(params.text, hidden), cache

@@ -1,0 +1,210 @@
+"""Speculative decoding (device-side n-gram prompt-lookup drafts).
+
+Correctness contract:
+  * greedy slots emit token streams IDENTICAL to non-speculative decoding
+    (acceptance reduces to argmax-match);
+  * sampled slots draw from the identical warped distribution
+    (distribution-preserving acceptance, op-level chi-square check);
+  * EOS inside an accepted draft run truncates emission;
+  * engine invariants (budgets, prefix store, continuous batching) hold
+    with speculation on.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from detikzify_tpu.config import tiny_test_config
+from detikzify_tpu.engine import DecodeEngine
+from detikzify_tpu.models import detikzify
+from detikzify_tpu.ops.sampling import SamplingParams, speculative_accept
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = tiny_test_config(vocab_size=512)
+    params = detikzify.init(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def _greedy_rollout(engine, prompt, embeds, max_new):
+    ro = engine.start(list(prompt), image_embeds=embeds,
+                      max_new_tokens=max_new)
+    while not ro.finished:
+        engine.step()
+    ids = list(ro.token_ids)
+    engine.release(ro)
+    return ids
+
+
+def test_greedy_spec_matches_plain(model):
+    """Speculative greedy decode must be token-identical to plain greedy
+    decode -- acceptance is exact argmax matching."""
+    cfg, params = model
+    prompt = [cfg.image_token_id] * cfg.image_seq_len + [cfg.bos_token_id]
+    embeds = jnp.zeros((1, cfg.image_seq_len, cfg.text.hidden_size),
+                       jnp.float32)
+    plain = DecodeEngine(params, cfg, num_slots=2, max_len=128,
+                         decode_block=4,
+                         sampling=SamplingParams(temperature=0.0))
+    spec = DecodeEngine(params, cfg, num_slots=2, max_len=128,
+                        decode_block=4, speculate=3,
+                        sampling=SamplingParams(temperature=0.0))
+    want = _greedy_rollout(plain, prompt, embeds, 48)
+    got = _greedy_rollout(spec, prompt, embeds, 48)
+    assert got == want
+    # and again with a stored prefix (restore path fills the history too)
+    ro = spec.start(list(prompt), image_embeds=embeds, max_new_tokens=4)
+    while not ro.finished:
+        spec.step()
+    pf = spec.store_prefix("root", ro, length=len(prompt))
+    spec.release(ro)
+    ro2 = spec.start(list(prompt), image_embeds=embeds, max_new_tokens=48,
+                     prefix=pf)
+    while not ro2.finished:
+        spec.step()
+    assert list(ro2.token_ids) == want
+    spec.release(ro2)
+
+
+def test_greedy_spec_matches_plain_batch(model):
+    """Several concurrent slots (continuous batching) with speculation."""
+    cfg, params = model
+    embeds = jnp.zeros((1, cfg.image_seq_len, cfg.text.hidden_size),
+                       jnp.float32)
+    base = [cfg.image_token_id] * cfg.image_seq_len + [cfg.bos_token_id]
+    prompts = [base, base + [7], base + [7, 11]]
+    plain = DecodeEngine(params, cfg, num_slots=4, max_len=128,
+                         decode_block=4,
+                         sampling=SamplingParams(temperature=0.0))
+    spec = DecodeEngine(params, cfg, num_slots=4, max_len=128,
+                        decode_block=4, speculate=4,
+                        sampling=SamplingParams(temperature=0.0))
+
+    def run_all(engine):
+        ros = [engine.start(list(p), image_embeds=embeds,
+                            max_new_tokens=32, lazy=True) for p in prompts]
+        while not all(r.finished for r in ros):
+            engine.step()
+        out = [list(r.token_ids) for r in ros]
+        for r in ros:
+            engine.release(r)
+        return out
+
+    assert run_all(spec) == run_all(plain)
+    assert spec.counters["decode_tokens"] > 0
+
+
+def test_speculative_accept_greedy_and_rejection():
+    """Op-level: greedy rows accept exactly the argmax chain; rejected
+    positions emit the argmax and stop."""
+    b, k, v = 2, 3, 16
+    rng = jax.random.PRNGKey(0)
+    logits = jnp.full((b, k + 1, v), -5.0)
+    # row 0: argmax chain is 3, 4, 5, 6; drafts match fully
+    for i, t in enumerate([3, 4, 5, 6]):
+        logits = logits.at[0, i, t].set(5.0)
+    # row 1: argmax chain is 3, 4, 5, 6 but draft diverges at position 1
+    for i, t in enumerate([3, 4, 5, 6]):
+        logits = logits.at[1, i, t].set(5.0)
+    drafts = jnp.asarray([[3, 4, 5], [3, 9, 9]], jnp.int32)
+    emitted, counts = speculative_accept(
+        logits, drafts, rng, temperature=0.0, top_p=0.95, top_k=0)
+    emitted, counts = np.asarray(emitted), np.asarray(counts)
+    assert counts[0] == 4 and list(emitted[0]) == [3, 4, 5, 6]
+    assert counts[1] == 2 and list(emitted[1][:2]) == [3, 4]
+
+
+def test_speculative_accept_preserves_distribution():
+    """The first emitted token's distribution equals plain warped sampling
+    regardless of what was drafted (chi-square over many keys)."""
+    v, k, n = 8, 2, 4000
+    logits_row = jnp.asarray([2.0, 1.5, 1.0, 0.5, 0.0, -0.5, -1.0, -8.0])
+    logits = jnp.broadcast_to(logits_row, (n, k + 1, v))
+    temperature, top_p = 0.8, 0.95
+
+    # expected warped distribution (what ops.sampling.sample draws from)
+    scaled = logits_row / temperature
+    p = jax.nn.softmax(scaled)
+    order = jnp.argsort(-scaled)
+    cum = jnp.cumsum(p[order])
+    keep = (cum - p[order]) < top_p
+    warped = jnp.where(keep, p[order], 0)
+    expect = np.zeros(v)
+    expect[np.asarray(order)] = np.asarray(warped / warped.sum())
+
+    def first_tokens(draft_tok):
+        drafts = jnp.full((n, k), draft_tok, jnp.int32)
+        emitted, counts = speculative_accept(
+            logits, drafts, jax.random.PRNGKey(123),
+            temperature=temperature, top_p=top_p, top_k=0)
+        return np.asarray(emitted[:, 0])
+
+    for draft_tok in (0, 3, 7):   # high-prob, mid, filtered-out drafts
+        toks = first_tokens(draft_tok)
+        freq = np.bincount(toks, minlength=v) / n
+        # token-wise closeness: ~4 sigma at worst-case p=0.5
+        assert np.abs(freq - expect).max() < 4 * np.sqrt(0.25 / n), \
+            (draft_tok, freq, expect)
+
+
+def test_spec_eos_truncation_and_budget(model):
+    """An EOS drafted-and-accepted mid-run truncates emission; budgets and
+    slot reuse stay correct with speculation on."""
+    cfg, params = model
+    b, k1, v, eos = 1, 4, 64, 9
+    # verify the op: an accepted eos-bearing chain is reported in full --
+    # truncation at eos is the ENGINE's job
+    logits = jnp.full((b, k1, v), -5.0)
+    chain = [3, eos, 5, 6]
+    for i, t in enumerate(chain):
+        logits = logits.at[0, i, t].set(5.0)
+    drafts = jnp.asarray([[3, eos, 5]], jnp.int32)
+    emitted, counts = speculative_accept(
+        logits, drafts, jax.random.PRNGKey(0),
+        temperature=0.0, top_p=1.0, top_k=0)
+    assert int(counts[0]) == 4
+    assert list(np.asarray(emitted[0]))[:2] == [3, eos]
+
+    # engine level: budget respected exactly with speculation
+    embeds = jnp.zeros((1, cfg.image_seq_len, cfg.text.hidden_size),
+                       jnp.float32)
+    prompt = [cfg.image_token_id] * cfg.image_seq_len + [cfg.bos_token_id]
+    eng = DecodeEngine(params, cfg, num_slots=2, max_len=128,
+                       decode_block=4, speculate=3,
+                       sampling=SamplingParams(temperature=0.0))
+    ro = eng.start(list(prompt), image_embeds=embeds, max_new_tokens=5)
+    while not ro.finished:
+        eng.step()
+    assert ro.new_tokens <= 5
+    assert ro.finish_reason in ("eos", "length")
+    eng.release(ro)
+    # slot is reusable afterwards
+    ro2 = eng.start(list(prompt), image_embeds=embeds, max_new_tokens=3)
+    while not ro2.finished:
+        eng.step()
+    assert ro2.new_tokens <= 3
+    eng.release(ro2)
+
+
+def test_sampled_spec_runs_and_is_plausible(model):
+    """Sampled speculative decoding produces well-formed rollouts (no
+    banned tokens, eos-terminated or budget-bounded)."""
+    cfg, params = model
+    embeds = jnp.zeros((1, cfg.image_seq_len, cfg.text.hidden_size),
+                       jnp.float32)
+    prompt = [cfg.image_token_id] * cfg.image_seq_len + [cfg.bos_token_id]
+    eng = DecodeEngine(params, cfg, num_slots=2, max_len=160,
+                       decode_block=4, speculate=4,
+                       sampling=SamplingParams(temperature=0.9, top_p=0.95))
+    for _ in range(2):
+        ro = eng.start(list(prompt), image_embeds=embeds,
+                       max_new_tokens=40)
+        while not ro.finished:
+            eng.step()
+        gen = ro.token_ids[len(prompt):]
+        assert 1 <= len(gen) <= 40
+        assert cfg.image_token_id not in gen
+        if ro.finish_reason == "eos":
+            assert gen[-1] == cfg.eos_token_id
+        eng.release(ro)
