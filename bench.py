@@ -90,7 +90,6 @@ def main():
     prompt = [cfg.image_token_id] * cfg.image_seq_len + [cfg.bos_token_id]
     image_embeds = jnp.zeros((1, cfg.image_seq_len, cfg.text.hidden_size),
                              jnp.bfloat16)
-    del_later = []
 
     # warmup: trigger prefill + decode + prefix-start compiles
     t0 = time.time()
@@ -132,7 +131,6 @@ def main():
         params, cfg, num_slots=16, max_len=640, decode_block=64,
         prefix_budget_bytes=64 << 20,
         sampling=SamplingParams(temperature=0.8, top_p=0.95, top_k=0))
-    del_later.append(eng16)
     run_rollouts(eng16, prompt, image_embeds, n=16, max_new=16)  # warmup
     tps = 0.0
     for _ in range(3):
@@ -149,7 +147,6 @@ def main():
         params, cfg, num_slots=SLOTS, max_len=640, decode_block=32,
         speculate=4, spec_min_rate=0.0, prefix_budget_bytes=64 << 20,
         sampling=SamplingParams(temperature=0.0))
-    del_later.append(eng_spec)
     run_rollouts(eng_spec, prompt, image_embeds, n=SLOTS, max_new=16)
     tps_spec = 0.0
     for _ in range(2):
@@ -264,7 +261,7 @@ def main():
         import gc
 
         del pipe, pipe_model, engine, params, root_prefix, image_embeds
-        del_later.clear()
+        del eng16, eng_spec   # zombie 1.3b engines would crowd 8B HBM
         gc.collect()
         cfg8 = get_config("detikzify-v2-8b").replace(model_max_length=640)
         # build the int8 tree DIRECTLY from shapes: materializing the full

@@ -118,10 +118,13 @@ class DecodeEngine:
         highly repetitive), verifies them in ONE offset-prefill forward,
         and emits 1..K+1 tokens via distribution-preserving acceptance
         (``ops.sampling.speculative_accept``). Greedy slots emit streams
-        token-identical to non-speculative decoding; sampled slots draw
-        from the identical warped distribution. The per-step device cost
-        is nearly flat in K (weights dominate), so acceptance directly
-        multiplies tokens/sec.
+        token-identical to non-speculative decoding given identical
+        logits (pinned exactly by the CPU tests; on-chip the verify
+        forward and the plain decode step use different attention
+        kernels, so a bf16 near-tie can in principle flip an argmax);
+        sampled slots draw from the identical warped distribution. The
+        per-step device cost is nearly flat in K (weights dominate), so
+        acceptance directly multiplies tokens/sec.
 
         ``spec_min_rate``: measured tokens-per-step floor below which the
         engine PERMANENTLY falls back to plain decoding for this engine
@@ -137,6 +140,8 @@ class DecodeEngine:
         self.spec = int(speculate)
         self.spec_min_rate = spec_min_rate
         self._spec_on = self.spec > 0
+        self._spec_win = [0, 0]     # (slot-steps, device-emitted tokens)
+        self._spec_bad = 0          # consecutive below-rate windows
         # last spec+1 cache rows are trash rows for frozen/inactive slots'
         # writes (one row when speculation is off -- the historical single
         # trash row); rows are padded to a whole number of prefix pages so
@@ -260,20 +265,40 @@ class DecodeEngine:
             pos_dev = pos_dev.at[slots].set(starts + seq_lens)
             return cache, tok_dev, pos_dev, rng, firsts
 
+        def fresh_small(cache, b):
+            """Fresh wave: every row prefills from position 0, so the
+            wave's slot caches begin as zeros (stale rows are masked
+            everywhere by lengths)."""
+            L, _, _, NKV, HD = cache.k.shape
+            return KVCache(
+                jnp.zeros((L, b, max_len, NKV, HD), cache.k.dtype),
+                jnp.zeros((L, b, max_len, NKV, HD), cache.v.dtype))
+
+        def paged_small(cache, pool_k, pool_v, page_tab):
+            """Prefix-restore via PER-SLOT page tables. ``page_tab`` is
+            [B, m_cap] with a FIXED page count (the whole slot), padding
+            short tables with filler pages: the page-count dimension stays
+            out of the jit cache key, so MCTS waves mixing arbitrary tree
+            depths (and rows without any prefix at all) share ONE compiled
+            program per (B, bucket). Filler/garbage rows land above each
+            row's valid prefix and are masked everywhere by lengths
+            (StoredPrefix invariant, see module docstring)."""
+            L, _, _, NKV, HD = cache.k.shape
+            b = page_tab.shape[0]
+            return KVCache(
+                pool_k[:, page_tab].reshape(L, b, m_cap * page, NKV, HD)
+                .astype(cache.k.dtype),
+                pool_v[:, page_tab].reshape(L, b, m_cap * page, NKV, HD)
+                .astype(cache.v.dtype))
+
         @functools.partial(
             jax.jit, donate_argnums=(1, 2, 3),
             static_argnames=("banned", "suppress"))
         def start_wave(params, cache, tok_dev, pos_dev, slots, ids,
                        image_embeds, starts, seq_lens, img_offsets, rng,
                        samp, banned, suppress):
-            """Fused start for B fresh rollouts (no stored prefix): every
-            row prefills from position 0, so the wave's slot caches begin
-            as zeros (stale rows are masked everywhere by lengths)."""
-            L, _, _, NKV, HD = cache.k.shape
-            b = slots.shape[0]
-            small = KVCache(
-                jnp.zeros((L, b, max_len, NKV, HD), cache.k.dtype),
-                jnp.zeros((L, b, max_len, NKV, HD), cache.v.dtype))
+            """Fused start for B fresh rollouts (no stored prefix)."""
+            small = fresh_small(cache, slots.shape[0])
             return wave_core(params, cache, tok_dev, pos_dev, slots, ids,
                              image_embeds, starts, seq_lens, img_offsets,
                              rng, samp, small, banned, suppress)
@@ -286,22 +311,8 @@ class DecodeEngine:
                              rng, pool_k, pool_v, page_tab, samp, banned,
                              suppress):
             """Fused prefix-restore + prefill + first sample for B rollouts
-            with PER-SLOT page tables -- one device program per wave.
-
-            ``page_tab`` is [B, m_cap] with a FIXED page count (the whole
-            slot), padding short tables with filler pages: the page-count
-            dimension stays out of the jit cache key, so MCTS waves mixing
-            arbitrary tree depths (and rows without any prefix at all)
-            share ONE compiled program per (B, bucket). Filler/garbage rows
-            land above each row's valid prefix and are masked everywhere by
-            lengths (StoredPrefix invariant, see module docstring)."""
-            L, _, _, NKV, HD = cache.k.shape
-            b = slots.shape[0]
-            small = KVCache(
-                pool_k[:, page_tab].reshape(L, b, m_cap * page, NKV, HD)
-                .astype(cache.k.dtype),
-                pool_v[:, page_tab].reshape(L, b, m_cap * page, NKV, HD)
-                .astype(cache.v.dtype))
+            -- one device program per wave."""
+            small = paged_small(cache, pool_k, pool_v, page_tab)
             return wave_core(params, cache, tok_dev, pos_dev, slots, ids,
                              image_embeds, starts, seq_lens, img_offsets,
                              rng, samp, small, banned, suppress)
@@ -358,11 +369,7 @@ class DecodeEngine:
                 """start_wave + token-history rows for speculative drafts:
                 the full prompt (incl. any restored prefix) and the first
                 sampled token land in ``buf`` inside the same program."""
-                L, _, _, NKV, HD = cache.k.shape
-                b = slots.shape[0]
-                small = KVCache(
-                    jnp.zeros((L, b, max_len, NKV, HD), cache.k.dtype),
-                    jnp.zeros((L, b, max_len, NKV, HD), cache.v.dtype))
+                small = fresh_small(cache, slots.shape[0])
                 cache, tok_dev, pos_dev, rng, firsts = wave_core(
                     params, cache, tok_dev, pos_dev, slots, ids,
                     image_embeds, starts, seq_lens, img_offsets, rng, samp,
@@ -379,13 +386,7 @@ class DecodeEngine:
                                       seq_lens, img_offsets, rng, pool_k,
                                       pool_v, page_tab, buf, full_ids, samp,
                                       banned, suppress):
-                L, _, _, NKV, HD = cache.k.shape
-                b = slots.shape[0]
-                small = KVCache(
-                    pool_k[:, page_tab].reshape(L, b, m_cap * page, NKV, HD)
-                    .astype(cache.k.dtype),
-                    pool_v[:, page_tab].reshape(L, b, m_cap * page, NKV, HD)
-                    .astype(cache.v.dtype))
+                small = paged_small(cache, pool_k, pool_v, page_tab)
                 cache, tok_dev, pos_dev, rng, firsts = wave_core(
                     params, cache, tok_dev, pos_dev, slots, ids,
                     image_embeds, starts, seq_lens, img_offsets, rng, samp,
@@ -976,11 +977,15 @@ class DecodeEngine:
                 continue
             for i in range(k):
                 if spec_run:
+                    # acceptance accounting uses the DEVICE counts, not the
+                    # host-truncated token loop below: budget cutoffs would
+                    # otherwise report rate 1.0 for high-acceptance slots
                     self.counters["spec_steps"] += 1
+                    self.counters["spec_tokens"] += int(counts[i, slot])
+                    self._spec_win[0] += 1
+                    self._spec_win[1] += int(counts[i, slot])
                 for j in range(int(counts[i, slot])):
                     self.counters["decode_tokens"] += 1
-                    if spec_run:
-                        self.counters["spec_tokens"] += 1
                     self._accept_token(ro, int(toks[i, slot, j]))
                     if ro.finished:
                         finished.append(ro)
@@ -1000,11 +1005,23 @@ class DecodeEngine:
     def _maybe_disable_spec(self) -> None:
         """Fall back to plain decoding when drafts are not earning their
         verify overhead (the acceptance rate is workload-dependent; TikZ
-        repetition usually pays, arbitrary text may not)."""
-        if (self._spec_on and self.spec_min_rate > 0
-                and self.counters["spec_steps"] >= 512
-                and self.spec_rate < self.spec_min_rate):
-            self._spec_on = False
+        repetition usually pays, arbitrary text may not).
+
+        Decided on SLIDING windows of 1024 slot-steps, and only after two
+        consecutive below-rate windows: a single cold-start window (short
+        histories draft poorly) must not disable speculation forever."""
+        if not (self._spec_on and self.spec_min_rate > 0):
+            return
+        steps, toks = self._spec_win
+        if steps < 1024:
+            return
+        self._spec_win = [0, 0]
+        if toks / steps < self.spec_min_rate:
+            self._spec_bad += 1
+            if self._spec_bad >= 2:
+                self._spec_on = False
+        else:
+            self._spec_bad = 0
 
     def step(self, k: Optional[int] = None) -> List[Rollout]:
         """Advance decoding by one block. Returns rollouts that finished.

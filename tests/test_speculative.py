@@ -208,3 +208,26 @@ def test_sampled_spec_runs_and_is_plausible(model):
         if ro.finish_reason == "eos":
             assert gen[-1] == cfg.eos_token_id
         eng.release(ro)
+
+
+def test_spec_bailout_needs_two_bad_windows(model):
+    """One cold-start window below rate must NOT permanently disable
+    speculation; two consecutive bad windows do, a good window resets."""
+    cfg, params = model
+    eng = DecodeEngine(params, cfg, num_slots=2, max_len=128, speculate=2)
+    assert eng._spec_on
+    eng._spec_win = [1024, 1024]          # rate 1.0 < default 1.15
+    eng._maybe_disable_spec()
+    assert eng._spec_on and eng._spec_bad == 1
+    eng._spec_win = [1024, 2048]          # rate 2.0: streak resets
+    eng._maybe_disable_spec()
+    assert eng._spec_on and eng._spec_bad == 0
+    for _ in range(2):                    # two bad windows in a row
+        eng._spec_win = [1024, 1024]
+        eng._maybe_disable_spec()
+    assert not eng._spec_on
+    # partial windows never decide
+    eng2 = DecodeEngine(params, cfg, num_slots=2, max_len=128, speculate=2)
+    eng2._spec_win = [512, 512]
+    eng2._maybe_disable_spec()
+    assert eng2._spec_on and eng2._spec_win == [512, 512]
