@@ -413,21 +413,33 @@ class DecodeEngine:
 
                 def body(carry, _):
                     tokens, positions, done, cache, buf, rng = carry
-                    # --- draft: bigram match over the slot's history.
-                    # Prefer the most recent match whose continuation lies
-                    # FULLY in history (a tail-adjacent match would draft
-                    # off the end of the sequence -- mostly empty), falling
-                    # back to the most recent match of any kind.
+                    # --- draft: n-gram match over the slot's history.
+                    # Prefer (1) the most recent TRIGRAM match with a full
+                    # continuation in history (longer context = fewer false
+                    # matches), then (2) the most recent full-continuation
+                    # bigram match (a tail-adjacent match would draft off
+                    # the end of the sequence -- mostly empty), then (3)
+                    # the most recent bigram match of any kind.
                     t_prev = jnp.take_along_axis(
                         buf, jnp.maximum(positions - 1, 0)[:, None], 1)[:, 0]
+                    t_prev2 = jnp.take_along_axis(
+                        buf, jnp.maximum(positions - 2, 0)[:, None], 1)[:, 0]
                     match = ((buf[:, :-1] == t_prev[:, None])
                              & (buf[:, 1:] == tokens[:, None]))
+                    match3 = match.at[:, 1:].set(
+                        match[:, 1:] & (buf[:, :-2] == t_prev2[:, None]))
+                    match3 = match3.at[:, 0].set(False)
                     iidx = jnp.arange(buf.shape[1] - 1)[None, :]
                     earlier = match & (iidx + 1 < positions[:, None])
-                    full = earlier & (iidx + 1 + spec <= positions[:, None])
-                    j_full = jnp.where(full, iidx, -1).max(axis=1)
+                    in_full = iidx + 1 + spec <= positions[:, None]
+                    # trigram context only meaningful with >= 2 tokens back
+                    tri_ok = (positions >= 2)[:, None]
+                    j_tri = jnp.where(match3 & earlier & in_full & tri_ok,
+                                      iidx, -1).max(axis=1)
+                    j_full = jnp.where(earlier & in_full, iidx, -1).max(1)
                     j_any = jnp.where(earlier, iidx, -1).max(axis=1)
-                    jstar = jnp.where(j_full >= 0, j_full, j_any)  # [S]
+                    jstar = jnp.where(j_tri >= 0, j_tri,
+                                      jnp.where(j_full >= 0, j_full, j_any))
                     src = jnp.clip(jstar + 2, 0, buf.shape[1] - spec)
                     gathered = jax.vmap(
                         lambda row, s0: jax.lax.dynamic_slice(
