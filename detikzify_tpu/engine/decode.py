@@ -176,12 +176,17 @@ class DecodeEngine:
         self._pos_dev = jnp.zeros((num_slots,), jnp.int32)
         # speculative decoding: device-side token history per slot (wider
         # than the cache so K+1-token writes at the last position never
-        # clamp); -1 = empty, never matches a real token id
+        # clamp); -1 = empty, never matches a real token id. ``_hint_dev``
+        # holds per-slot REFERENCE text (e.g. the parent rollout's
+        # continuation in MCTS) searched before the slot's own history.
         self._buf_dev = None
+        self._hint_dev = None
         if self.spec > 0:
             with dev_ctx:
                 self._buf_dev = jnp.full(
                     (num_slots, self.max_len + self.spec + 1), -1, jnp.int32)
+                self._hint_dev = jnp.full(
+                    (num_slots, self.max_len), -1, jnp.int32)
         self._active = np.zeros((num_slots,), bool)       # host-controlled
         # per-slot (temperature, top_p, top_k): traced into the decode
         # programs, so per-call overrides never recompile
@@ -211,6 +216,7 @@ class DecodeEngine:
             self._pos_dev = jax.device_put(self._pos_dev, device)
             if self._buf_dev is not None:
                 self._buf_dev = jax.device_put(self._buf_dev, device)
+                self._hint_dev = jax.device_put(self._hint_dev, device)
         self._page_refs = np.zeros((n_pages,), np.int32)
         self._free_pages: List[int] = list(range(n_pages))
         self._prefix_store: Dict[object, StoredPrefix] = {}
@@ -361,14 +367,16 @@ class DecodeEngine:
             trash = self._trash_start
 
             @functools.partial(
-                jax.jit, donate_argnums=(1, 2, 3, 11),
+                jax.jit, donate_argnums=(1, 2, 3, 11, 13),
                 static_argnames=("banned", "suppress"))
             def start_wave_spec(params, cache, tok_dev, pos_dev, slots, ids,
                                 image_embeds, starts, seq_lens, img_offsets,
-                                rng, buf, full_ids, samp, banned, suppress):
-                """start_wave + token-history rows for speculative drafts:
-                the full prompt (incl. any restored prefix) and the first
-                sampled token land in ``buf`` inside the same program."""
+                                rng, buf, full_ids, hint, hint_rows, samp,
+                                banned, suppress):
+                """start_wave + token-history and reference-hint rows for
+                speculative drafts: the full prompt (incl. any restored
+                prefix), the first sampled token, and the caller's hint
+                text land on device inside the same program."""
                 small = fresh_small(cache, slots.shape[0])
                 cache, tok_dev, pos_dev, rng, firsts = wave_core(
                     params, cache, tok_dev, pos_dev, slots, ids,
@@ -376,16 +384,17 @@ class DecodeEngine:
                     small, banned, suppress)
                 buf = buf.at[slots].set(full_ids)
                 buf = buf.at[slots, starts + seq_lens].set(firsts)
-                return cache, tok_dev, pos_dev, rng, firsts, buf
+                hint = hint.at[slots].set(hint_rows)
+                return cache, tok_dev, pos_dev, rng, firsts, buf, hint
 
             @functools.partial(
-                jax.jit, donate_argnums=(1, 2, 3, 14),
+                jax.jit, donate_argnums=(1, 2, 3, 14, 16),
                 static_argnames=("banned", "suppress"))
             def start_wave_paged_spec(params, cache, tok_dev, pos_dev,
                                       slots, ids, image_embeds, starts,
                                       seq_lens, img_offsets, rng, pool_k,
-                                      pool_v, page_tab, buf, full_ids, samp,
-                                      banned, suppress):
+                                      pool_v, page_tab, buf, full_ids, hint,
+                                      hint_rows, samp, banned, suppress):
                 small = paged_small(cache, pool_k, pool_v, page_tab)
                 cache, tok_dev, pos_dev, rng, firsts = wave_core(
                     params, cache, tok_dev, pos_dev, slots, ids,
@@ -393,13 +402,14 @@ class DecodeEngine:
                     small, banned, suppress)
                 buf = buf.at[slots].set(full_ids)
                 buf = buf.at[slots, starts + seq_lens].set(firsts)
-                return cache, tok_dev, pos_dev, rng, firsts, buf
+                hint = hint.at[slots].set(hint_rows)
+                return cache, tok_dev, pos_dev, rng, firsts, buf, hint
 
             @functools.partial(
                 jax.jit, donate_argnums=(1, 2, 3, 4),
                 static_argnames=("k", "banned"))
             def decode_many_spec(params, cache, tok_dev, pos_dev, buf,
-                                 active, rng, samp, k, banned):
+                                 hint, active, rng, samp, k, banned):
                 """k speculative steps for all slots in one jitted scan.
 
                 Per step and slot: draft ``spec`` tokens by bigram lookup
@@ -448,6 +458,25 @@ class DecodeEngine:
                                <= positions[:, None])
                     drafts = jnp.where((jstar >= 0)[:, None] & in_hist,
                                        gathered, -1)
+                    # --- reference-hint lookup (MCTS: the parent rollout's
+                    # continuation). A hint trigram match outranks the
+                    # slot's own history; -1 padding never matches and
+                    # rejected hint tails cost nothing.
+                    hmatch = ((hint[:, :-1] == t_prev[:, None])
+                              & (hint[:, 1:] == tokens[:, None]))
+                    hmatch3 = hmatch.at[:, 1:].set(
+                        hmatch[:, 1:] & (hint[:, :-2] == t_prev2[:, None]))
+                    hmatch3 = hmatch3.at[:, 0].set(False)
+                    hidx = jnp.arange(hint.shape[1] - 1)[None, :]
+                    jh3 = jnp.where(hmatch3 & tri_ok, hidx, -1).max(axis=1)
+                    jh2 = jnp.where(hmatch, hidx, -1).max(axis=1)
+                    jh = jnp.where(jh3 >= 0, jh3, jh2)
+                    use_hint = (jh3 >= 0) | ((j_tri < 0) & (jh2 >= 0))
+                    hsrc = jnp.clip(jh + 2, 0, hint.shape[1] - spec)
+                    hgather = jax.vmap(
+                        lambda row, s0: jax.lax.dynamic_slice(
+                            row, (s0,), (spec,)))(hint, hsrc)
+                    drafts = jnp.where(use_hint[:, None], hgather, drafts)
                     # --- verify forward over [last, d_1..d_spec]
                     w = jnp.where(done, trash,
                                   jnp.minimum(positions, trash))
@@ -670,7 +699,9 @@ class DecodeEngine:
 
     def _launch_group(self, rollouts: List[Rollout],
                       prefixes: List[Optional[StoredPrefix]],
-                      image_embeds: Optional[jnp.ndarray]) -> None:
+                      image_embeds: Optional[jnp.ndarray],
+                      hints: Optional[List[Optional[Sequence[int]]]] = None,
+                      ) -> None:
         """Dispatch ONE fused start program for these rollouts.
 
         Each row may carry its own stored prefix (or none): restores go
@@ -732,18 +763,27 @@ class DecodeEngine:
         samp = dev(self._samp_host[slots])
         if self.spec > 0:
             full_ids = np.full((b, self._buf_dev.shape[1]), -1, np.int32)
+            hint_rows = np.full((b, self._hint_dev.shape[1]), -1, np.int32)
             for i, ro in enumerate(rollouts):
                 full_ids[i, :len(ro.token_ids)] = ro.token_ids
+                h = hints[i] if hints is not None else None
+                if h:
+                    n = min(len(h), hint_rows.shape[1])
+                    hint_rows[i, :n] = list(h)[:n]
             if use_paged:
                 (self.cache, self._tok_dev, self._pos_dev, self.rng,
-                 firsts, self._buf_dev) = self._start_wave_paged_spec(
+                 firsts, self._buf_dev,
+                 self._hint_dev) = self._start_wave_paged_spec(
                     *args, self._pool.k, self._pool.v, dev(page_tab),
-                    self._buf_dev, dev(full_ids), samp,
+                    self._buf_dev, dev(full_ids), self._hint_dev,
+                    dev(hint_rows), samp,
                     banned=self._banned(), suppress=self._suppress())
             else:
                 (self.cache, self._tok_dev, self._pos_dev, self.rng,
-                 firsts, self._buf_dev) = self._start_wave_spec(
-                    *args, self._buf_dev, dev(full_ids), samp,
+                 firsts, self._buf_dev,
+                 self._hint_dev) = self._start_wave_spec(
+                    *args, self._buf_dev, dev(full_ids), self._hint_dev,
+                    dev(hint_rows), samp,
                     banned=self._banned(), suppress=self._suppress())
         elif use_paged:
             (self.cache, self._tok_dev, self._pos_dev, self.rng,
@@ -793,13 +833,16 @@ class DecodeEngine:
         prefix: Optional[StoredPrefix] = None,
         lazy: bool = False,
         sampling: Optional[SamplingParams] = None,
+        hint: Optional[Sequence[int]] = None,
     ) -> Rollout:
         """Begin generating after ``token_ids``. Returns a Rollout handle.
 
         The prefill + first-token sample run as one fused device program.
         With ``lazy=True`` the first token is not fetched to the host until
         the next ``step()``/``flush()`` -- callers can enqueue many starts
-        back-to-back with zero host syncs.
+        back-to-back with zero host syncs. ``hint`` (speculative engines
+        only) is reference text for draft lookup -- e.g. the parent
+        rollout's continuation in MCTS.
         """
         if not self._free_slots:
             raise RuntimeError("no free slots")
@@ -807,7 +850,7 @@ class DecodeEngine:
         prefix = self._check_prefix(token_ids, prefix)
         ro = self._make_rollout(token_ids, max_new_tokens, sampling,
                                 on_token)
-        self._launch_group([ro], [prefix], image_embeds)
+        self._launch_group([ro], [prefix], image_embeds, hints=[hint])
         if not lazy:
             self.flush()
         return ro
@@ -822,6 +865,7 @@ class DecodeEngine:
         prefixes: Optional[Sequence[Optional[StoredPrefix]]] = None,
         sampling: Optional[SamplingParams] = None,
         on_token: Optional[Callable[[int], None]] = None,
+        hints: Optional[Sequence[Optional[Sequence[int]]]] = None,
     ) -> List[Rollout]:
         """Start a BURST of rollouts in fused device programs.
 
@@ -856,7 +900,9 @@ class DecodeEngine:
             while n * 2 <= b - i:    # largest power of two that still fits
                 n *= 2
             emb = None if image_embeds is None else image_embeds[i:i + n]
-            self._launch_group(rollouts[i:i + n], pfs[i:i + n], emb)
+            self._launch_group(
+                rollouts[i:i + n], pfs[i:i + n], emb,
+                hints=None if hints is None else list(hints[i:i + n]))
             i += n
         return rollouts
 
@@ -939,8 +985,8 @@ class DecodeEngine:
              self._pos_dev, self._buf_dev, self.rng) = \
                 self._decode_many_spec(
                     self.params, self.cache, self._tok_dev, self._pos_dev,
-                    self._buf_dev, self._put(self._active), self.rng,
-                    self._put(self._samp_host), k, self._banned())
+                    self._buf_dev, self._hint_dev, self._put(self._active),
+                    self.rng, self._put(self._samp_host), k, self._banned())
         else:
             counts_dev = None
             toks_dev, self.cache, self._tok_dev, self._pos_dev, self.rng = \

@@ -55,6 +55,10 @@ class WideNode(Node):
                  is_widen_node: bool = False):
         super().__init__(state, exploration)
         self.is_widen_node = is_widen_node
+        # full token sequence of the rollout this node was cut from: the
+        # suffix beyond the node's own prefix is REFERENCE TEXT for
+        # speculative draft lookup in child rollouts (engine hints)
+        self.rollout_tokens: Optional[Tuple[int, ...]] = None
         self.update_policy_value(1.0)
         if not is_widen_node:
             self.add_child(WideNode(state, exploration, is_widen_node=True))
@@ -201,7 +205,22 @@ class DetikzifyGenerator:
     # rollout: stream tokens from the engine, yield line-boundary prefixes
     # ------------------------------------------------------------------
 
-    def rollout(self, state: NodeState
+    def _hint_for(self, node) -> Optional[Tuple[int, ...]]:
+        """Reference text for speculative draft lookup: the suffix of the
+        rollout this node was cut from (child rollouts re-generate much of
+        the parent's continuation). None when the engine is not
+        speculative or no source rollout is recorded."""
+        # duck-typed engines (test doubles) may not expose `spec`
+        if getattr(self.engine, "spec", 0) <= 0 or node is None:
+            return None
+        n = node.parent if getattr(node, "is_widen_node", False) else node
+        full = getattr(n, "rollout_tokens", None)
+        ids = n.token_ids
+        if full and len(full) > len(ids) and full[:len(ids)] == tuple(ids):
+            return full[len(ids):]
+        return None
+
+    def rollout(self, state: NodeState, hint=None
                 ) -> Generator[Tuple[Tuple[int, ...], int], None, None]:
         ids = list(state.token_ids)
         eos = self.engine.eos_token_id
@@ -216,11 +235,13 @@ class DetikzifyGenerator:
             self.stats["prefix_hits"] += 1
             self.stats["prefix_tokens_saved"] += prefix.length
 
+        # pass `hint` only when set: duck-typed engine doubles predate it
+        hint_kw = {} if hint is None else {"hint": hint}
         ro = self.engine.start(
             ids, image_embeds=self.image_embeds,
             max_new_tokens=self.max_length - len(ids),
             prefix=prefix, on_token=self.on_token, lazy=True,
-            sampling=self.sampling)
+            sampling=self.sampling, **hint_kw)
         self._pending_rollout = ro
 
         boundary: List[int] = list(ids)   # cumulative prefix at last boundary
@@ -294,7 +315,7 @@ class DetikzifyGenerator:
 
     def child_finder(self, node: WideNode, montecarlo: MonteCarlo) -> None:
         new_nodes: List[WideNode] = []
-        rollout_gen = self.rollout(node.state)
+        rollout_gen = self.rollout(node.state, hint=self._hint_for(node))
         for token_ids, num_lines in rollout_gen:
             new_node = WideNode(NodeState(token_ids, num_lines),
                                 exploration=self.exploration)
@@ -304,6 +325,13 @@ class DetikzifyGenerator:
                 rollout_gen.close()
                 break
             new_nodes.append(new_node)
+        if new_nodes:
+            # record the full rollout on each cut node: its suffix becomes
+            # the speculative draft hint for their future child rollouts
+            full = new_nodes[-1].token_ids
+            for n in new_nodes:
+                if n.rollout_tokens is None:
+                    n.rollout_tokens = full
 
         if node.is_widen_node:
             node.visits += 1
@@ -455,7 +483,8 @@ class DetikzifyGenerator:
     class _Expansion:
         __slots__ = ("node", "path", "ro", "boundary", "line", "num_lines",
                      "continuation", "processed", "new_nodes", "stopped",
-                     "future", "t0", "prompt", "prefix", "stored_keys")
+                     "future", "t0", "prompt", "prefix", "stored_keys",
+                     "hint")
 
         def __init__(self, node, path):
             self.node = node
@@ -467,6 +496,7 @@ class DetikzifyGenerator:
             self.t0 = time.time()
             self.prompt = None      # token ids to roll out from (None=leaf)
             self.prefix = None      # StoredPrefix to restore, if any
+            self.hint = None        # speculative draft reference text
             self.stored_keys: List = []   # speculative prefix stores
 
     def _select_leaf(self) -> WideNode:
@@ -503,18 +533,21 @@ class DetikzifyGenerator:
             self.stats["prefix_tokens_saved"] += prefix.length
         exp.prompt = ids
         exp.prefix = prefix
+        exp.hint = self._hint_for(node)
         return exp
 
     def _launch_wave(self, wave: List["_Expansion"]) -> None:
         """Start a wave of prepared expansions as fused burst programs (one
         dispatch per power-of-two chunk instead of one per expansion)."""
+        hints = [exp.hint for exp in wave]
+        hint_kw = {} if all(h is None for h in hints) else {"hints": hints}
         ros = self.engine.start_many(
             [exp.prompt for exp in wave],
             image_embeds=self.image_embeds,
             max_new_tokens=[self.max_length - len(exp.prompt)
                             for exp in wave],
             prefixes=[exp.prefix for exp in wave],
-            sampling=self.sampling, on_token=self.on_token)
+            sampling=self.sampling, on_token=self.on_token, **hint_kw)
         for exp, ro in zip(wave, ros):
             exp.ro = ro
             exp.boundary = list(exp.prompt)
@@ -562,6 +595,13 @@ class DetikzifyGenerator:
         self.stats["rollouts"] += 1
         self.stats["rollout_tokens"] += ro.new_tokens
         self.stats["rollout_time"] += time.time() - exp.t0
+        if exp.new_nodes:
+            # record the full rollout on each cut node (draft hints for
+            # their future child rollouts, same as the sequential path)
+            full = exp.new_nodes[-1].token_ids
+            for n in exp.new_nodes:
+                if n.rollout_tokens is None:
+                    n.rollout_tokens = full
         # prefix candidates: only the first sqrt(n) nodes can be attached.
         # Stored SPECULATIVELY (the slot must be freed before the async
         # compile resolves); _complete_expansion drops whatever ends up

