@@ -17,6 +17,10 @@ def parse_args():
                    help="refine with MCTS instead of one-shot sampling")
     p.add_argument("--timeout", type=int, default=600,
                    help="MCTS budget in seconds")
+    p.add_argument("--speculate", type=int, default=0,
+                   help="n-gram speculative decoding draft length "
+                        "(0 = off; distribution-preserving, auto "
+                        "bail-out when drafts do not pay)")
     p.add_argument("--parallelism", type=int, default=8,
                    help="concurrent MCTS expansions (engine slots)")
     p.add_argument("--temperature", type=float, default=None)
@@ -34,10 +38,12 @@ def main():
     if len(loaded) == 4:              # TikZero checkpoint with adapter
         params, cfg, aproc, bundle = loaded
         pipeline = DetikzifyPipeline(params, cfg, aproc.processor,
-                                     adapter=bundle)
+                                     adapter=bundle,
+                                     speculate=args.speculate)
     else:
         params, cfg, processor = loaded
-        pipeline = DetikzifyPipeline(params, cfg, processor)
+        pipeline = DetikzifyPipeline(params, cfg, processor,
+                                     speculate=args.speculate)
     gen_kwargs = dict(temperature=args.temperature, top_p=args.top_p,
                       top_k=args.top_k)
     print("Enter an image path or URL (Ctrl-D to exit):")
