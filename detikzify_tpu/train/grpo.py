@@ -40,6 +40,8 @@ class GRPOConfig:
     grad_clip: float = 1.0
     strict: bool = False               # treat recoverable errors as fatal
     freeze_encoder: bool = True        # reference refine.py:198-207
+    speculate: int = 0                 # n-gram speculative rollout decoding
+                                       # (auto bail-out if drafts don't pay)
 
 
 class GRPOState(NamedTuple):
@@ -169,6 +171,7 @@ def refine(
     engine = engine or DecodeEngine(
         params, cfg, num_slots=min(g, 16),
         max_len=cfg.image_seq_len + 2 + gcfg.max_new_tokens,
+        speculate=gcfg.speculate,
         sampling=SamplingParams())
     base = optax.chain(
         optax.clip_by_global_norm(gcfg.grad_clip),

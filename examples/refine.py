@@ -24,6 +24,8 @@ def parse_args():
     p.add_argument("--strict", action="store_true",
                    help="treat recoverable compile errors as failures")
     p.add_argument("--num_compile_workers", type=int, default=8)
+    p.add_argument("--speculate", type=int, default=0,
+                   help="speculative rollout decoding draft length")
     p.add_argument("--sketch_ratio", type=float, default=0.5,
                    help="probability of sketchifying training figures")
     return p.parse_args()
@@ -52,7 +54,7 @@ def main():
     gcfg = GRPOConfig(num_generations=args.num_generations,
                       max_new_tokens=args.max_new_tokens,
                       learning_rate=args.learning_rate, beta=args.beta,
-                      strict=args.strict)
+                      strict=args.strict, speculate=args.speculate)
     refined = refine(params, cfg, processor, images, reward, gcfg=gcfg,
                      steps=args.steps)
     save_pretrained(args.output, refined, cfg)
