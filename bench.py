@@ -256,7 +256,7 @@ def main():
 
     # 8B-class serving config (BASELINE config #4): v2-8b int8 decode on
     # one chip. Free the 1.3b engine first -- both do not fit HBM together.
-    tps_8b = hbm_gbps_8b = None
+    tps_8b = hbm_gbps_8b = tps_8b_spec = None
     try:
         import gc
 
@@ -301,7 +301,24 @@ def main():
         log(f"v2-8b int8 decode: {tok8} tok in {sec8:.2f}s = {tps_8b:.1f} "
             f"tok/s; est. HBM {hbm_gbps:.0f} GB/s "
             f"({hbm_gbps / 819 * 100:.0f}% of v5e peak)")
-        del eng8, params8
+        del eng8
+        # 8B speculative ceiling: the verify forward reads the same
+        # weights for K+1 tokens, so the bandwidth-bound 8B config gains
+        # the full acceptance multiple (block 16: less scan-tail waste
+        # when rollouts finish in few speculative steps)
+        eng8s = DecodeEngine(
+            params8, cfg8, num_slots=SLOTS, max_len=640, decode_block=16,
+            speculate=4, spec_min_rate=0.0, prefix_budget_bytes=64 << 20,
+            sampling=SamplingParams(temperature=0.0))
+        run_rollouts(eng8s, p8, emb8, n=SLOTS, max_new=16)
+        tps_8b_spec = 0.0
+        for _ in range(2):
+            tok8s, sec8s, _ = run_rollouts(eng8s, p8, emb8, n=SLOTS,
+                                           max_new=128)
+            tps_8b_spec = max(tps_8b_spec, tok8s / sec8s)
+        log(f"v2-8b int8 speculative (greedy, full acceptance): "
+            f"{tps_8b_spec:.1f} tok/s (rate {eng8s.spec_rate:.2f})")
+        del eng8s, params8
     except Exception as e:  # keep the primary metric robust to OOM etc.
         log(f"8B bench skipped: {type(e).__name__}: {e}")
 
@@ -319,6 +336,8 @@ def main():
             "p50_ttfc_s_par8_n10": round(p50_ttfc, 2),
             "prefix_hit_start_ms": round(prefix_start_ms, 1),
             "v2_8b_int8_tok_s": round(tps_8b, 2) if tps_8b else None,
+            "v2_8b_spec4_greedy_tok_s": round(tps_8b_spec, 2)
+            if tps_8b_spec else None,
             "v2_8b_est_hbm_gbps": round(hbm_gbps_8b, 1)
             if hbm_gbps_8b else None,
         },
