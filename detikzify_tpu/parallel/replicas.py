@@ -49,6 +49,7 @@ class ReplicaPool:
         top_k: int = 0,
         compile_timeout: float = 60.0,
         compile_workers: int = 4,
+        speculate: int = 0,
     ):
         from ..infer.pipeline import DetikzifyPipeline
 
@@ -63,7 +64,7 @@ class ReplicaPool:
                                        cfg.model_max_length),
                 sampling=SamplingParams(temperature=temperature,
                                         top_p=top_p, top_k=top_k),
-                device=dev)
+                speculate=speculate, device=dev)
             # decorrelate sampling across replicas
             engine.rng = jax.device_put(jax.random.PRNGKey(i), dev)
             self.pipelines.append(DetikzifyPipeline(

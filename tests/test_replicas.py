@@ -79,3 +79,18 @@ def test_map_until_compilable_across_replicas(setup):
             assert not pipe.engine._rollouts
     finally:
         set_backend(None)
+
+
+def test_pool_speculative_greedy_parity(setup):
+    """Replica engines with speculation emit the same greedy streams as a
+    plain standalone pipeline (per-replica hint/history state isolated)."""
+    cfg, params, processor = setup
+    img = _figures(1)[0]
+    single = DetikzifyPipeline(params, cfg, processor, metric="fast",
+                               temperature=0.0, num_slots=2, max_len=96)
+    want = single.sample(image=img).code
+    pool = ReplicaPool(params, cfg, processor, devices=jax.devices()[:2],
+                       metric="fast", temperature=0.0, num_slots=2,
+                       max_len=96, speculate=3)
+    docs = pool.map_sample([img, img])
+    assert [d.code for d in docs] == [want, want]
