@@ -460,18 +460,26 @@ class DecodeEngine:
                                        gathered, -1)
                     # --- reference-hint lookup (MCTS: the parent rollout's
                     # continuation). A hint trigram match outranks the
-                    # slot's own history; -1 padding never matches and
-                    # rejected hint tails cost nothing.
+                    # slot's own history, but only matches whose
+                    # continuation starts with a REAL token (not tail
+                    # padding) may displace an own-history draft -- a
+                    # tail-of-hint match would draft -1s and cost the
+                    # real draft the history had.
                     hmatch = ((hint[:, :-1] == t_prev[:, None])
                               & (hint[:, 1:] == tokens[:, None]))
                     hmatch3 = hmatch.at[:, 1:].set(
                         hmatch[:, 1:] & (hint[:, :-2] == t_prev2[:, None]))
                     hmatch3 = hmatch3.at[:, 0].set(False)
                     hidx = jnp.arange(hint.shape[1] - 1)[None, :]
-                    jh3 = jnp.where(hmatch3 & tri_ok, hidx, -1).max(axis=1)
-                    jh2 = jnp.where(hmatch, hidx, -1).max(axis=1)
-                    jh = jnp.where(jh3 >= 0, jh3, jh2)
-                    use_hint = (jh3 >= 0) | ((j_tri < 0) & (jh2 >= 0))
+                    good = jnp.pad(hint[:, 2:] != -1, ((0, 0), (0, 1)))
+                    jh3 = jnp.where(hmatch3 & good & tri_ok,
+                                    hidx, -1).max(axis=1)
+                    jh2 = jnp.where(hmatch & good, hidx, -1).max(axis=1)
+                    jh_any = jnp.where(hmatch, hidx, -1).max(axis=1)
+                    jh = jnp.where(jh3 >= 0, jh3,
+                                   jnp.where(jh2 >= 0, jh2, jh_any))
+                    use_hint = ((jh3 >= 0) | ((j_tri < 0) & (jh2 >= 0))
+                                | ((jstar < 0) & (jh_any >= 0)))
                     hsrc = jnp.clip(jh + 2, 0, hint.shape[1] - spec)
                     hgather = jax.vmap(
                         lambda row, s0: jax.lax.dynamic_slice(

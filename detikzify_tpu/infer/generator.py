@@ -205,6 +205,25 @@ class DetikzifyGenerator:
     # rollout: stream tokens from the engine, yield line-boundary prefixes
     # ------------------------------------------------------------------
 
+    @staticmethod
+    def _record_rollout_tokens(new_nodes, origin=None) -> None:
+        """Record the full rollout on each node cut from it AND on the
+        node it was rolled out from (``origin`` -- e.g. the root, which is
+        never itself cut from a rollout but re-samples from its own state
+        constantly): the suffix beyond a node's prefix becomes the
+        speculative draft hint for its future child rollouts (sequential
+        and parallel paths share this)."""
+        if not new_nodes:
+            return
+        full = new_nodes[-1].token_ids
+        for n in new_nodes:
+            if n.rollout_tokens is None:
+                n.rollout_tokens = full
+        if origin is not None:
+            o = origin.parent if origin.is_widen_node else origin
+            if o is not None and o.rollout_tokens is None:
+                o.rollout_tokens = full
+
     def _hint_for(self, node) -> Optional[Tuple[int, ...]]:
         """Reference text for speculative draft lookup: the suffix of the
         rollout this node was cut from (child rollouts re-generate much of
@@ -325,13 +344,7 @@ class DetikzifyGenerator:
                 rollout_gen.close()
                 break
             new_nodes.append(new_node)
-        if new_nodes:
-            # record the full rollout on each cut node: its suffix becomes
-            # the speculative draft hint for their future child rollouts
-            full = new_nodes[-1].token_ids
-            for n in new_nodes:
-                if n.rollout_tokens is None:
-                    n.rollout_tokens = full
+        self._record_rollout_tokens(new_nodes, origin=node)
 
         if node.is_widen_node:
             node.visits += 1
@@ -595,13 +608,7 @@ class DetikzifyGenerator:
         self.stats["rollouts"] += 1
         self.stats["rollout_tokens"] += ro.new_tokens
         self.stats["rollout_time"] += time.time() - exp.t0
-        if exp.new_nodes:
-            # record the full rollout on each cut node (draft hints for
-            # their future child rollouts, same as the sequential path)
-            full = exp.new_nodes[-1].token_ids
-            for n in exp.new_nodes:
-                if n.rollout_tokens is None:
-                    n.rollout_tokens = full
+        self._record_rollout_tokens(exp.new_nodes, origin=exp.node)
         # prefix candidates: only the first sqrt(n) nodes can be attached.
         # Stored SPECULATIVELY (the slot must be freed before the async
         # compile resolves); _complete_expansion drops whatever ends up

@@ -278,20 +278,35 @@ def test_mcts_hints_flow_and_match(model):
         set_backend
     from detikzify_tpu.processing import ByteTokenizer, DetikzifyProcessor
 
+    from detikzify_tpu.infer.generator import DetikzifyGenerator
+
     cfg, params = model
     tok = ByteTokenizer(vocab_size=512, image_token_id=cfg.image_token_id,
                         bos_token_id=cfg.bos_token_id,
                         eos_token_id=cfg.eos_token_id, model_max_length=96)
     set_backend(FakeBackend())
+    seen = {"calls": 0, "hints": 0}
+    orig = DetikzifyGenerator._hint_for
+
+    def spy(self, node):
+        h = orig(self, node)
+        seen["calls"] += 1
+        seen["hints"] += h is not None
+        return h
+
+    DetikzifyGenerator._hint_for = spy
     try:
         pipe = DetikzifyPipeline(params, cfg,
                                  DetikzifyProcessor(tok, cfg),
                                  num_slots=4, max_len=96, speculate=3)
         img = Image.new("RGB", (120, 120), "white")
         ImageDraw.Draw(img).ellipse([10, 10, 110, 110], outline="black")
-        docs = list(pipe.simulate(image=img, expansions=5))
-        assert len(docs) == 5
-        # expanding below attached nodes must have seen hints at least once
-        root = None
+        docs = list(pipe.simulate(image=img, expansions=8))
+        assert len(docs) == 8
+        # hint plumbing must be live: expansions below attached nodes get
+        # a parent-rollout hint (a silent no-op in _hint_for/recording
+        # would leave this at 0)
+        assert seen["hints"] > 0, seen
     finally:
+        DetikzifyGenerator._hint_for = orig
         set_backend(None)
