@@ -310,3 +310,46 @@ def test_mcts_hints_flow_and_match(model):
     finally:
         DetikzifyGenerator._hint_for = orig
         set_backend(None)
+
+
+def test_spec_mixed_sampling_and_abort(model):
+    """One speculative batch can mix greedy and sampled slots (per-slot
+    traced params); the greedy slot still matches plain greedy exactly,
+    and aborting a speculative rollout frees its slot cleanly."""
+    cfg, params = model
+    prompt = [cfg.image_token_id] * cfg.image_seq_len + [cfg.bos_token_id]
+    embeds = jnp.zeros((1, cfg.image_seq_len, cfg.text.hidden_size),
+                       jnp.float32)
+    plain = DecodeEngine(params, cfg, num_slots=2, max_len=128,
+                         decode_block=4,
+                         sampling=SamplingParams(temperature=0.0))
+    want = _greedy_rollout(plain, prompt, embeds, 24)
+
+    spec = DecodeEngine(params, cfg, num_slots=4, max_len=128,
+                        decode_block=4, speculate=3,
+                        sampling=SamplingParams(temperature=0.9,
+                                                top_p=0.95))
+    greedy_ro = spec.start(list(prompt), image_embeds=embeds,
+                           max_new_tokens=24, lazy=True,
+                           sampling=SamplingParams(temperature=0.0))
+    sampled_ro = spec.start(list(prompt), image_embeds=embeds,
+                            max_new_tokens=24, lazy=True)
+    abort_ro = spec.start(list(prompt), image_embeds=embeds,
+                          max_new_tokens=60, lazy=True)
+    spec.abort(abort_ro)
+    while not (greedy_ro.finished and sampled_ro.finished
+               and abort_ro.finished):
+        spec.step()
+    assert list(greedy_ro.token_ids) == want
+    assert 1 <= sampled_ro.new_tokens <= 24
+    assert abort_ro.finish_reason == "abort"
+    for ro in (greedy_ro, sampled_ro, abort_ro):
+        spec.release(ro)
+    assert len(spec._free_slots) == 4
+    # freed slots restart cleanly with fresh history
+    again = _greedy_rollout(
+        DecodeEngine(params, cfg, num_slots=2, max_len=128, decode_block=4,
+                     speculate=3,
+                     sampling=SamplingParams(temperature=0.0)),
+        prompt, embeds, 24)
+    assert again == want
