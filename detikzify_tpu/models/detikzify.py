@@ -55,12 +55,17 @@ def connector(params: Params, image_hidden: jnp.ndarray,
     return linear(params.connector["proj"], x)
 
 
-def encode_image(params: Params, cfg: DetikzifyConfig,
-                 pixel_values: jnp.ndarray, *,
-                 adapter: Optional[AdapterInputs] = None,
-                 attn_impl: str = "auto",
-                 remat: bool = False) -> jnp.ndarray:
-    """pixel_values [B,H,W,C] -> projected image tokens [B, image_seq_len, Dt].
+def vision_features(params: Params, cfg: DetikzifyConfig,
+                    pixel_values: jnp.ndarray, *,
+                    adapter: Optional[AdapterInputs] = None,
+                    attn_impl: str = "auto",
+                    remat: bool = False) -> jnp.ndarray:
+    """pixel_values [B,H,W,C] -> PRE-connector vision features
+    [B, image_seq_len*cf, Dv] -- the frozen-tower half of
+    ``encode_image`` (GRPO with a frozen encoder precomputes these but
+    must keep the connector projection inside the gradient graph,
+    matching reference refine.py:204-205 which freezes only
+    ``vision_model``).
 
     v1 legacy (cfg.feature_layer set): features come from an intermediate
     encoder layer passed through the final norm (timm
@@ -78,11 +83,22 @@ def encode_image(params: Params, cfg: DetikzifyConfig,
         feats = layer_norm(params.vision["post_ln"], feats,
                            cfg.vision.layer_norm_eps)
         keep = cfg.image_seq_len * cfg.concat_factor
-        feats = feats[:, -keep:]
-        return connector(params, feats, cfg.concat_factor)
+        return feats[:, -keep:]
     out = siglip.apply(params.vision, cfg.vision, pixel_values,
                        adapter=adapter, attn_impl=attn_impl, remat=remat)
-    return connector(params, out["last_hidden_state"], cfg.concat_factor)
+    return out["last_hidden_state"]
+
+
+def encode_image(params: Params, cfg: DetikzifyConfig,
+                 pixel_values: jnp.ndarray, *,
+                 adapter: Optional[AdapterInputs] = None,
+                 attn_impl: str = "auto",
+                 remat: bool = False) -> jnp.ndarray:
+    """pixel_values [B,H,W,C] -> projected image tokens
+    [B, image_seq_len, Dt] (vision tower + connector)."""
+    feats = vision_features(params, cfg, pixel_values, adapter=adapter,
+                            attn_impl=attn_impl, remat=remat)
+    return connector(params, feats, cfg.concat_factor)
 
 
 def merge_inputs(cfg: DetikzifyConfig, input_ids: jnp.ndarray,

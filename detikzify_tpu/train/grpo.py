@@ -70,18 +70,25 @@ def sequence_logprobs(params: Params, cfg: DetikzifyConfig,
 def make_grpo_step(cfg: DetikzifyConfig, optimizer, gcfg: GRPOConfig,
                    attn_impl: str = "auto"):
     """(state, batch) -> (state, metrics). Batch arrays:
-    tokens [B,S], completion_mask [B,S], advantages [B], and either
-    pixel_values [B,H,W,C] or image_embeds [B,N,D] (frozen encoder);
-    optional old_logprobs [B,S-1] (absent = rollouts came from the
-    CURRENT policy, the single-update-per-batch case: ratio is then
+    tokens [B,S], completion_mask [B,S], advantages [B], and one of
+    pixel_values [B,H,W,C] (full vision grads) or vision_feats
+    [B,N*cf,Dv] (frozen TOWER: features precomputed outside the grad
+    graph, but the connector projection applied INSIDE it -- reference
+    refine.py:204-205 freezes only ``vision_model``; the connector
+    trains); optional old_logprobs [B,S-1] (absent = rollouts came from
+    the CURRENT policy, the single-update-per-batch case: ratio is then
     exp(lp - stop_gradient(lp)), saving a whole forward pass) and
     ref_logprobs [B,S-1] (required when beta > 0)."""
 
     def loss_fn(params, batch):
+        image_embeds = None
+        if "vision_feats" in batch:
+            image_embeds = detikzify.connector(
+                params, batch["vision_feats"], cfg.concat_factor)
         lp = sequence_logprobs(params, cfg, batch["tokens"],
                                batch.get("pixel_values"),
                                batch["completion_mask"], attn_impl,
-                               image_embeds=batch.get("image_embeds"))
+                               image_embeds=image_embeds)
         mask = batch["completion_mask"][:, 1:]
         old_lp = batch.get("old_logprobs")
         if old_lp is None:
@@ -98,7 +105,11 @@ def make_grpo_step(cfg: DetikzifyConfig, optimizer, gcfg: GRPOConfig,
             pg = pg + gcfg.beta * (jnp.exp(delta) - delta - 1.0)
         denom = jnp.maximum(jnp.sum(mask), 1.0)
         loss = jnp.sum(jnp.where(mask, pg, 0.0)) / denom
+        # ratio_mean is identically 1 in the implied-old_logprobs path;
+        # logp_mean tracks the policy's own confidence either way
         return loss, {"ratio_mean": jnp.sum(jnp.where(mask, ratio, 0.0))
+                      / denom,
+                      "logp_mean": jnp.sum(jnp.where(mask, lp, 0.0))
                       / denom}
 
     def step(state: GRPOState, batch):
@@ -200,16 +211,26 @@ def refine(
     pad = cfg.pad_token_id
     from ..processing import preprocess_image
 
+    feats_fn = jax.jit(lambda p, px: detikzify.vision_features(p, cfg, px))
+    proj_fn = jax.jit(lambda p, f: detikzify.connector(
+        p, f, cfg.concat_factor))
+
     for it in range(steps):
         engine.params = state.params   # sample from the CURRENT policy
         batch_imgs = [images[int(rng.integers(len(images)))]
                       for _ in range(prompts_per_step)]
         all_rollouts: List[List[int]] = []
-        embeds_rows = []
+        feats_rows, pixels_rows = [], []
         for p_idx, image in enumerate(batch_imgs):
             pixels = jnp.asarray(preprocess_image(image, size))[None]
-            image_embeds = engine.encode_image(pixels)
-            embeds_rows.append(image_embeds)
+            pixels_rows.append(pixels)
+            # frozen tower: one vision pass per image serves sampling AND
+            # the update; the CONNECTOR projection stays inside the grad
+            # graph (reference refine.py:204-205 freezes vision_model
+            # only), so rollouts project the features with current params
+            feats = feats_fn(state.params, pixels)
+            feats_rows.append(feats)
+            image_embeds = proj_fn(state.params, feats)
 
             # --- rollout phase: g generations via continuous batching ---
             rollouts, pending = [], []
@@ -252,31 +273,30 @@ def refine(
         for i, ids in enumerate(all_rollouts):
             tokens[i, :len(ids)] = ids
             comp_mask[i, len(prompt):len(ids)] = True
-        embeds_flat = jnp.concatenate(
-            [jnp.broadcast_to(e, (g,) + e.shape[1:]) for e in embeds_rows])
         batch = {
             "tokens": jnp.asarray(tokens),
             "completion_mask": jnp.asarray(comp_mask),
-            # frozen encoder: one vision pass per image (already computed
-            # for sampling) serves the update too; rollouts came from the
-            # current policy, so old_logprobs is implied (stop_gradient)
-            "image_embeds": embeds_flat,
             "advantages": jnp.asarray(advantages, jnp.float32),
         }
-        if not gcfg.freeze_encoder:
-            pixels_flat = jnp.concatenate(
-                [jnp.broadcast_to(
-                    jnp.asarray(preprocess_image(img, size))[None],
-                    (g, size, size, 3)) for img in batch_imgs])
-            batch["pixel_values"] = pixels_flat
-            del batch["image_embeds"]   # grads must flow through vision
+        if gcfg.freeze_encoder:
+            # rollouts came from the current policy, so old_logprobs is
+            # implied (stop_gradient inside the step)
+            batch["vision_feats"] = jnp.concatenate(
+                [jnp.broadcast_to(f, (g,) + f.shape[1:])
+                 for f in feats_rows])
+        else:
+            batch["pixel_values"] = jnp.concatenate(
+                [jnp.broadcast_to(px, (g,) + px.shape[1:])
+                 for px in pixels_rows])   # grads flow through vision
         if ref_params is not None:
-            # KL anchor = the t=0 policy (TRL ref model); with a frozen
-            # encoder the current image embeds are exactly the ref ones
+            # KL anchor = the t=0 policy (TRL ref model); its connector
+            # projects the SAME frozen features in the frozen case
+            ref_embeds = (proj_fn(ref_params, batch["vision_feats"])
+                          if gcfg.freeze_encoder else None)
             batch["ref_logprobs"] = jax.lax.stop_gradient(logprob_fn(
                 ref_params, tokens=batch["tokens"],
                 completion_mask=batch["completion_mask"],
-                image_embeds=batch.get("image_embeds"),
+                image_embeds=ref_embeds,
                 pixel_values=batch.get("pixel_values")))
         state, metrics = step_fn(state, batch)
         log_fn(f"grpo step {it}: reward mean {rewards.mean():.4f} "

@@ -61,11 +61,17 @@ def test_refine_runs_and_updates(setup_figure=None):
     assert np.isfinite(delta)
     # rewards -1..1; with a live fake compiler most rollouts compile
     assert "reward mean" in logs[0]
-    # reference refine.py:198-207 default: the vision tower is FROZEN
+    # reference refine.py:198-207 default: the vision TOWER is frozen...
     v_delta = max(float(jnp.abs(a - b).max()) for a, b in zip(
         jax.tree.leaves(new_params.vision),
         jax.tree.leaves(params.vision)))
     assert v_delta == 0.0
+    # ...but the CONNECTOR projection trains (it sits outside
+    # model.model.vision_model in the reference)
+    c_delta = max(float(jnp.abs(a - b).max()) for a, b in zip(
+        jax.tree.leaves(new_params.connector),
+        jax.tree.leaves(params.connector)))
+    assert c_delta > 0.0
 
 
 def test_refine_kl_and_multi_prompt():
