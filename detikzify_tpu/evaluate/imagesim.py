@@ -93,7 +93,7 @@ class ImageSim:
         self._build()
 
     @classmethod
-    def from_detikzify(cls, params, cfg: DetikzifyConfig,
+    def from_detikzify(cls, params, cfg: DetikzifyConfig, *,
                        processor=None, mode: Optional[str] = None,
                        adapter=None, **kw) -> "ImageSim":
         """Build from a composite model's params (reference :61-89); pass the

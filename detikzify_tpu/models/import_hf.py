@@ -506,6 +506,9 @@ def _v1_config_from_hf(hf: dict) -> DetikzifyConfig:
         concat_factor=concat,
         feature_layer=hf.get("feature_layer"),
         projector_bias=True,
-        pooling_mode=hf.get("pooling_mode", "cos"),
+        # the reference v1 config's pooling_mode PROPERTY unconditionally
+        # returns "cos" (v1/configuration_detikzify.py:12-13), shadowing
+        # any value a config.json might carry -- pin it, don't read it
+        pooling_mode="cos",
         is_v1=True,
     )

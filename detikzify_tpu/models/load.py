@@ -384,6 +384,11 @@ def save_pretrained(path: str, params: Params, cfg: DetikzifyConfig,
         "image_token_id": cfg.image_token_id,
         "pad_token_id": cfg.pad_token_id,
         "concat_factor": cfg.concat_factor,
+        # declared SelfSim mode must survive a save/load round trip --
+        # config_from_hf_json reads it and ImageSim.from_detikzify falls
+        # back to "emd" when absent (reference imagesim.py:64)
+        **({"pooling_mode": cfg.pooling_mode}
+           if cfg.pooling_mode is not None else {}),
         "vision_config": {
             "hidden_size": cfg.vision.hidden_size,
             "intermediate_size": cfg.vision.intermediate_size,

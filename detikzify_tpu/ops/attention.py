@@ -47,6 +47,9 @@ def attend_xla(
     kv_limits: Optional[jnp.ndarray] = None,  # [B] valid-key bound per batch
 ) -> jnp.ndarray:
     """Reference XLA attention. Returns [B, S, NH, Hd] in q.dtype."""
+    if kv_limits is not None and q_offsets is None:
+        raise ValueError("kv_limits requires q_offsets "
+                         "(pass zeros for offset-free bounds)")
     b, s, nh, hd = q.shape
     t = k.shape[1]
     nkv = k.shape[2]
@@ -99,9 +102,13 @@ def attend(
     """
     # kv_limits is only applied inside the per-batch offset window (both
     # here and in the Pallas kernel); passing it alone would silently be
-    # ignored -- fail loudly instead of attending to stale rows
-    assert kv_limits is None or q_offsets is not None, \
-        "kv_limits requires q_offsets (pass zeros for offset-free bounds)"
+    # ignored -- fail loudly instead of attending to stale rows. The
+    # implementations (attend_xla, flash_attention) carry the same check
+    # for direct callers, and a raise survives python -O where an assert
+    # would not.
+    if kv_limits is not None and q_offsets is None:
+        raise ValueError("kv_limits requires q_offsets "
+                         "(pass zeros for offset-free bounds)")
     kw = dict(causal=causal, kv_mask=kv_mask, scale=scale,
               q_offsets=q_offsets, kv_limits=kv_limits)
     if implementation == "xla":

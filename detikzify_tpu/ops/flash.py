@@ -110,6 +110,9 @@ def flash_attention(
     would capture tracers when they are batch-dependent (padded-batch
     training), which crashes at grad time with "No constant handler for
     DynamicJaxprTracer"."""
+    if kv_limits is not None and q_offsets is None:
+        raise ValueError("kv_limits requires q_offsets "
+                         "(pass zeros for offset-free bounds)")
 
     def kernel_fn(q, k, v, kv_mask, q_offsets, kv_limits):
         return _flash_impl(q, k, v, causal=causal, kv_mask=kv_mask,

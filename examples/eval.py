@@ -99,7 +99,12 @@ def score(name, rows, testset, params, cfg, processor):
         "MeanSamplingThroughput": mean_sampling_throughput(
             [row["num_programs"] for row in rows]),
     }
-    selfsim = ImageSim.from_detikzify(params, cfg, processor=processor)
+    # the reference eval harness instantiates ImageSim with its default
+    # mode="cos" (reference examples/eval.py:143) rather than the
+    # checkpoint-resolved mode the MCTS pipeline uses -- match it so the
+    # reported SelfSim column stays on the cosine scale
+    selfsim = ImageSim.from_detikzify(params, cfg, processor=processor,
+                                      mode="cos")
     if pairs:
         out["SelfSim"] = float(selfsim.score_batch(
             [a for a, _ in pairs], [b for _, b in pairs]).mean())

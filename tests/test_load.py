@@ -19,6 +19,9 @@ def test_save_import_roundtrip(tmp_path):
     cfg2 = import_hf.config_from_hf_json(f"{path}/config.json")
     assert cfg2.vision.hidden_size == cfg.vision.hidden_size
     assert cfg2.text.num_key_value_heads == cfg.text.num_key_value_heads
+    # the declared SelfSim mode survives the round trip (a dropped key
+    # would silently flip ImageSim.from_detikzify to the "emd" fallback)
+    assert cfg2.pooling_mode == cfg.pooling_mode == "cos"
 
     state = import_hf.load_state_dict_from_safetensors(path)
     params2 = import_hf.import_detikzify(state, cfg2, dtype=jnp.float32)
