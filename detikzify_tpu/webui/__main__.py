@@ -20,6 +20,8 @@ def parse_args():
                         help="create a public gradio link")
     parser.add_argument("--light", action="store_true",
                         help="force light theme")
+    parser.add_argument("--speculate", type=int, default=0,
+                        help="n-gram speculative decoding draft length")
     parser.add_argument("--timeout", type=int, default=600,
                         help="MCTS wall-clock budget in seconds")
     return parser.parse_args()
@@ -28,7 +30,7 @@ def parse_args():
 def main():
     args = parse_args()
     demo = build_ui(model=args.model, lock=args.lock, light=args.light,
-                    timeout=args.timeout)
+                    timeout=args.timeout, speculate=args.speculate)
     demo.queue().launch(share=args.share)
 
 

@@ -32,18 +32,20 @@ def _require_gradio():
 
 
 @functools.lru_cache(maxsize=1)
-def cached_load(model_name: str):
+def cached_load(model_name: str, speculate: int = 0):
     """LRU(1) model load (reference webui.py:63-125). TikZero checkpoints
-    (with an adapter/ subdir) come back text-conditionable."""
+    (with an adapter/ subdir) come back text-conditionable. ``speculate``
+    enables n-gram speculative decoding (distribution-preserving; auto
+    bail-out when drafts do not pay)."""
     from ..models.load import load
 
     loaded = load(model_name)
     if len(loaded) == 4:                     # (params, cfg, aproc, bundle)
         params, cfg, aproc, bundle = loaded
         return DetikzifyPipeline(params, cfg, aproc.processor,
-                                 adapter=bundle)
+                                 adapter=bundle, speculate=speculate)
     params, cfg, processor = loaded
-    return DetikzifyPipeline(params, cfg, processor)
+    return DetikzifyPipeline(params, cfg, processor, speculate=speculate)
 
 
 def inference(pipeline: DetikzifyPipeline, image, *, text: Optional[str] = None,
@@ -102,7 +104,8 @@ def inference(pipeline: DetikzifyPipeline, image, *, text: Optional[str] = None,
 
 
 def build_ui(model: str = "detikzify-v2.5-8b", *, lock: bool = False,
-             light: bool = False, timeout: Optional[int] = 600):
+             light: bool = False, timeout: Optional[int] = 600,
+             speculate: int = 0):
     """Assemble the gradio Blocks app (reference webui.py:131-341)."""
     gr = _require_gradio()
     control = ExplicitAbort()
@@ -169,7 +172,8 @@ def build_ui(model: str = "detikzify-v2.5-8b", *, lock: bool = False,
                 strict_mode, prep):
             image = (image_editor or {}).get("composite") \
                 if isinstance(image_editor, dict) else image_editor
-            pipe = cached_load(MODELS.get(model_name, model_name))
+            pipe = cached_load(MODELS.get(model_name, model_name),
+                               speculate=speculate)
             gen = inference(pipe, image, text=text or None, algorithm=algo,
                             timeout=timeout, control=control.reset(),
                             temperature=temp, top_p=tp, top_k=int(tk),
