@@ -143,19 +143,23 @@ def main():
     # speculative decoding ceiling: n-gram prompt-lookup drafts at full
     # acceptance (greedy; zero-init weights loop, so every draft hits --
     # the upper bound of what acceptance can buy on this chip)
-    eng_spec = DecodeEngine(
-        params, cfg, num_slots=SLOTS, max_len=640, decode_block=32,
-        speculate=4, spec_min_rate=0.0, prefix_budget_bytes=64 << 20,
-        sampling=SamplingParams(temperature=0.0))
-    run_rollouts(eng_spec, prompt, image_embeds, n=SLOTS, max_new=16)
-    tps_spec = 0.0
-    for _ in range(2):
-        tokens, secs, _ = run_rollouts(
-            eng_spec, prompt, image_embeds, n=2 * SLOTS,
-            max_new=DECODE_TOKENS)
-        tps_spec = max(tps_spec, tokens / secs)
-    log(f"speculative x{SLOTS} (greedy, full acceptance): "
-        f"{tps_spec:.1f} tok/s (rate {eng_spec.spec_rate:.2f} tok/step)")
+    tps_spec = eng_spec = None
+    try:   # own try: a spec-path failure must not lose the headline metric
+        eng_spec = DecodeEngine(
+            params, cfg, num_slots=SLOTS, max_len=640, decode_block=32,
+            speculate=4, spec_min_rate=0.0, prefix_budget_bytes=64 << 20,
+            sampling=SamplingParams(temperature=0.0))
+        run_rollouts(eng_spec, prompt, image_embeds, n=SLOTS, max_new=16)
+        tps_spec = 0.0
+        for _ in range(2):
+            tokens, secs, _ = run_rollouts(
+                eng_spec, prompt, image_embeds, n=2 * SLOTS,
+                max_new=DECODE_TOKENS)
+            tps_spec = max(tps_spec, tokens / secs)
+        log(f"speculative x{SLOTS} (greedy, full acceptance): "
+            f"{tps_spec:.1f} tok/s (rate {eng_spec.spec_rate:.2f} tok/step)")
+    except Exception as e:
+        log(f"1.3b speculative bench skipped: {type(e).__name__}: {e}")
 
     # prefix-hit start latency (paged restore fused into the start program)
     t0 = time.time()
@@ -279,7 +283,9 @@ def main():
 
         del pipe, pipe8, pipe_model, engine, params, root_prefix
         del image_embeds
-        del eng16, eng_spec, eng_mcts  # zombie 1.3b state crowds 8B HBM
+        del eng16, eng_mcts            # zombie 1.3b state crowds 8B HBM
+        if eng_spec is not None:
+            del eng_spec
         gc.collect()
         cfg8 = get_config("detikzify-v2-8b").replace(model_max_length=640)
         # build the int8 tree DIRECTLY from shapes: materializing the full
@@ -353,7 +359,8 @@ def main():
         "vs_baseline": round(tps / base_tps, 3),
         "extra": {
             "ds13b_batch1_tok_s": round(base_tps, 2),
-            "ds13b_spec4_greedy_tok_s": round(tps_spec, 2),
+            "ds13b_spec4_greedy_tok_s": round(tps_spec, 2)
+            if tps_spec else None,
             "mcts_rollouts_min_par1": round(rollout_rates[1], 1),
             "mcts_rollouts_min_par16": round(rollout_rates[16], 1),
             "mcts_rollouts_min_par16_selfsim":

@@ -183,6 +183,14 @@ def _deepseek7_text() -> TextConfig:
         max_position_embeddings=16384, rope_theta=100000.0, rms_norm_eps=1e-6)
 
 
+def _codellama7_text() -> TextConfig:
+    return TextConfig(
+        vocab_size=32018, hidden_size=4096, intermediate_size=11008,
+        num_hidden_layers=32, num_attention_heads=32, num_key_value_heads=32,
+        max_position_embeddings=16384, rope_theta=1000000.0,
+        rms_norm_eps=1e-5)
+
+
 def _llama31_8b_text() -> TextConfig:
     return TextConfig(
         vocab_size=128256, hidden_size=4096, intermediate_size=14336,
@@ -227,6 +235,12 @@ PRESETS = {
     "detikzify-ds-7b": DetikzifyConfig(
         text=_deepseek7_text(), image_token_id=32013, bos_token_id=32013,
         eos_token_id=32014, pad_token_id=32014, model_max_length=2048,
+        is_v1=True, projector_bias=True, pooling_mode="cos"),
+    # CodeLlama-7b v1 (reference model/v1/__init__.py:14); real checkpoints
+    # override these via _v1_config_from_hf -- this mirrors the zoo offline
+    "detikzify-cl-7b": DetikzifyConfig(
+        text=_codellama7_text(), image_token_id=32016, bos_token_id=1,
+        eos_token_id=2, pad_token_id=32017, model_max_length=2048,
         is_v1=True, projector_bias=True, pooling_mode="cos"),
     # v2 family (reference configuration_detikzify.py defaults)
     "detikzify-v2-8b": DetikzifyConfig(text=_llama31_8b_text()),

@@ -966,6 +966,11 @@ class DecodeEngine:
     def num_active(self) -> int:
         return int(self._active.sum())
 
+    @property
+    def num_free_slots(self) -> int:
+        """Slots available for ``start``/``start_many`` right now."""
+        return len(self._free_slots)
+
     # ------------------------------------------------------------------
     # stepping
     # ------------------------------------------------------------------

@@ -169,7 +169,7 @@ class DetikzifyPipeline:
         rollouts: dict = {}
         sampling = self._sampling_override(temperature, top_p, top_k)
         while queue or any(not r.finished for r in rollouts.values()):
-            n = min(len(self.engine._free_slots), len(queue))
+            n = min(self.engine.num_free_slots, len(queue))
             if n > 0:
                 # burst-start one figure wave as a single fused program
                 wave = [queue.pop(0) for _ in range(n)]

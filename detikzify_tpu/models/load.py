@@ -34,6 +34,7 @@ MODEL_REGISTRY: Dict[str, str] = {
     "detikzify-ds-1.3b": "nllg/detikzify-ds-1.3b",
     "detikzify-ds-7b": "nllg/detikzify-ds-7b",
     "detikzify-tl-1.1b": "nllg/detikzify-tl-1.1b",
+    "detikzify-cl-7b": "nllg/detikzify-cl-7b",
 }
 
 

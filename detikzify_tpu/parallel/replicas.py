@@ -96,6 +96,12 @@ class ReplicaPool:
                     results[i] = fn(pipe, items[i])
                 except Exception as e:  # noqa: BLE001 -- isolate items
                     results[i] = e
+                except BaseException as e:
+                    # record so no None row reaches callers, then stop this
+                    # worker (KeyboardInterrupt etc. must not be swallowed
+                    # into per-item results silently)
+                    results[i] = e
+                    raise
 
         threads = [threading.Thread(target=worker, args=(p,), daemon=True)
                    for p in self.pipelines[:max(1, len(items))]]

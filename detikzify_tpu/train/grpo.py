@@ -238,7 +238,7 @@ def refine(
             root_prefix = None
             ns = ("grpo", it, p_idx)
             while started < g or pending:
-                n = min(len(engine._free_slots), g - started)
+                n = min(engine.num_free_slots, g - started)
                 if n > 0:
                     # whole wave in ONE fused start program (start_many)
                     ros = engine.start_many(

@@ -15,6 +15,7 @@ MODELS = {
     "detikzify-ds-7b": "nllg/detikzify-ds-7b",
     "detikzify-ds-1.3b": "nllg/detikzify-ds-1.3b",
     "detikzify-tl-1.1b": "nllg/detikzify-tl-1.1b",
+    "detikzify-cl-7b": "nllg/detikzify-cl-7b",
 }
 
 ALGORITHMS = {

@@ -42,6 +42,11 @@ def test_registry(tmp_path):
     register("my-model", str(tmp_path))
     assert _resolve("my-model") == str(tmp_path)
     assert "detikzify-v2-8b" in MODEL_REGISTRY
+    # full reference zoo (reference model/v1/__init__.py:10-15 + webui)
+    for name in ("detikzify-v2.5-8b", "detikzify-ds-1.3b",
+                 "detikzify-ds-7b", "detikzify-tl-1.1b",
+                 "detikzify-cl-7b"):
+        assert name in MODEL_REGISTRY
     with pytest.raises(FileNotFoundError):
         _resolve("nonexistent/model")
 
