@@ -378,17 +378,19 @@ class DetikzifyGenerator:
                 # attach only prefixes strictly before the error line; cache
                 # the failing suffix so future rollouts skip regeneration
                 for idx, new_node in enumerate(new_nodes):
-                    # reference truthiness: the last token CONTAINS a newline
-                    # (newlineinfo.get(...), generate.py:330-333) -- NOT the
-                    # trailing flag; the final segment of a rollout is the
-                    # only boundary whose last token has no newline at all
-                    ends_eol = new_node.token_ids[-1] in self._newline
+                    # reference generate.py:330-333 also tests
+                    # ``num_lines == errorln and newlineinfo.get(ids[-1])``
+                    # -- but its token_ids are torch TENSORS, so the
+                    # int-keyed dict lookup always misses and that clause is
+                    # effectively dead in the reference runtime. Mirror the
+                    # EFFECTIVE semantics (verified live by the scripted
+                    # trace-parity test): cache the failing suffix only once
+                    # a node lies strictly beyond the error line.
                     if new_node.num_lines < errorln and idx < skip_idx:
                         node.add_child(new_node)
                         node = new_node
                         attached.append(new_node)
-                    elif (new_node.num_lines > errorln
-                          or (new_node.num_lines == errorln and ends_eol)):
+                    elif new_node.num_lines > errorln:
                         self.failed_rollouts[new_node.state] = new_nodes[idx:]
                         break
         return attached

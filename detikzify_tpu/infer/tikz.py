@@ -54,31 +54,70 @@ class CompileResult:
 # error-log parsing
 # ---------------------------------------------------------------------------
 
-_FILE_LINE_ERR = re.compile(r"^(?:\./)?[^\s:]+\.tex:(\d+):\s*(.+)$", re.M)
-_BANG_ERR = re.compile(r"^!\s*(.+)$", re.M)
+#: reference tikz.py:61: the root file is the first line-initial ``(path``
+_ROOTFILE = re.compile(r"^\((.+)$", re.M)
+_FILE_LINE_ERR = re.compile(r"^(.+):(\d+):(.+)$", re.M)
+
+#: reference tikz.py:73 -- emitted when a failed compile's log has no
+#: parseable ``file:line:msg`` at all
+FATAL_ERROR_MSG = "Fatal error occurred, no output PDF file produced!"
 
 
-def parse_errors(log: str) -> Dict[int, str]:
+def parse_errors(log: str, rootfile: Optional[str] = None) -> Dict[int, str]:
     """latexmk/pdflatex ``-file-line-error`` log -> {line: message}.
 
-    Unlocatable errors map to line 0 (reference tikz.py:54-73).
+    Reference-identical semantics (reference tikz.py:54-73, verified by the
+    differential test in ``tests/test_tikz_reference_diff.py``):
+
+      * ``rootfile`` defaults to the first line-initial ``(path`` in the
+        log (how TeX echoes opening the main file);
+      * ``file:line:msg`` lines in the root file map to ``{line: msg}``,
+        later messages for the same line OVERWRITE earlier ones;
+      * errors in any other file collapse onto line 0 (unlocatable);
+      * no rootfile found -> every error is unlocatable (line 0).
+
+    The ``{0: FATAL_ERROR_MSG}`` fallback for failed compiles with no
+    parseable error lives in ``TikzDocument.errors`` (like the reference's
+    ``errors`` property, which only fires on ``compiled_with_errors``).
     """
+    if not rootfile and (match := _ROOTFILE.search(log)):
+        rootfile = match.group(1)
     errors: Dict[int, str] = {}
-    for match in _FILE_LINE_ERR.finditer(log):
-        line = int(match.group(1))
-        errors.setdefault(line, match.group(2).strip())
-    if not errors:
-        for match in _BANG_ERR.finditer(log):
-            msg = match.group(1).strip()
-            if msg and not msg.startswith("="):
-                errors.setdefault(0, msg)
-                break
+    for file, line, error in _FILE_LINE_ERR.findall(log):
+        if file == rootfile:
+            errors[int(line)] = error.strip()
+        else:
+            errors[0] = error.strip()
     return errors
 
 
-def first_error_line(log: str) -> Optional[int]:
-    errs = parse_errors(log)
+def first_error_line(log: str, rootfile: Optional[str] = None
+                     ) -> Optional[int]:
+    errs = parse_errors(log, rootfile)
     return min(errs) if errs else None
+
+
+def select_best_attempt(attempts, rootfile: Optional[str] = None
+                        ) -> Optional[int]:
+    """Index of the engine attempt the reference chain would keep.
+
+    Direct transcription of reference tikz.py:111-131: the first attempt
+    with returncode 0 wins outright; otherwise keep the attempt whose
+    FIRST root-file ``file:line:`` error in the log (in log order, not
+    minimum line) has the largest line number; attempts with no such error
+    rank as line 0; earlier engines win ties. ``attempts`` is a sequence
+    of ``(returncode, log)``.
+    """
+    errorln, best = -1, None
+    for i, (returncode, log) in enumerate(attempts):
+        if returncode == 0:
+            return i
+        match = (re.search(rf"^{re.escape(rootfile)}:(\d+):.+$", log, re.M)
+                 if rootfile else None)
+        linenr = int(match.group(1)) if match else 0
+        if linenr > errorln:
+            errorln, best = linenr, i
+    return best
 
 
 # ---------------------------------------------------------------------------
@@ -190,27 +229,30 @@ class LatexmkBackend:
 
     def compile(self, code: str, timeout: float = DEFAULT_TIMEOUT) -> CompileResult:
         doc = self._prepare(code)
-        best: Optional[CompileResult] = None
-        best_line = -1
-        for engine in self.ENGINES:
-            result = self._run_engine(doc, engine, timeout)
-            if result.status == 0 and result.pdf:
-                result.pdf = crop_pdf_margins(result.pdf)
-                return result
-            line = first_error_line(result.log)
-            # unparseable failures (timeouts etc.) rank LOWEST, like the
-            # reference's linenr 0 (tikz.py:124-127), so one timing-out
-            # engine cannot mask another engine's salvageable PDF
-            score = 0 if line is None else line
-            if result.pdf is not None:
-                score += 10 ** 6  # prefer salvageable attempts
-            if score > best_line:
-                best, best_line = result, score
-        if best is None:
-            return CompileResult(status=2, log="no engine available")
-        if best.pdf is not None:
-            best.pdf = crop_pdf_margins(best.pdf)
-        return best
+        with tempfile.TemporaryDirectory() as tmp:
+            tex = os.path.join(tmp, "doc.tex")
+            with open(tex, "w") as f:
+                f.write(doc)
+            # one shared build dir across the engine chain, like the
+            # reference (tikz.py:92-131): a later engine may salvage a PDF
+            # an earlier engine already produced
+            attempts = []
+            for engine in self.ENGINES:
+                rc, log, pdf = self._run_engine(tex, tmp, engine, timeout)
+                if rc == 0:
+                    # reference tikz.py:128-131: first clean engine wins
+                    if pdf is not None:
+                        pdf = crop_pdf_margins(pdf)
+                    return CompileResult(status=0, log=log, pdf=pdf)
+                attempts.append((rc, log, pdf))
+            if not attempts:
+                return CompileResult(status=2, log="no engine available")
+            best = select_best_attempt(
+                [(rc, log) for rc, log, _ in attempts], rootfile=tex)
+            _, log, pdf = attempts[best]
+            if pdf is not None:
+                pdf = crop_pdf_margins(pdf)
+            return CompileResult(status=1 if pdf else 2, log=log, pdf=pdf)
 
     def _prepare(self, code: str) -> str:
         if "\\documentclass" not in code:
@@ -220,31 +262,41 @@ class LatexmkBackend:
                                 "\\begin{document}\\thispagestyle{empty}", 1)
         return code
 
-    def _run_engine(self, code: str, engine: str, timeout: float) -> CompileResult:
-        with tempfile.TemporaryDirectory() as tmp:
-            tex = os.path.join(tmp, "doc.tex")
-            with open(tex, "w") as f:
-                f.write(code)
-            cmd = ["latexmk", "-f", "-nobibtex", "-norc", "-file-line-error",
-                   "-interaction=nonstopmode", f"-{engine}",
-                   "-output-directory=" + tmp, tex]
-            try:
-                proc = run_killpg(cmd, timeout=timeout, cwd=tmp)
-                log = (proc.stdout + proc.stderr).decode("utf-8", "ignore")
-            except subprocess.TimeoutExpired:
-                return CompileResult(status=2, log="timeout")
-            logfile = os.path.join(tmp, "doc.log")
-            if os.path.exists(logfile):
-                with open(logfile, "rb") as f:
-                    log = f.read().decode("utf-8", "ignore")
-            pdf_path = os.path.join(tmp, "doc.pdf")
-            pdf = None
-            if os.path.exists(pdf_path):
-                with open(pdf_path, "rb") as f:
-                    pdf = f.read()
-            errors = parse_errors(log)
-            status = 0 if (pdf and not errors) else (1 if pdf else 2)
-            return CompileResult(status=status, log=log, pdf=pdf)
+    def _run_engine(self, tex: str, tmp: str, engine: str, timeout: float):
+        """One latexmk attempt -> (returncode, log, pdf-bytes-or-None)."""
+        cmd = ["latexmk", "-f", "-nobibtex", "-norc", "-file-line-error",
+               "-interaction=nonstopmode", f"-{engine}",
+               "-output-directory=" + tmp, tex]
+        timed_out = False
+        log = ""
+        # the build dir is shared across the engine chain: a stale log from
+        # a previous engine must not be attributed to this attempt (PDFs
+        # stay -- last-page salvage reads whatever the dir holds, like the
+        # reference's try_save_last_page)
+        stale = os.path.join(tmp, "doc.log")
+        if os.path.exists(stale):
+            os.remove(stale)
+        try:
+            # max_print_line keeps file:line errors unwrapped in the log
+            # (reference tikz.py:118)
+            proc = run_killpg(cmd, timeout=timeout, cwd=tmp,
+                              env={**os.environ, "max_print_line": "1000"})
+            rc = proc.returncode
+            log = (proc.stdout + proc.stderr).decode("utf-8", "ignore")
+        except subprocess.TimeoutExpired:
+            rc, timed_out = -1, True
+        logfile = os.path.join(tmp, "doc.log")
+        if os.path.exists(logfile):
+            with open(logfile, "rb") as f:
+                log = f.read().decode("utf-8", "ignore")
+        elif timed_out:
+            log = "timeout"
+        pdf_path = os.path.join(tmp, "doc.pdf")
+        pdf = None
+        if os.path.exists(pdf_path):
+            with open(pdf_path, "rb") as f:
+                pdf = f.read()
+        return rc, log, pdf
 
     def rasterize(self, pdf: bytes, size: int = 420) -> Optional[Image.Image]:
         """PDF -> square PIL image (last page wins, matching the reference's
@@ -314,11 +366,11 @@ class FakeBackend:
         for i, line in enumerate(lines, start=1):
             if "\\errorline" in line:
                 return CompileResult(
-                    status=2, log=f"./doc.tex:{i}: Injected error.\n")
+                    status=2, log=f"(./doc.tex\n./doc.tex:{i}: Injected error.\n")
             depth += line.count("{") - line.count("}")
             if depth < 0:
                 return CompileResult(
-                    status=2, log=f"./doc.tex:{i}: Too many }}'s.\n")
+                    status=2, log=f"(./doc.tex\n./doc.tex:{i}: Too many }}'s.\n")
             for env in re.findall(r"\\begin\{(\w+)\}", line):
                 env_stack.append((env, i))
             for env in re.findall(r"\\end\{(\w+)\}", line):
@@ -327,19 +379,20 @@ class FakeBackend:
                 else:
                     return CompileResult(
                         status=2,
-                        log=f"./doc.tex:{i}: \\end{{{env}}} without matching "
-                            f"\\begin.\n")
+                        log=f"(./doc.tex\n./doc.tex:{i}: \\end{{{env}}} without "
+                            f"matching \\begin.\n")
         if env_stack:
             env, line = env_stack[-1]
             return CompileResult(
                 status=1,
-                log=f"./doc.tex:{line}: \\begin{{{env}}} ended by end of "
-                    f"file.\n",
+                log=f"(./doc.tex\n./doc.tex:{line}: \\begin{{{env}}} ended by "
+                    f"end of file.\n",
                 image=self._render(code))
         if depth != 0:
             return CompileResult(
                 status=1,
-                log=f"./doc.tex:{len(lines)}: File ended while scanning.\n",
+                log=f"(./doc.tex\n./doc.tex:{len(lines)}: File ended while "
+                    f"scanning.\n",
                 image=self._render(code))
         return CompileResult(status=0, log="", image=self._render(code))
 
@@ -431,11 +484,19 @@ class TikzDocument:
 
     @cached_property
     def errors(self) -> Dict[int, str]:
-        return parse_errors(self.output.log)
+        """Reference tikz.py:54-73: {} on clean compiles; on failures the
+        parsed {line: msg} map, or {0: FATAL_ERROR_MSG} when nothing in
+        the log is parseable (timeouts, missing toolchain)."""
+        if self.output.status != 0:
+            return parse_errors(self.output.log) or {0: FATAL_ERROR_MSG}
+        return {}
 
     @property
     def compiled_with_errors(self) -> bool:
-        return self.output.compiled and bool(self.errors)
+        # reference tikz.py:50-52: nonzero status, whether or not a PDF
+        # was salvaged -- a fatal compile IS "compiled with errors", which
+        # the fast metric scores as -1 (reference generate.py:340)
+        return self.output.status != 0
 
     @cached_property
     def _raster(self) -> Optional[Image.Image]:

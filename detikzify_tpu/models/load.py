@@ -363,7 +363,12 @@ def save_pretrained(path: str, params: Params, cfg: DetikzifyConfig,
 
     os.makedirs(path, exist_ok=True)
     out: Dict[str, np.ndarray] = {}
-    _export_vision(params.vision, out, "model.vision_model")
+    # the reference model nests SiglipVisionModel under an extra
+    # ``vision_model`` attribute (modeling_detikzify.py:125), so its
+    # state-dict prefix is model.vision_model.vision_model -- verified by
+    # the reverse-export gate (test_full_model_export_loads_in_reference)
+    vis_prefix = "model.vision_model.vision_model"
+    _export_vision(params.vision, out, vis_prefix)
     out["model.connector.modality_projection.proj.weight"] = \
         np.asarray(params.connector["proj"]["kernel"]).T
     _export_text(params.text, out, "model.text_model")
@@ -371,10 +376,10 @@ def save_pretrained(path: str, params: Params, cfg: DetikzifyConfig,
         out["lm_head.weight"] = np.asarray(
             params.text["lm_head"]["kernel"]).T
     # conv weight needs [D, C, p, p] layout
-    patch = out["model.vision_model.embeddings.patch_embedding.weight"]
+    patch = out[f"{vis_prefix}.embeddings.patch_embedding.weight"]
     d = patch.shape[0]
     p, c = cfg.vision.patch_size, cfg.vision.num_channels
-    out["model.vision_model.embeddings.patch_embedding.weight"] = \
+    out[f"{vis_prefix}.embeddings.patch_embedding.weight"] = \
         patch.reshape(d, c, p, p)
     out = {k: np.ascontiguousarray(v) for k, v in out.items()}
     save_file(out, os.path.join(path, "model.safetensors"))
@@ -419,3 +424,37 @@ def save_pretrained(path: str, params: Params, cfg: DetikzifyConfig,
     }
     with open(os.path.join(path, "config.json"), "w") as f:
         json.dump(hf_cfg, f, indent=2)
+
+    if processor is not None:
+        # write the processor artifacts the reference's AutoProcessor path
+        # needs (reference model/__init__.py:44: AutoProcessor.from_pretrained
+        # -> DetikzifyProcessor(image_processor, tokenizer, image_seq_len,
+        # image_token)), so a full export round-trips through the
+        # reference's own ``detikzify.model.load()``
+        tok = getattr(processor, "tokenizer", None)
+        image_token = None
+        if tok is not None and hasattr(tok, "save_pretrained"):
+            tok.save_pretrained(path)
+            if hasattr(tok, "convert_ids_to_tokens"):
+                image_token = tok.convert_ids_to_tokens(cfg.image_token_id)
+        with open(os.path.join(path, "preprocessor_config.json"), "w") as f:
+            json.dump({
+                "image_processor_type": "SiglipImageProcessor",
+                "processor_class": "DetikzifyProcessor",
+                "size": {"height": cfg.vision.image_size,
+                         "width": cfg.vision.image_size},
+                "image_mean": list(processor.image_mean),
+                "image_std": list(processor.image_std),
+                "do_resize": True, "do_rescale": True,
+                "do_normalize": True, "do_convert_rgb": True,
+            }, f, indent=2)
+        proc_cfg = {
+            "processor_class": "DetikzifyProcessor",
+            "image_seq_len": processor.image_seq_len,
+        }
+        if image_token is not None:
+            proc_cfg["image_token"] = image_token
+        if processor.model_expects_text:
+            proc_cfg["model_expects_text"] = True
+        with open(os.path.join(path, "processor_config.json"), "w") as f:
+            json.dump(proc_cfg, f, indent=2)

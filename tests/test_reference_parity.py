@@ -218,9 +218,12 @@ class FakeDoc:
         self.code = code
         result = self._backend.compile(code)
         self.status = result.status
-        self.errors = parse_errors(result.log)
+        self.errors = (parse_errors(result.log) if result.status != 0
+                       else {})
         self.is_rasterizable = result.image is not None
-        self.compiled_with_errors = self.is_rasterizable and bool(self.errors)
+        # true reference semantics (tikz.py:50-52): nonzero status IS
+        # compiled-with-errors, PDF or not -- fatal compiles score -1
+        self.compiled_with_errors = self.status != 0
 
     def compile(self):
         return self
@@ -304,6 +307,7 @@ def test_mcts_trace_parity(ckpt):
 GOOD1 = "\\draw (0,0) -- (1,1);\n"
 BAD = "\\errorline\n"
 GOOD2 = "\\node at (2,2) {x};\n"
+OPEN = "\\begin{tikzpicture}\n"
 
 
 class ScriptedEngine:
@@ -363,13 +367,20 @@ def _make_script(tokenizer, root_len, eos):
         code = tokenizer.decode(list(prefix_ids)[root_len:],
                                 skip_special_tokens=True)
         if code == "":
-            # first rollout from the root: fails at line 2
-            return enc(GOOD1) + enc(BAD) + enc(GOOD2) + [eos]
+            # root rollout: SALVAGED (unbalanced env -> status 1, score 0
+            # under true reference semantics) so the search keeps exploring
+            # instead of replaying a fatal root rollout forever
+            return enc(GOOD1) + enc(GOOD2) + enc(OPEN) + [eos]
         if code == GOOD1:
-            return enc(GOOD2) + enc(GOOD1) + [eos]
+            # fatal at line 3: error-bounded attach (line-2 prefix kept)
+            # + failed-rollout caching
+            return enc(GOOD2) + enc(BAD) + enc(GOOD2) + [eos]
         if code == GOOD1 + GOOD2:
-            return enc(GOOD1) + enc(GOOD2.rstrip("\n")) + [eos]
-        return enc(GOOD2) + [eos]
+            return enc(GOOD1) + [eos]          # clean compile: score 1
+        # deeper continuations are fatal with a full line BEYOND the
+        # error line: failed-rollout caching (num_lines > errorln) on a
+        # branch the search actually visits
+        return enc(BAD) + enc(GOOD2) + [eos]
 
     return script
 
@@ -417,9 +428,11 @@ def test_mcts_scripted_trace_parity(ckpt):
         ref_trace.append((float(score), doc.code))
 
     # the script must actually exercise the interesting paths (fast-mode
-    # scores: 1 = clean compile, 0 = failed / compiled-with-errors)
+    # scores, reference generate.py:340: 1 = clean compile, 0 = salvaged
+    # with errors, -1 = fatal failure)
     codes = [c for _, c in ref_trace]
-    assert any(s == 0 for s, _ in ref_trace), "no failed rollout in trace"
+    assert any(s == -1 for s, _ in ref_trace), "no fatal rollout in trace"
+    assert any(s == 0 for s, _ in ref_trace), "no salvaged rollout in trace"
     assert any(s == 1 for s, _ in ref_trace), "no scorable rollout in trace"
     assert len(set(codes)) > 1, "degenerate trace"
     assert ref_gen.failed_rollouts, "error-bounded attach path not hit"
@@ -638,3 +651,50 @@ def test_adapter_export_loads_in_reference(tmp_path):
     got_c = ref.connector.weight.detach().numpy()
     np.testing.assert_allclose(
         got_c, np.asarray(aparams["connector"]["kernel"]).T, atol=1e-6)
+
+
+def test_full_model_export_loads_in_reference(ckpt, tmp_path):
+    """Reverse full-model export gate (VERDICT round-2 directive #4): a
+    checkpoint written by this repo's ``save_pretrained`` must load through
+    the reference's own ``detikzify.model.load()``
+    (reference model/__init__.py:28-45) and produce identical logits and
+    greedy tokens. Any tensor-name or config-schema drift fails here."""
+    import detikzify.model as ref_model_mod
+
+    from detikzify_tpu.models.load import save_pretrained
+
+    path = str(tmp_path / "export")
+    save_pretrained(path, ckpt["params"], ckpt["our_cfg"],
+                    processor=ckpt["our_proc"])
+    exp_model, exp_proc = ref_model_mod.load(path, dtype=torch.float32)
+    exp_model.eval()
+
+    img = _figure()
+    for text in ["", "\\draw (0,0)"]:
+        exp_in = exp_proc(images=img, text=text, return_tensors="pt")
+        our_in = ckpt["our_proc"](images=img, text=text)
+        # processor artifacts round-tripped: same ids, same pixels
+        assert exp_in["input_ids"][0].tolist() == \
+            our_in.input_ids[0].tolist()
+        np.testing.assert_allclose(
+            exp_in["pixel_values"][0].numpy(),
+            np.transpose(our_in.pixel_values[0], (2, 0, 1)), atol=1e-6)
+        # logits of the reference-loaded EXPORT vs the original reference
+        # model (weights round-tripped through our pytree + name mapping)
+        with torch.inference_mode():
+            want = ckpt["ref_model"](
+                input_ids=exp_in["input_ids"],
+                pixel_values=exp_in["pixel_values"]).logits.numpy()
+            got = exp_model(
+                input_ids=exp_in["input_ids"],
+                pixel_values=exp_in["pixel_values"]).logits.numpy()
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+        # greedy decode through the reference generation loop on the
+        # exported checkpoint vs our engine
+        exp_ckpt = dict(ckpt, ref_model=exp_model)
+        ref_tokens = _ref_greedy(exp_ckpt, exp_in["input_ids"],
+                                 exp_in["pixel_values"], MAX_NEW)
+        our_tokens = _our_greedy(ckpt, [int(t) for t in our_in.input_ids[0]],
+                                 our_in.pixel_values, MAX_NEW)
+        assert our_tokens == ref_tokens, \
+            f"greedy tokens diverge on exported checkpoint for {text!r}"

@@ -8,6 +8,7 @@ from detikzify_tpu.infer.tikz import (CompileService, FakeBackend,
 
 def test_parse_errors_file_line():
     log = ("this is latexmk\n"
+           "(./doc.tex\n"
            "./doc.tex:12: Undefined control sequence.\n"
            "./doc.tex:30: Missing $ inserted.\n")
     errs = parse_errors(log)
@@ -15,9 +16,61 @@ def test_parse_errors_file_line():
                     30: "Missing $ inserted."}
 
 
+def test_parse_errors_other_file_collapses_to_zero():
+    """Errors outside the root file land on line 0 (reference
+    tikz.py:66-71); without a rootfile line everything is unlocatable."""
+    log = ("(./doc.tex\n"
+           "/usr/share/texmf/tikz.sty:88: Package tikz Error.\n"
+           "./doc.tex:5: Undefined control sequence.\n")
+    assert parse_errors(log) == {0: "Package tikz Error.",
+                                 5: "Undefined control sequence."}
+    assert parse_errors("./doc.tex:5: no rootfile line.\n") == {
+        0: "no rootfile line."}
+
+
+def test_parse_errors_last_message_wins():
+    log = ("(./doc.tex\n"
+           "./doc.tex:7: first message.\n"
+           "./doc.tex:7: second message.\n")
+    assert parse_errors(log) == {7: "second message."}
+
+
 def test_parse_errors_unlocatable():
-    assert parse_errors("! Emergency stop.\n") == {0: "Emergency stop."}
+    from detikzify_tpu.infer.tikz import FATAL_ERROR_MSG, FakeBackend
+
+    # bang-lines alone are NOT parsed (reference parses only file:line:msg);
+    # the fatal fallback lives on TikzDocument.errors
+    assert parse_errors("! Emergency stop.\n") == {}
     assert parse_errors("all good") == {}
+
+    class BangBackend(FakeBackend):
+        def compile(self, code, timeout=60):
+            from detikzify_tpu.infer.tikz import CompileResult
+            return CompileResult(status=2, log="! Emergency stop.\n")
+
+    doc = TikzDocument("x", backend=BangBackend())
+    assert doc.errors == {0: FATAL_ERROR_MSG}
+    assert doc.compiled_with_errors
+
+
+def test_select_best_attempt_reference_ranking():
+    from detikzify_tpu.infer.tikz import select_best_attempt
+
+    root = "/tmp/build/doc.tex"
+    ok = (0, "")
+    late = (12, f"(./x\n{root}:40: Late error.\n")
+    early = (12, f"(./x\n{root}:3: Early error.\n")
+    unparsed = (-1, "timeout")
+    assert select_best_attempt([early, ok, late], rootfile=root) == 1
+    assert select_best_attempt([early, late], rootfile=root) == 1
+    assert select_best_attempt([late, early], rootfile=root) == 0
+    # unparseable ranks as line 0; first such attempt wins ties
+    assert select_best_attempt([unparsed, early], rootfile=root) == 1
+    assert select_best_attempt([unparsed, (-1, "also nothing")],
+                               rootfile=root) == 0
+    # ranking keys off the FIRST root-file error in log order, not the min
+    jumbled = (12, f"(./x\n{root}:30: First in log.\n{root}:2: Later.\n")
+    assert select_best_attempt([early, jumbled], rootfile=root) == 1
 
 
 def test_fake_backend_ok():
