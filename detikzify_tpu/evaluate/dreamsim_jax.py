@@ -378,6 +378,34 @@ class DreamSimJAX:
         self._scores = []
 
 
+def _cfg_from_checkpoint(path: str, defaults: ViTConfig) -> ViTConfig:
+    """Override backbone dims from the checkpoint's HF config.json when
+    present (keeps tiny test checkpoints and non-base variants loadable);
+    the ViT-B/16 defaults apply otherwise."""
+    import json
+    import os
+
+    cfg_path = os.path.join(path if os.path.isdir(path)
+                            else os.path.dirname(path), "config.json")
+    if not os.path.exists(cfg_path):
+        return defaults
+    with open(cfg_path) as f:
+        hf = json.load(f)
+    hf = hf.get("vision_config", hf)   # CLIPVisionModel nests under this
+    updates = {}
+    for ours, theirs in (("hidden_size", "hidden_size"),
+                         ("num_hidden_layers", "num_hidden_layers"),
+                         ("num_attention_heads", "num_attention_heads"),
+                         ("intermediate_size", "intermediate_size"),
+                         ("patch_size", "patch_size"),
+                         ("image_size", "image_size")):
+        if theirs in hf:
+            updates[ours] = hf[theirs]
+    if defaults.variant == "clip" and "projection_dim" in hf:
+        updates["proj_dim"] = hf["projection_dim"]
+    return dataclasses.replace(defaults, **updates)
+
+
 def from_checkpoints(dino_path: Optional[str] = None,
                      clip_path: Optional[str] = None,
                      open_clip_path: Optional[str] = None) -> DreamSimJAX:
@@ -389,14 +417,16 @@ def from_checkpoints(dino_path: Optional[str] = None,
 
     extractors = []
     if dino_path:
-        cfg = ViTConfig(variant="vit", layer_norm_eps=1e-12)
+        cfg = _cfg_from_checkpoint(
+            dino_path, ViTConfig(variant="vit", layer_norm_eps=1e-12))
         state = load_state_dict_from_safetensors(dino_path)
         extractors.append(Extractor(import_vit_hf(state, cfg), cfg,
                                     IMAGENET_MEAN, IMAGENET_STD))
     for path in (clip_path, open_clip_path):
         if path:
-            cfg = ViTConfig(variant="clip", hidden_act="quick_gelu",
-                            layer_norm_eps=1e-5, proj_dim=512)
+            cfg = _cfg_from_checkpoint(
+                path, ViTConfig(variant="clip", hidden_act="quick_gelu",
+                                layer_norm_eps=1e-5, proj_dim=512))
             state = load_state_dict_from_safetensors(path)
             extractors.append(Extractor(import_clip_hf(state, cfg), cfg,
                                         CLIP_MEAN, CLIP_STD))

@@ -115,9 +115,13 @@ def generate_until_compilable(
 def redacted_render(doc, rot13: bool = False, size: int = 420):
     """Rasterize a compiled document with its text redacted (or rot13'd) --
     the leakage-controlled eval variant (reference examples/eval.py:156-193,
-    util/image.py:62-71). Requires a PDF output and pymupdf; returns None
-    when either is unavailable (e.g. fake-compiler runs)."""
+    util/image.py:62-71). Requires a PDF output and pymupdf; hermetic
+    backends may instead provide ``render_redacted`` (FakeBackend does),
+    else returns None."""
     if doc.output.pdf is None:
+        fn = getattr(getattr(doc, "backend", None), "render_redacted", None)
+        if fn is not None and doc.output.image is not None:
+            return fn(doc.code, rot13=rot13, size=size)
         return None
     try:
         import fitz

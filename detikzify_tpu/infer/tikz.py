@@ -417,6 +417,17 @@ class FakeBackend:
                 draw.line((x0, y0, x1, y1), fill=color, width=3)
         return img
 
+    def render_redacted(self, code: str, rot13: bool = False,
+                        size: int = 420) -> Image.Image:
+        """Deterministic stand-in for PDF text redaction (rot13 variant):
+        renders the hash pattern of the transformed code, so redacted
+        metrics get a distinct-but-stable image without a PDF toolchain."""
+        import codecs
+
+        tag = "rot13:" if rot13 else "redact:"
+        img = self._render(tag + codecs.encode(code, "rot13"))
+        return img if img.size == (size, size) else img.resize((size, size))
+
     def rasterize(self, pdf, size: int = 420):  # pragma: no cover
         return None
 

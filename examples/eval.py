@@ -34,6 +34,15 @@ def parse_args():
     p.add_argument("--parallelism", type=int, default=8,
                    help="concurrent MCTS expansions per item (engine slots)")
     p.add_argument("--output", default="scores.json")
+    p.add_argument("--clip", default=None,
+                   help="SigLIP two-tower checkpoint dir for ClipScore "
+                        "(requires a 'caption' column in the testset)")
+    p.add_argument("--dreamsim_dino", default=None,
+                   help="DINO ViT backbone checkpoint for DreamSim")
+    p.add_argument("--dreamsim_clip", default=None,
+                   help="CLIP vision backbone checkpoint for DreamSim")
+    p.add_argument("--dreamsim_open_clip", default=None,
+                   help="OpenCLIP vision backbone checkpoint for DreamSim")
     return p.parse_args()
 
 
@@ -80,10 +89,11 @@ def predict(name, ckpt, testset, cache_dir, timeout, parallelism=8):
     return gather_interleaved(local, len(testset)), params, cfg, processor
 
 
-def score(name, rows, testset, params, cfg, processor):
+def score(name, rows, testset, params, cfg, processor,
+          clip_metric=None, dreamsim_metric=None):
     refs = [ex["code"] for ex in testset]
     codes = [row["code"] for row in rows]
-    renders, ref_images, pairs = [], [], []
+    renders, ref_images, pairs, captions = [], [], [], []
     for row, ex in zip(rows, testset):
         doc = TikzDocument(row["code"])
         img = doc.rasterize()
@@ -91,6 +101,7 @@ def score(name, rows, testset, params, cfg, processor):
             renders.append(img)
             ref_images.append(ex["image"])
             pairs.append((img, ex["image"]))
+            captions.append(ex.get("caption", ""))
 
     out = {
         "CompileSuccessRate": len(renders) / max(len(rows), 1),
@@ -120,16 +131,39 @@ def score(name, rows, testset, params, cfg, processor):
     eed.update(codes, [[r] for r in refs])
     out["TexEditDistance"] = eed.compute()
 
+    # full-suite metrics gated on their (separately downloaded) towers,
+    # like the reference's lazy [evaluate] extra (examples/eval.py:160-176)
+    if dreamsim_metric is not None and pairs:
+        for render, ref_img in pairs:
+            dreamsim_metric.update(ref_img, render)
+        out["DreamSim"] = dreamsim_metric.compute()
+        dreamsim_metric.reset()
+    if clip_metric is not None and renders and any(captions):
+        clip_metric.update(renders, captions)
+        out["ClipScore"] = clip_metric.compute()
+        clip_metric.reset()
+
     # redacted variants (rot13 text scrambling; leakage-controlled eval)
     from detikzify_tpu.evaluate.harness import redacted_render
 
     redacted = [(redacted_render(TikzDocument(row["code"]), rot13=True),
-                 ex["image"])
+                 ex["image"], ex.get("caption", ""))
                 for row, ex in zip(rows, testset)]
-    redacted = [(r, i) for r, i in redacted if r is not None]
+    redacted = [(r, i, c) for r, i, c in redacted if r is not None]
     if redacted:
         out["SelfSim_redacted"] = float(selfsim.score_batch(
-            [r for r, _ in redacted], [i for _, i in redacted]).mean())
+            [r for r, _, _ in redacted],
+            [i for _, i, _ in redacted]).mean())
+        if dreamsim_metric is not None:
+            for r, i, _ in redacted:
+                dreamsim_metric.update(i, r)
+            out["DreamSim_redacted"] = dreamsim_metric.compute()
+            dreamsim_metric.reset()
+        if clip_metric is not None and any(c for _, _, c in redacted):
+            clip_metric.update([r for r, _, _ in redacted],
+                               [c for _, _, c in redacted])
+            out["ClipScore_redacted"] = clip_metric.compute()
+            clip_metric.reset()
     return out
 
 
@@ -140,13 +174,27 @@ def main():
     ds = datasets.load_from_disk(args.testset)
     testset = [ex for ex in ds][:args.limit or None]
 
+    clip_metric = dreamsim_metric = None
+    if args.clip:
+        from detikzify_tpu.evaluate import ClipScore
+
+        clip_metric = ClipScore.from_siglip_checkpoint(args.clip)
+    if args.dreamsim_dino or args.dreamsim_clip or args.dreamsim_open_clip:
+        from detikzify_tpu.evaluate.dreamsim_jax import from_checkpoints
+
+        dreamsim_metric = from_checkpoints(
+            dino_path=args.dreamsim_dino, clip_path=args.dreamsim_clip,
+            open_clip_path=args.dreamsim_open_clip)
+
     scores = {}
     for pair in args.path:
         name, ckpt = pair.split("=", 1)
         rows, params, cfg, processor = predict(
             name, ckpt, testset, args.cache_dir, args.timeout,
             parallelism=args.parallelism)
-        scores[name] = score(name, rows, testset, params, cfg, processor)
+        scores[name] = score(name, rows, testset, params, cfg, processor,
+                             clip_metric=clip_metric,
+                             dreamsim_metric=dreamsim_metric)
         print(name, json.dumps(scores[name], indent=2))
     with open(args.output, "w") as f:
         json.dump(scores, f, indent=2)
