@@ -42,6 +42,10 @@ class GRPOConfig:
     freeze_encoder: bool = True        # reference refine.py:198-207
     speculate: int = 0                 # n-gram speculative rollout decoding
                                        # (auto bail-out if drafts don't pay)
+    updates_per_batch: int = 1         # PPO-style epochs per rollout batch;
+                                       # > 1 pins old_logprobs to the
+                                       # rollout policy so later epochs use
+                                       # the true clipped-ratio objective
 
 
 class GRPOState(NamedTuple):
@@ -298,8 +302,20 @@ def refine(
                 completion_mask=batch["completion_mask"],
                 image_embeds=ref_embeds,
                 pixel_values=batch.get("pixel_values")))
-        state, metrics = step_fn(state, batch)
+        if gcfg.updates_per_batch > 1:
+            # pin the rollout policy's logprobs so epochs 2..K optimize
+            # the true clipped ratio against it (PPO-style reuse)
+            old_embeds = (proj_fn(state.params, batch["vision_feats"])
+                          if gcfg.freeze_encoder else None)
+            batch["old_logprobs"] = jax.lax.stop_gradient(logprob_fn(
+                state.params, tokens=batch["tokens"],
+                completion_mask=batch["completion_mask"],
+                image_embeds=old_embeds,
+                pixel_values=batch.get("pixel_values")))
+        for _ in range(max(1, gcfg.updates_per_batch)):
+            state, metrics = step_fn(state, batch)
         log_fn(f"grpo step {it}: reward mean {rewards.mean():.4f} "
                f"(max {rewards.max():.4f}), loss "
-               f"{float(metrics['loss']):.5f}")
+               f"{float(metrics['loss']):.5f}, ratio "
+               f"{float(metrics['ratio_mean']):.5f}")
     return state.params
