@@ -242,3 +242,85 @@ def decode_verify_step(
         params.text, cfg.text, embeds, start,
         jnp.full((b,), k1, jnp.int32), cache)
     return llama.unembed(params.text, hidden), cache
+
+
+# ---------------------------------------------------------------------------
+# paged-cache variants (engine hot path; see llama.PagedKV)
+# ---------------------------------------------------------------------------
+
+def prefill_paged(
+    params: Params,
+    cfg: DetikzifyConfig,
+    input_ids: jnp.ndarray,          # [B, S] (padded block)
+    image_embeds: Optional[jnp.ndarray],
+    start: jnp.ndarray,              # [B] write offsets
+    seq_len: jnp.ndarray,            # [B] valid lengths in this block
+    pool,                            # llama.PagedKV
+    read_tab: jnp.ndarray,           # [B, PB] restored-prefix pages
+    write_tab: jnp.ndarray,          # [B, m_cap] slot page tables
+    cow_begin: jnp.ndarray,          # [B] copy-on-write scatter base
+    *,
+    image_offsets: Optional[jnp.ndarray] = None,
+    trash_row=None,
+    trash_page=None,
+    attn_impl: str = "auto",
+):
+    """Paged prefill; returns (last-valid-token logits [B, V], pool)."""
+    embeds = llama.embed(params.text, input_ids)
+    if image_embeds is not None:
+        embeds = merge_inputs(cfg, input_ids, embeds, image_embeds,
+                              image_offsets)
+    hidden, pool = llama.prefill_paged(
+        params.text, cfg.text, embeds, start, seq_len, pool, read_tab,
+        write_tab, cow_begin, trash_row=trash_row, trash_page=trash_page,
+        attn_impl=attn_impl)
+    last_idx = jnp.maximum(seq_len - 1, 0)
+    idx = jnp.broadcast_to(last_idx[:, None, None],
+                           (hidden.shape[0], 1, hidden.shape[-1]))
+    last = jnp.take_along_axis(hidden, idx, axis=1)[:, 0]
+    return llama.unembed(params.text, last), pool
+
+
+def decode_step_paged(
+    params: Params,
+    cfg: DetikzifyConfig,
+    token_ids: jnp.ndarray,          # [B]
+    positions: jnp.ndarray,          # [B]
+    pool,                            # llama.PagedKV
+    tab: jnp.ndarray,                # [B, m_cap]
+    kv_pages=None,                   # static attended-pages bound
+    trash_row=None,
+    trash_page=None,
+):
+    """One paged decode step; returns (logits [B, V] fp32, pool)."""
+    embeds = llama.embed(params.text, token_ids)
+    hidden, pool = llama.decode_step_paged(params.text, cfg.text, embeds,
+                                           positions, pool, tab,
+                                           kv_pages=kv_pages,
+                                           trash_row=trash_row,
+                                           trash_page=trash_page)
+    return llama.unembed(params.text, hidden), pool
+
+
+def decode_verify_step_paged(
+    params: Params,
+    cfg: DetikzifyConfig,
+    token_block: jnp.ndarray,        # [B, K+1]
+    start: jnp.ndarray,              # [B] row of token_block[:, 0]
+    pool,                            # llama.PagedKV
+    read_tab: jnp.ndarray,           # [B, PB] pages covering rows < start+K+1
+    write_tab: jnp.ndarray,          # [B, m_cap]
+    trash_row=None,
+    trash_page=None,
+):
+    """Paged speculative verify: K+1 logits per slot
+    ([B, K+1, V] fp32) + pool with the draft rows written. Semantics match
+    ``decode_verify_step`` (offset-prefill block; rows beyond the accepted
+    count stay invisible via position bounds)."""
+    b, k1 = token_block.shape
+    embeds = llama.embed(params.text, token_block)
+    hidden, pool = llama.prefill_paged(
+        params.text, cfg.text, embeds, start,
+        jnp.full((b,), k1, jnp.int32), pool, read_tab, write_tab,
+        cow_begin=start, trash_row=trash_row, trash_page=trash_page)
+    return llama.unembed(params.text, hidden), pool

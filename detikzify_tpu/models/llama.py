@@ -320,3 +320,205 @@ def decode_step(
     x, (new_k, new_v) = jax.lax.scan(
         block, inputs_embeds, (params["layers"], cache.k, cache.v))
     return rms_norm(params["norm"], x, cfg.rms_norm_eps), KVCache(new_k, new_v)
+
+
+# ---------------------------------------------------------------------------
+# paged KV cache: shared page pool + per-slot page tables
+# ---------------------------------------------------------------------------
+# The cache is one page POOL per layer; a slot's token rows
+# [i*page, (i+1)*page) live in pool page table[slot, i]. Tree-prefix reuse
+# is then a table splice plus at most one copy-on-write boundary-page copy
+# (engine/decode.py) -- no per-start materialization of the ancestor's KV.
+
+
+class PagedKV(NamedTuple):
+    k: jnp.ndarray  # [n_layers, n_pages, page, n_kv_heads, head_dim]
+    v: jnp.ndarray
+
+    @property
+    def page(self) -> int:
+        return self.k.shape[2]
+
+    @property
+    def n_pages(self) -> int:
+        return self.k.shape[1]
+
+
+def init_paged_cache(cfg: TextConfig, n_pages: int, page: int,
+                     dtype=jnp.bfloat16) -> PagedKV:
+    shape = (cfg.num_hidden_layers, n_pages, page,
+             cfg.num_key_value_heads, cfg.head_dim)
+    return PagedKV(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def _scatter_rows(pool_l: jnp.ndarray, src: jnp.ndarray,
+                  rows: jnp.ndarray, write_tab: jnp.ndarray,
+                  page: int, trash_row: Optional[int] = None,
+                  trash_page: Optional[int] = None) -> jnp.ndarray:
+    """Write src [B, R, N, H] at absolute token rows ``rows`` [B, R] of each
+    slot, routed through its ``write_tab`` [B, m_cap] page table.
+
+    Rows at or beyond ``trash_row`` (the engine's trash block, where frozen
+    slots and past-budget overflow divert) write to the shared
+    ``trash_page`` instead of dereferencing the table -- a RELEASED slot's
+    stale table must never be written through (its pages may belong to a
+    new owner). Without a trash config, rows beyond the allocation clamp
+    to the slot's last page's last row."""
+    m_cap = write_tab.shape[1]
+    entry = jnp.clip(rows // page, 0, m_cap - 1)
+    pid = jnp.take_along_axis(write_tab, entry, axis=1)
+    rid = rows % page
+    if trash_row is not None:
+        trash = rows >= trash_row
+        pid = jnp.where(trash, trash_page, pid)
+    else:
+        overflow = rows >= m_cap * page
+        pid = jnp.where(overflow, write_tab[:, -1:], pid)
+        rid = jnp.where(overflow, page - 1, rid)
+    return pool_l.at[pid, rid].set(src.astype(pool_l.dtype))
+
+
+def prefill_paged(
+    params: dict,
+    cfg: TextConfig,
+    inputs_embeds: jnp.ndarray,     # [B, S, D] (padded block)
+    start: jnp.ndarray,             # [B] int32 -- block write offset
+    seq_len: jnp.ndarray,           # [B] int32 -- valid tokens in block
+    pool: PagedKV,
+    read_tab: jnp.ndarray,          # [B, PB] prefix pages (PB static, may be 0)
+    write_tab: jnp.ndarray,         # [B, m_cap] the slot's full page table
+    cow_begin: jnp.ndarray,         # [B] first row scattered back (page-
+                                    # aligned boundary of the restored
+                                    # prefix; == start when aligned/fresh)
+    *,
+    trash_row: Optional[int] = None,
+    trash_page: Optional[int] = None,
+    attn_impl: str = "auto",
+) -> Tuple[jnp.ndarray, PagedKV]:
+    """Offset prefill against a page pool. Per layer: gather the restored
+    prefix pages into a contiguous work cache, write the tail block at
+    ``start``, attend (prefix + causal tail), then scatter rows
+    [cow_begin, cow_begin+page+S) back through ``write_tab`` -- the only
+    pool WRITES are the tail plus at most one copy-on-write boundary page,
+    which is what makes prefix restore O(tail) instead of O(max_len).
+    Returns (hidden [B,S,D], updated pool)."""
+    from ..ops.paged import gather_pages
+
+    b, s, _ = inputs_embeds.shape
+    act = ACTIVATIONS[cfg.hidden_act]
+    page = pool.page
+    pb = read_tab.shape[1]
+    w = pb * page + s + page       # pad page: scatter slice never clamps
+
+    positions = start[:, None] + jnp.arange(s)[None, :]
+    inv_freq = rope_inv_freq(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
+    cos, sin = rope_cos_sin(positions, inv_freq)
+    kv_limits = start + seq_len
+    rows = cow_begin[:, None] + jnp.arange(page + s)[None, :]   # [B, page+S]
+
+    def work_cache(pool_l):
+        if pb == 0:
+            return jnp.zeros((b, w) + pool_l.shape[-2:], pool_l.dtype)
+        g = gather_pages(pool_l, read_tab)
+        return jnp.pad(g, ((0, 0), (0, w - pb * page), (0, 0), (0, 0)))
+
+    def write_block(work_l, kv):
+        def one(slot_cache, slot_kv, s0):
+            return jax.lax.dynamic_update_slice(
+                slot_cache, slot_kv.astype(slot_cache.dtype), (s0, 0, 0))
+        return jax.vmap(one)(work_l, kv, start)
+
+    def cow_slice(work_l):
+        def one(slot_cache, c0):
+            return jax.lax.dynamic_slice(
+                slot_cache, (c0, 0, 0),
+                (page + s,) + slot_cache.shape[-2:])
+        return jax.vmap(one)(work_l, cow_begin)
+
+    def block(x, scanned):
+        lp, pk, pv = scanned
+        residual = x
+        h = rms_norm(lp["input_ln"], x, cfg.rms_norm_eps)
+        q, k, v = _qkv(lp, h, cfg, cos, sin)
+        kc = write_block(work_cache(pk), k)
+        vc = write_block(work_cache(pv), v)
+        h = attend(q, kc, vc, q_offsets=start, kv_limits=kv_limits,
+                   implementation=attn_impl)
+        pk = _scatter_rows(pk, cow_slice(kc), rows, write_tab, page,
+                           trash_row, trash_page)
+        pv = _scatter_rows(pv, cow_slice(vc), rows, write_tab, page,
+                           trash_row, trash_page)
+        h = linear(lp["attn"]["o"], h.reshape(b, s, -1))
+        x = residual + h
+        residual = x
+        h = rms_norm(lp["post_ln"], x, cfg.rms_norm_eps)
+        return residual + _mlp(lp, h, act), (pk, pv)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        block, inputs_embeds, (params["layers"], pool.k, pool.v))
+    return rms_norm(params["norm"], x, cfg.rms_norm_eps), PagedKV(new_k,
+                                                                  new_v)
+
+
+def decode_step_paged(
+    params: dict,
+    cfg: TextConfig,
+    inputs_embeds: jnp.ndarray,   # [B, D]
+    positions: jnp.ndarray,       # [B] int32 (engine trash-clamps done slots)
+    pool: PagedKV,
+    tab: jnp.ndarray,             # [B, m_cap] page tables
+    *,
+    kv_pages: Optional[int] = None,   # static: attend pages [0, kv_pages)
+    trash_row: Optional[int] = None,
+    trash_page: Optional[int] = None,
+    attn_impl: str = "auto",
+) -> Tuple[jnp.ndarray, PagedKV]:
+    """One decode step against the page pool. Reads go through the paged
+    attention kernel (Pallas page-table DMA on TPU; gather fallback on
+    CPU); writes scatter one row per slot through the table."""
+    from ..ops.paged import decode_attend_paged
+
+    b, d = inputs_embeds.shape
+    act = ACTIVATIONS[cfg.hidden_act]
+    hd, nh, nkv = cfg.head_dim, cfg.num_attention_heads, \
+        cfg.num_key_value_heads
+    page = pool.page
+    m_cap = tab.shape[1]
+    m = min(kv_pages or m_cap, m_cap)
+
+    inv_freq = rope_inv_freq(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
+    cos, sin = rope_cos_sin(positions, inv_freq)
+    lengths = jnp.minimum(positions + 1, m * page)
+    entry = jnp.clip(positions // page, 0, m_cap - 1)
+    pid = jnp.take_along_axis(tab, entry[:, None], axis=1)[:, 0]
+    rid = positions % page
+    if trash_row is not None:
+        # frozen/overflow writes bypass the table (see _scatter_rows)
+        pid = jnp.where(positions >= trash_row, trash_page, pid)
+
+    def block(x, scanned):
+        lp, pk, pv = scanned
+        residual = x
+        h = rms_norm(lp["input_ln"], x, cfg.rms_norm_eps)
+        if "qkv" in lp["attn"]:
+            q, k, v = _split_qkv(linear(lp["attn"]["qkv"], h), cfg)
+        else:
+            q = linear(lp["attn"]["q"], h).reshape(b, nh, hd)
+            k = linear(lp["attn"]["k"], h).reshape(b, nkv, hd)
+            v = linear(lp["attn"]["v"], h).reshape(b, nkv, hd)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        pk = pk.at[pid, rid].set(k.astype(pk.dtype))
+        pv = pv.at[pid, rid].set(v.astype(pv.dtype))
+        h = decode_attend_paged(q, pk, pv, tab[:, :m], lengths,
+                                implementation=attn_impl)
+        h = linear(lp["attn"]["o"], h.reshape(b, -1))
+        x = residual + h
+        residual = x
+        h = rms_norm(lp["post_ln"], x, cfg.rms_norm_eps)
+        return residual + _mlp(lp, h, act), (pk, pv)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        block, inputs_embeds, (params["layers"], pool.k, pool.v))
+    return rms_norm(params["norm"], x, cfg.rms_norm_eps), PagedKV(new_k,
+                                                                  new_v)

@@ -1,0 +1,192 @@
+"""Paged KV-cache attention: page-table reads with no materialization.
+
+The decode engine's KV cache is a shared PAGE POOL ``[P, page, NKV, Hd]``
+(per layer); each slot owns a page table mapping its token rows
+``[i*page, (i+1)*page)`` to pool pages. Tree-prefix reuse then becomes a
+table splice (plus at most one copy-on-write boundary-page copy) instead of
+materializing the ancestor's KV into contiguous slot rows -- the O(1)
+restore that replaces the reference's full re-prefill economics
+(``detikzify/infer/generate.py:246-282``; round-2 VERDICT directive #1).
+
+Two read paths:
+  * ``decode_attend_paged_pallas`` -- Pallas TPU kernel: the page table
+    arrives via scalar prefetch, each KV block IS one page, and blocks DMA
+    straight from the pool; HBM traffic equals the contiguous kernel's
+    (the indirection is free) and follows the LIVE length via the
+    ``kv_pages`` static bound + per-slot length clamp.
+  * ``decode_attend_paged_xla``  -- gather-based fallback (CPU/tests):
+    materializes the attended window then runs the fused XLA path.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PLTPU = True
+except ImportError:  # pragma: no cover
+    pltpu = None
+    _HAS_PLTPU = False
+
+from .attention import decode_attend
+
+_NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def gather_pages(pool: jnp.ndarray, tab: jnp.ndarray) -> jnp.ndarray:
+    """pool [P, page, N, H] + tab [B, m] -> contiguous [B, m*page, N, H]."""
+    b, m = tab.shape
+    _, page, n, h = pool.shape
+    return pool[tab].reshape(b, m * page, n, h)
+
+
+def supported(q, pool_k) -> bool:
+    if not _HAS_PLTPU or jax.default_backend() != "tpu":
+        return False
+    nh, hd = q.shape[1], q.shape[2]
+    nkv, page = pool_k.shape[2], pool_k.shape[1]
+    return hd <= 128 and nh % nkv == 0 and page % 128 == 0
+
+
+def _paged_kernel(lengths_ref, tab_ref,       # scalar prefetch [B], [B, m]
+                  q_ref, k_ref, v_ref,        # q VMEM; k/v pool in HBM
+                  out_ref,
+                  acc_ref, m_ref, l_ref, kbuf, vbuf, sem,
+                  *, scale: float, page: int, nkv: int, groups: int,
+                  hd_pad: int):
+    b = pl.program_id(0)
+    length = lengths_ref[b]
+    npages = pl.cdiv(length, page)
+
+    q = q_ref[0].astype(jnp.float32) * scale        # [NH, hd_pad]
+    q = q.reshape(nkv, groups, hd_pad)
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+    l_ref[:] = jnp.zeros_like(l_ref)
+
+    def body(blk, _):
+        pid = tab_ref[b, blk]                       # page id in the pool
+        copy_k = pltpu.make_async_copy(k_ref.at[pid], kbuf, sem.at[0])
+        copy_v = pltpu.make_async_copy(v_ref.at[pid], vbuf, sem.at[1])
+        copy_k.start()
+        copy_v.start()
+        copy_k.wait()
+        copy_v.wait()
+
+        pos = blk * page + jax.lax.broadcasted_iota(
+            jnp.int32, (groups, page), 1)
+        valid = pos < length
+        for h in range(nkv):
+            kh = kbuf[:, h * hd_pad:(h + 1) * hd_pad]   # [page, hd]
+            logits = jax.lax.dot_general(
+                q[h], kh.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)     # [G, page]
+            logits = jnp.where(valid, logits, _NEG_INF)
+
+            m_prev = m_ref[h]
+            m_new = jnp.maximum(m_prev,
+                                jnp.max(logits, axis=-1, keepdims=True))
+            p = jnp.exp(logits - m_new)
+            alpha = jnp.exp(m_prev - m_new)
+            l_ref[h] = l_ref[h] * alpha + jnp.sum(p, axis=-1,
+                                                  keepdims=True)
+            vh = vbuf[:, h * hd_pad:(h + 1) * hd_pad]
+            pv = jax.lax.dot_general(
+                p.astype(jnp.float32), vh.astype(jnp.float32),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc_ref[h] = acc_ref[h] * alpha + pv
+            m_ref[h] = m_new
+        return _
+
+    jax.lax.fori_loop(0, npages, body, None)
+    out = acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)
+    out_ref[0] = out.reshape(nkv * groups, hd_pad).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def decode_attend_paged_pallas(
+    q: jnp.ndarray,          # [B, NH, Hd]
+    pool_k: jnp.ndarray,     # [P, page, NKV, Hd]
+    pool_v: jnp.ndarray,
+    tab: jnp.ndarray,        # [B, m] int32 page ids (m = attended pages)
+    lengths: jnp.ndarray,    # [B] int32 valid rows per slot
+    *,
+    scale: Optional[float] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    b, nh, hd = q.shape
+    _, page, nkv, _ = pool_k.shape
+    groups = nh // nkv
+    scale = (hd ** -0.5) if scale is None else float(scale)
+
+    hd_pad = _round_up(hd, 128)
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, hd_pad - hd)))
+    kp = jnp.pad(pool_k, ((0, 0), (0, 0), (0, 0), (0, hd_pad - hd)))
+    vp = jnp.pad(pool_v, ((0, 0), (0, 0), (0, 0), (0, hd_pad - hd)))
+    kp = kp.reshape(-1, page, nkv * hd_pad)
+    vp = vp.reshape(-1, page, nkv * hd_pad)
+
+    kernel = functools.partial(
+        _paged_kernel, scale=scale, page=page, nkv=nkv,
+        groups=groups, hd_pad=hd_pad)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, nh, hd_pad), lambda i, L, T: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),   # pool, paged manual DMA
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, nh, hd_pad), lambda i, L, T: (i, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((nkv, groups, hd_pad), jnp.float32),   # acc
+            pltpu.VMEM((nkv, groups, 1), jnp.float32),        # m
+            pltpu.VMEM((nkv, groups, 1), jnp.float32),        # l
+            pltpu.VMEM((page, nkv * hd_pad), pool_k.dtype),
+            pltpu.VMEM((page, nkv * hd_pad), pool_v.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, nh, hd_pad), q.dtype),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), tab.astype(jnp.int32), qp, kp, vp)
+    return out[:, :, :hd]
+
+
+def decode_attend_paged(
+    q: jnp.ndarray,          # [B, NH, Hd]
+    pool_k: jnp.ndarray,     # [P, page, NKV, Hd]
+    pool_v: jnp.ndarray,
+    tab: jnp.ndarray,        # [B, m] attended page tables
+    lengths: jnp.ndarray,    # [B]
+    *,
+    scale: Optional[float] = None,
+    implementation: str = "auto",
+) -> jnp.ndarray:
+    """Paged decode attention with kernel dispatch ("auto"|"pallas"|"xla")."""
+    if implementation != "xla" and supported(q, pool_k):
+        return decode_attend_paged_pallas(q, pool_k, pool_v, tab, lengths,
+                                          scale=scale)
+    if implementation == "pallas":
+        raise ValueError(
+            f"pallas paged decode unsupported for q={q.shape} "
+            f"pool={pool_k.shape}")
+    k = gather_pages(pool_k, tab)
+    v = gather_pages(pool_v, tab)
+    return decode_attend(k_cache=k, v_cache=v, q=q, lengths=lengths,
+                         scale=scale, implementation="xla")

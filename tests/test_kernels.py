@@ -204,3 +204,36 @@ def test_flash_attention_grad_with_traced_mask():
     for a, b_ in zip(gf, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=1e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("nh,nkv,hd", [(8, 8, 64), (8, 2, 64), (4, 4, 128)])
+def test_paged_decode_attend_matches_contiguous(nh, nkv, hd):
+    """Paged decode kernel == contiguous decode on a shuffled page pool."""
+    from detikzify_tpu.ops.paged import (decode_attend_paged,
+                                         decode_attend_paged_pallas,
+                                         gather_pages)
+
+    rng = np.random.default_rng(11)
+    b, page, m = 3, 128, 4
+    P = 16
+    pool_k = jnp.asarray(rng.standard_normal((P, page, nkv, hd)),
+                         jnp.float32)
+    pool_v = jnp.asarray(rng.standard_normal((P, page, nkv, hd)),
+                         jnp.float32)
+    # each slot's table is a random page permutation slice
+    tab = jnp.asarray(
+        np.stack([rng.permutation(P)[:m] for _ in range(b)]), jnp.int32)
+    q = jnp.asarray(rng.standard_normal((b, nh, hd)), jnp.float32)
+    lengths = jnp.asarray([page * m, 37, 200], jnp.int32)
+
+    want = decode_attend(q, gather_pages(pool_k, tab),
+                         gather_pages(pool_v, tab), lengths,
+                         implementation="xla")
+    got_xla = decode_attend_paged(q, pool_k, pool_v, tab, lengths,
+                                  implementation="xla")
+    np.testing.assert_allclose(np.asarray(got_xla), np.asarray(want),
+                               atol=1e-6, rtol=1e-5)
+    got_pl = decode_attend_paged_pallas(q, pool_k, pool_v, tab, lengths,
+                                        interpret=True)
+    np.testing.assert_allclose(np.asarray(got_pl), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
