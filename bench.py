@@ -161,18 +161,45 @@ def main():
     except Exception as e:
         log(f"1.3b speculative bench skipped: {type(e).__name__}: {e}")
 
-    # prefix-hit start latency (paged restore fused into the start program)
-    t0 = time.time()
-    ros = [engine.start(list(prompt) + [5], image_embeds=image_embeds,
-                        max_new_tokens=1, prefix=root_prefix, lazy=True)
-           for _ in range(SLOTS)]
-    engine.flush()
-    prefix_start_ms = (time.time() - t0) / SLOTS * 1e3
-    for r in ros:
-        engine.release(r)
-    engine.run()
+    # prefix-hit start latency (restore = page-table splice + <= 1-page COW;
+    # no per-start prefix materialization)
+    def measure_prefix_start(eng, pfx):
+        t0 = time.time()
+        ros = [eng.start(list(prompt) + [5], image_embeds=image_embeds,
+                         max_new_tokens=1, prefix=pfx, lazy=True)
+               for _ in range(SLOTS)]
+        eng.flush()
+        ms = (time.time() - t0) / SLOTS * 1e3
+        for r in ros:
+            eng.release(r)
+        eng.run()
+        return ms
+
+    prefix_start_ms = measure_prefix_start(engine, root_prefix)
     log(f"prefix-hit start latency: {prefix_start_ms:.1f} ms "
-        f"(300-token prompt restored from pages, 1-token tail prefill)")
+        f"(300-token prompt restored, max_len=640)")
+    # O(1)-restore criterion: the same restore must cost the SAME at a
+    # 3.2x larger max_len (pool writes are tail-only + boundary page)
+    prefix_start_2048_ms = None
+    try:
+        eng2048 = DecodeEngine(
+            params, cfg, num_slots=SLOTS, max_len=2048,
+            prefix_budget_bytes=64 << 20, decode_block=32,
+            sampling=SamplingParams(temperature=0.0))
+        ro = eng2048.start(list(prompt), image_embeds=image_embeds,
+                           max_new_tokens=4)
+        while not ro.finished:
+            eng2048.step()
+        pfx2048 = eng2048.store_prefix("root", ro, length=len(prompt))
+        eng2048.release(ro)
+        measure_prefix_start(eng2048, pfx2048)   # warm the compile
+        prefix_start_2048_ms = measure_prefix_start(eng2048, pfx2048)
+        log(f"prefix-hit start latency: {prefix_start_2048_ms:.1f} ms "
+            f"(same restore, max_len=2048 -> "
+            f"{prefix_start_2048_ms / max(prefix_start_ms, 1e-9):.2f}x)")
+        del eng2048
+    except Exception as e:
+        log(f"2048 prefix bench skipped: {type(e).__name__}: {e}")
 
     # MCTS rollouts/min (secondary north-star metric, BASELINE.md): full
     # rollouts from the root with compile feedback, sequential (reference
@@ -367,6 +394,9 @@ def main():
             round(rollouts_min_scored, 1),
             "p50_ttfc_s_par8_n10": round(p50_ttfc, 2),
             "prefix_hit_start_ms": round(prefix_start_ms, 1),
+            "prefix_hit_start_ms_maxlen2048":
+            round(prefix_start_2048_ms, 1) if prefix_start_2048_ms
+            else None,
             "v2_8b_int8_tok_s": round(tps_8b, 2) if tps_8b else None,
             "v2_8b_spec4_greedy_tok_s": round(tps_8b_spec, 2)
             if tps_8b_spec else None,

@@ -60,17 +60,23 @@ def test_prefix_store_lru_eviction(setup):
     cfg, params, _ = setup
     eng = DecodeEngine(params, cfg, num_slots=2, max_len=64,
                        sampling=SamplingParams(temperature=0.0),
-                       prefix_budget_bytes=1)  # floor: 2-page pool
+                       prefix_budget_bytes=1)  # floor: 2-page budget
     ro = eng.start([cfg.bos_token_id, 1, 2, 3, 4, 5] + list(range(6, 40)),
                    max_new_tokens=4)
     eng.run()
-    # each prefix needs one fresh page (page_size=128 > lengths, no full
-    # shared pages); the 2-page pool LRU-evicts the oldest on the third
+    # occupy the second slot too: live slots and the store share one pool,
+    # so pressure needs both slot reserves held
+    other = eng.start([cfg.bos_token_id, 9], max_new_tokens=2)
+    eng.run()
+    # each short prefix copy-on-writes one boundary page (page_size=128 >
+    # lengths, no full shared pages); the 2-page budget LRU-evicts the
+    # oldest on the third store
     a = eng.store_prefix("a", ro, length=3)
     eng.store_prefix("b", ro, length=20)
     eng.store_prefix("c", ro, length=30)
     assert len(eng._prefix_store) == 2
     assert a.dropped                      # evicted handles are flagged...
+    eng.release(other)
     r2 = eng.start([cfg.bos_token_id, 1, 2], max_new_tokens=2, prefix=a)
     eng.run()                             # ...and silently fall back
     assert len(r2.token_ids) > 3
