@@ -161,6 +161,23 @@ def main():
     except Exception as e:
         log(f"1.3b speculative bench skipped: {type(e).__name__}: {e}")
 
+    # BPE-realistic speculative acceptance (VERDICT round-2 #5): overfit a
+    # small model on synthetic TikZ with a REAL byte-level BPE tokenizer
+    # and measure engine.spec_rate -- the honest acceptance numbers, not
+    # the full-acceptance ceiling above
+    spec_bpe = {}
+    try:
+        from detikzify_tpu.evaluate.spec_acceptance import run_measurement
+
+        spec_bpe = run_measurement(n_programs=300, steps=400, n_eval=16,
+                                   log_fn=None)
+        log(f"BPE-realistic acceptance: "
+            f"t0 {spec_bpe.get('spec_rate_bpe_t0')} tok/step, "
+            f"t0.8 {spec_bpe.get('spec_rate_bpe_t08')}, "
+            f"t0.8+hints {spec_bpe.get('spec_rate_bpe_t08_hint')}")
+    except Exception as e:
+        log(f"BPE acceptance bench skipped: {type(e).__name__}: {e}")
+
     # prefix-hit start latency (restore = page-table splice + <= 1-page COW;
     # no per-start prefix materialization)
     def measure_prefix_start(eng, pfx):
@@ -402,6 +419,8 @@ def main():
             if tps_8b_spec else None,
             "v2_8b_est_hbm_gbps": round(hbm_gbps_8b, 1)
             if hbm_gbps_8b else None,
+            **{k: v for k, v in spec_bpe.items()
+               if k.startswith("spec_rate")},
         },
     }
     print(json.dumps(result))

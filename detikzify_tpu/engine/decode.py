@@ -102,7 +102,7 @@ class DecodeEngine:
         pipelined: bool = False,
         page_size: int = 128,
         speculate: int = 0,
-        spec_min_rate: float = 1.15,
+        spec_min_rate: float = 1.3,
         device=None,
     ):
         """``device``: commit all engine state (KV cache, page pool, RNG,
@@ -129,7 +129,13 @@ class DecodeEngine:
         engine PERMANENTLY falls back to plain decoding for this engine
         (checked once enough speculative steps have been observed) --
         workloads whose drafts never hit pay a fixed verify overhead, so
-        speculation must earn its keep. 0 disables the bail-out."""
+        speculation must earn its keep. 0 disables the bail-out. The 1.3
+        default is the measured break-even: the K+1-token verify forward
+        costs ~1.3x a plain step on-chip, and the BPE-realistic
+        measurement (``evaluate.spec_acceptance``: overfit TikZ model,
+        real byte-level BPE) lands UNHINTED n-gram drafting at 1.12-1.18
+        tok/step (a net loss, bail out) vs 2.37 with MCTS parent-rollout
+        hints (a clear win, keep going)."""
         self.params = params
         self.cfg = cfg
         self.num_slots = num_slots
@@ -308,27 +314,84 @@ class DecodeEngine:
                              img_offsets, read_tab, write_tab, cow, rng,
                              samp, banned, suppress)
 
+        import os
+
+        zerocopy = os.environ.get("DETIKZIFY_TPU_PAGED_ATTN") == "pallas"
+        KVCache = llama.KVCache
+
+        def gather_view(pool, tab_dev, kv_pages):
+            """Attended page window -> contiguous per-slot views, ONE
+            gather per K/V for all layers."""
+            L = pool.k.shape[0]
+            s_all = tab_dev.shape[0]
+            n, hd = pool.k.shape[-2], pool.k.shape[-1]
+            width = kv_pages * page
+            sub = tab_dev[:, :kv_pages]
+            return KVCache(
+                pool.k[:, sub].reshape(L, s_all, width, n, hd),
+                pool.v[:, sub].reshape(L, s_all, width, n, hd))
+
+        def scatter_view(pool, view, tab_dev, active, pos0, n_rows, k_steps):
+            """Write the scan's written row range [pos0, pos0+n_rows) of
+            every ACTIVE slot back to the pool -- ONE scatter per K/V.
+            Inactive slots (stale tables) and trash-block rows divert to
+            the shared trash page; their view rows are unmodified gathered
+            originals, so even a misroute would be value-neutral."""
+            L = view.k.shape[0]
+            n, hd = view.k.shape[-2], view.k.shape[-1]
+            width = view.k.shape[2]
+            start_clip = jnp.clip(pos0, 0, max(width - n_rows, 0))
+            rows = start_clip[:, None] + jnp.arange(n_rows)[None, :]
+
+            def take(vx):
+                def one(sc, s0):      # sc [L, width, n, hd]
+                    return jax.lax.dynamic_slice(
+                        sc, (0, s0, 0, 0), (L, n_rows, n, hd))
+                return jax.vmap(one, in_axes=(1, 0), out_axes=1)(
+                    vx, start_clip)
+
+            entry = jnp.clip(rows // page, 0, m_cap - 1)
+            pid = jnp.take_along_axis(tab_dev, entry, axis=1)
+            ok = active[:, None] & (rows < trash_row)
+            pid = jnp.where(ok, pid, trash_page)
+            rid = rows % page
+            return llama.PagedKV(
+                pool.k.at[:, pid, rid].set(take(view.k)),
+                pool.v.at[:, pid, rid].set(take(view.v)))
+
         @functools.partial(
             jax.jit, donate_argnums=(1, 2, 3),
             static_argnames=("k", "kv_pages", "banned", "suppress"))
         def decode_many(params, pool, tok_dev, pos_dev, tab_dev, active,
                         rng, samp, k, kv_pages, banned, suppress):
             """k decode steps for all slots inside one jitted scan: one host
-            round-trip per k*slots tokens. Slots that emit EOS mid-scan
-            freeze: their writes divert to the shared trash page, they
-            re-emit EOS, and their position stops advancing. ``kv_pages``
-            (static, bucketed by the dispatcher) bounds the attended page
-            window so KV HBM traffic follows the LIVE max sequence
-            length."""
+            round-trip per k*slots tokens. The attended page window is
+            gathered ONCE into contiguous views; the scan body is the
+            plain contiguous decode step (same ops as a non-paged cache,
+            so remote-dispatch op floors see no paging overhead); written
+            rows scatter back to the pool in ONE op. Slots that emit EOS
+            mid-scan freeze: their writes divert to the view edge / trash
+            page, they re-emit EOS, and their position stops advancing.
+            ``kv_pages`` (static, bucketed by the dispatcher) bounds the
+            window so KV traffic follows the LIVE max sequence length."""
+            width = kv_pages * page
+            view = gather_view(pool, tab_dev, kv_pages)
+            pos0 = pos_dev
 
             def body(carry, _):
-                tokens, positions, done, pool, rng = carry
-                write_pos = jnp.where(done, max_len - 1,
-                                      jnp.minimum(positions, max_len - 1))
-                logits, pool = detikzify.decode_step_paged(
-                    params, cfg, tokens, write_pos, pool, tab_dev,
-                    kv_pages=kv_pages, trash_row=trash_row,
-                    trash_page=trash_page)
+                tokens, positions, done, view, rng = carry
+                write_pos = jnp.where(done, width - 1,
+                                      jnp.minimum(positions, width - 1))
+                if zerocopy:
+                    logits, view = detikzify.decode_step_paged(
+                        params, cfg, tokens,
+                        jnp.where(done, max_len - 1,
+                                  jnp.minimum(positions, max_len - 1)),
+                        view, tab_dev, kv_pages=kv_pages,
+                        trash_row=trash_row, trash_page=trash_page)
+                else:
+                    logits, view = detikzify.decode_step(
+                        params, cfg, tokens, write_pos, view)
                 rng, sub = jax.random.split(rng)
                 nxt = sample(logits, sub,
                              temperature=samp[:, 0], top_p=samp[:, 1],
@@ -338,11 +401,18 @@ class DecodeEngine:
                 nxt = jnp.where(done, eos, nxt)
                 new_done = done | (nxt == eos)
                 positions = jnp.where(done, positions, positions + 1)
-                return (nxt, positions, new_done, pool, rng), nxt
+                return (nxt, positions, new_done, view, rng), nxt
 
             done0 = ~active | (tok_dev == eos)
-            (tok_dev, pos_dev, _, pool, rng), toks = jax.lax.scan(
-                body, (tok_dev, pos_dev, done0, pool, rng), None, length=k)
+            if zerocopy:
+                # page-table kernel path: the pool IS the carried state
+                (tok_dev, pos_dev, _, pool, rng), toks = jax.lax.scan(
+                    body, (tok_dev, pos_dev, done0, pool, rng), None,
+                    length=k)
+                return toks, pool, tok_dev, pos_dev, rng
+            (tok_dev, pos_dev, _, view, rng), toks = jax.lax.scan(
+                body, (tok_dev, pos_dev, done0, view, rng), None, length=k)
+            pool = scatter_view(pool, view, tab_dev, active, pos0, k, k)
             return toks, pool, tok_dev, pos_dev, rng
 
         spec = self.spec
@@ -388,7 +458,7 @@ class DecodeEngine:
                 blocks [k, S, spec+1] and emit counts [k, S]."""
 
                 def body(carry, _):
-                    tokens, positions, done, pool, buf, rng = carry
+                    tokens, positions, done, view, buf, rng = carry
                     # --- draft: n-gram match over the slot's history.
                     # Prefer (1) the most recent TRIGRAM match with a full
                     # continuation in history (longer context = fewer false
@@ -452,14 +522,16 @@ class DecodeEngine:
                             row, (s0,), (spec,)))(hint, hsrc)
                     drafts = jnp.where(use_hint[:, None], hgather, drafts)
                     # --- verify forward over [last, d_1..d_spec]
-                    w = jnp.where(done, trash,
-                                  jnp.minimum(positions, trash))
+                    # (contiguous offset-prefill on the gathered view; the
+                    # view keeps a spec+1-row trash block at its edge for
+                    # frozen slots, mirroring the pool's trash block)
+                    vtrash = kv_pages * page - 1 - spec
+                    w = jnp.where(done, vtrash,
+                                  jnp.minimum(positions, vtrash))
                     block = jnp.concatenate(
                         [tokens[:, None], jnp.maximum(drafts, 0)], axis=1)
-                    logits, pool = detikzify.decode_verify_step_paged(
-                        params, cfg, block, w, pool,
-                        tab_dev[:, :kv_pages], tab_dev,
-                        trash_row=trash_row, trash_page=trash_page)
+                    logits, view = detikzify.decode_verify_step(
+                        params, cfg, block, w, view)
                     rng, sub = jax.random.split(rng)
                     emitted, counts = speculative_accept(
                         logits, drafts, sub,
@@ -486,14 +558,19 @@ class DecodeEngine:
                         emitted, jnp.maximum(counts - 1, 0)[:, None],
                         1)[:, 0]
                     new_done = done | has_eos
-                    return ((last, positions + adv, new_done, pool, buf,
+                    return ((last, positions + adv, new_done, view, buf,
                              rng), (emitted, adv))
 
+                view0 = gather_view(pool, tab_dev, kv_pages)
+                pos0 = pos_dev
                 done0 = ~active | (tok_dev == eos)
-                ((tok_dev, pos_dev, _, pool, buf, rng),
+                ((tok_dev, pos_dev, _, view, buf, rng),
                  (toks, counts)) = jax.lax.scan(
-                    body, (tok_dev, pos_dev, done0, pool, buf, rng),
+                    body, (tok_dev, pos_dev, done0, view0, buf, rng),
                     None, length=k)
+                # the scan wrote at most k*(spec+1) rows per slot from pos0
+                pool = scatter_view(pool, view, tab_dev, active, pos0,
+                                    k * (spec + 1), k)
                 return toks, counts, pool, tok_dev, pos_dev, buf, rng
 
             self._start_wave_spec = start_wave_spec
@@ -1021,9 +1098,11 @@ class DecodeEngine:
 
     def _kv_pages(self, k: int) -> int:
         """Attended-page bound for a k-step scan: the bucketed token limit
-        in pages (speculative scans advance up to spec+1 tokens/step)."""
+        in pages. Speculative scans advance up to spec+1 tokens/step and
+        additionally need the view's edge trash block (spec+1 rows) clear
+        of any live row."""
         per_step = 1 + (self.spec if self._spec_on else 0)
-        return -(-self._kv_limit(k * per_step) // self.page)
+        return -(-self._kv_limit(k * per_step + per_step) // self.page)
 
     def _dispatch(self, k: int) -> None:
         """Launch one decode scan asynchronously and record the snapshot of

@@ -351,12 +351,13 @@ def init_paged_cache(cfg: TextConfig, n_pages: int, page: int,
     return PagedKV(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
-def _scatter_rows(pool_l: jnp.ndarray, src: jnp.ndarray,
+def _scatter_rows(pool_x: jnp.ndarray, src: jnp.ndarray,
                   rows: jnp.ndarray, write_tab: jnp.ndarray,
                   page: int, trash_row: Optional[int] = None,
                   trash_page: Optional[int] = None) -> jnp.ndarray:
-    """Write src [B, R, N, H] at absolute token rows ``rows`` [B, R] of each
-    slot, routed through its ``write_tab`` [B, m_cap] page table.
+    """ONE scatter writing src [L, B, R, N, H] at absolute token rows
+    ``rows`` [B, R] of each slot (all layers at once), routed through its
+    ``write_tab`` [B, m_cap] page table.
 
     Rows at or beyond ``trash_row`` (the engine's trash block, where frozen
     slots and past-budget overflow divert) write to the shared
@@ -375,7 +376,8 @@ def _scatter_rows(pool_l: jnp.ndarray, src: jnp.ndarray,
         overflow = rows >= m_cap * page
         pid = jnp.where(overflow, write_tab[:, -1:], pid)
         rid = jnp.where(overflow, page - 1, rid)
-    return pool_l.at[pid, rid].set(src.astype(pool_l.dtype))
+    # src [L, B, R, N, H] -> indexed target pool[:, pid, rid] [L, B, R, N, H]
+    return pool_x.at[:, pid, rid].set(src.astype(pool_x.dtype))
 
 
 def prefill_paged(
@@ -395,19 +397,20 @@ def prefill_paged(
     trash_page: Optional[int] = None,
     attn_impl: str = "auto",
 ) -> Tuple[jnp.ndarray, PagedKV]:
-    """Offset prefill against a page pool. Per layer: gather the restored
-    prefix pages into a contiguous work cache, write the tail block at
-    ``start``, attend (prefix + causal tail), then scatter rows
-    [cow_begin, cow_begin+page+S) back through ``write_tab`` -- the only
-    pool WRITES are the tail plus at most one copy-on-write boundary page,
-    which is what makes prefix restore O(tail) instead of O(max_len).
+    """Offset prefill against a page pool, engineered for op-count
+    frugality (remote-TPU dispatch floors): the restored prefix pages are
+    gathered ONCE for all layers into contiguous work caches, the layer
+    scan runs the standard offset-prefill attention over them, and ONE
+    scatter per K/V writes the [cow_begin, cow_begin+page+S) region of
+    every layer back through ``write_tab``. Pool writes are the tail plus
+    at most one copy-on-write boundary page -- O(tail), never O(max_len).
     Returns (hidden [B,S,D], updated pool)."""
-    from ..ops.paged import gather_pages
-
     b, s, _ = inputs_embeds.shape
     act = ACTIVATIONS[cfg.hidden_act]
     page = pool.page
     pb = read_tab.shape[1]
+    L = pool.k.shape[0]
+    n, hd = pool.k.shape[-2], pool.k.shape[-1]
     w = pb * page + s + page       # pad page: scatter slice never clamps
 
     positions = start[:, None] + jnp.arange(s)[None, :]
@@ -416,11 +419,16 @@ def prefill_paged(
     kv_limits = start + seq_len
     rows = cow_begin[:, None] + jnp.arange(page + s)[None, :]   # [B, page+S]
 
-    def work_cache(pool_l):
+    def work_all(pool_x):
+        """[L, P, page, N, H] -> [L, B, W, N, H] in ONE gather."""
         if pb == 0:
-            return jnp.zeros((b, w) + pool_l.shape[-2:], pool_l.dtype)
-        g = gather_pages(pool_l, read_tab)
-        return jnp.pad(g, ((0, 0), (0, w - pb * page), (0, 0), (0, 0)))
+            return jnp.zeros((L, b, w, n, hd), pool_x.dtype)
+        g = pool_x[:, read_tab].reshape(L, b, pb * page, n, hd)
+        return jnp.pad(g, ((0, 0), (0, 0), (0, w - pb * page),
+                           (0, 0), (0, 0)))
+
+    work_k0 = work_all(pool.k)
+    work_v0 = work_all(pool.v)
 
     def write_block(work_l, kv):
         def one(slot_cache, slot_kv, s0):
@@ -428,34 +436,36 @@ def prefill_paged(
                 slot_cache, slot_kv.astype(slot_cache.dtype), (s0, 0, 0))
         return jax.vmap(one)(work_l, kv, start)
 
-    def cow_slice(work_l):
-        def one(slot_cache, c0):
-            return jax.lax.dynamic_slice(
-                slot_cache, (c0, 0, 0),
-                (page + s,) + slot_cache.shape[-2:])
-        return jax.vmap(one)(work_l, cow_begin)
-
     def block(x, scanned):
-        lp, pk, pv = scanned
+        lp, wk, wv = scanned
         residual = x
         h = rms_norm(lp["input_ln"], x, cfg.rms_norm_eps)
         q, k, v = _qkv(lp, h, cfg, cos, sin)
-        kc = write_block(work_cache(pk), k)
-        vc = write_block(work_cache(pv), v)
-        h = attend(q, kc, vc, q_offsets=start, kv_limits=kv_limits,
+        wk = write_block(wk, k)
+        wv = write_block(wv, v)
+        h = attend(q, wk, wv, q_offsets=start, kv_limits=kv_limits,
                    implementation=attn_impl)
-        pk = _scatter_rows(pk, cow_slice(kc), rows, write_tab, page,
-                           trash_row, trash_page)
-        pv = _scatter_rows(pv, cow_slice(vc), rows, write_tab, page,
-                           trash_row, trash_page)
         h = linear(lp["attn"]["o"], h.reshape(b, s, -1))
         x = residual + h
         residual = x
         h = rms_norm(lp["post_ln"], x, cfg.rms_norm_eps)
-        return residual + _mlp(lp, h, act), (pk, pv)
+        return residual + _mlp(lp, h, act), (wk, wv)
 
-    x, (new_k, new_v) = jax.lax.scan(
-        block, inputs_embeds, (params["layers"], pool.k, pool.v))
+    x, (work_k, work_v) = jax.lax.scan(
+        block, inputs_embeds, (params["layers"], work_k0, work_v0))
+
+    def cow_slice(work_x):
+        def one(slot_cache, c0):    # slot_cache [L-major moved to front?]
+            return jax.lax.dynamic_slice(
+                slot_cache, (0, c0, 0, 0), (L, page + s, n, hd))
+        return jax.vmap(one, in_axes=(1, 0), out_axes=1)(work_x, cow_begin)
+
+    src_k = cow_slice(work_k)       # [L, B, page+S, N, H]
+    src_v = cow_slice(work_v)
+    new_k = _scatter_rows(pool.k, src_k, rows, write_tab, page,
+                          trash_row, trash_page)
+    new_v = _scatter_rows(pool.v, src_v, rows, write_tab, page,
+                          trash_row, trash_page)
     return rms_norm(params["norm"], x, cfg.rms_norm_eps), PagedKV(new_k,
                                                                   new_v)
 
@@ -473,9 +483,101 @@ def decode_step_paged(
     trash_page: Optional[int] = None,
     attn_impl: str = "auto",
 ) -> Tuple[jnp.ndarray, PagedKV]:
-    """One decode step against the page pool. Reads go through the paged
-    attention kernel (Pallas page-table DMA on TPU; gather fallback on
-    CPU); writes scatter one row per slot through the table."""
+    """One decode step against the page pool, op-count-frugal: the
+    attended page window is gathered ONCE for all layers into contiguous
+    per-slot views (the layer scan then runs the same fused decode
+    attention as a contiguous cache, inheriting its Pallas-vs-XLA
+    dispatch), and the new K/V rows of every layer write back in ONE
+    scatter through the table. Set DETIKZIFY_TPU_PAGED_ATTN=pallas to use
+    the zero-copy page-table kernel instead (no gather traffic; wins on
+    bandwidth-bound directly-attached chips, loses to the gather under
+    per-op dispatch floors)."""
+    import os
+
+    if os.environ.get("DETIKZIFY_TPU_PAGED_ATTN") == "pallas":
+        return _decode_step_paged_zerocopy(
+            params, cfg, inputs_embeds, positions, pool, tab,
+            kv_pages=kv_pages, trash_row=trash_row, trash_page=trash_page,
+            attn_impl=attn_impl)
+
+    b, d = inputs_embeds.shape
+    act = ACTIVATIONS[cfg.hidden_act]
+    hd, nh, nkv = cfg.head_dim, cfg.num_attention_heads, \
+        cfg.num_key_value_heads
+    page = pool.page
+    m_cap = tab.shape[1]
+    m = min(kv_pages or m_cap, m_cap)
+    L = pool.k.shape[0]
+    width = m * page
+
+    inv_freq = rope_inv_freq(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
+    cos, sin = rope_cos_sin(positions, inv_freq)
+    lengths = jnp.minimum(positions + 1, width)
+    # in-view write row: live slots' positions are < width by the
+    # dispatcher's kv bound; frozen slots clamp to the view edge (their
+    # output is discarded and their pool write goes to the trash page)
+    view_pos = jnp.minimum(positions, width - 1)
+
+    sub = tab[:, :m]
+    kc_all = pool.k[:, sub].reshape(L, b, width, nkv, hd)   # ONE gather
+    vc_all = pool.v[:, sub].reshape(L, b, width, nkv, hd)
+
+    def write(cache_layer, kv, pos):
+        def one(slot_cache, slot_kv, p):
+            return jax.lax.dynamic_update_slice(
+                slot_cache, slot_kv.astype(slot_cache.dtype)[None],
+                (p, 0, 0))
+        return jax.vmap(one)(cache_layer, kv, pos)
+
+    def block(x, scanned):
+        lp, kc, vc = scanned
+        residual = x
+        h = rms_norm(lp["input_ln"], x, cfg.rms_norm_eps)
+        if "qkv" in lp["attn"]:
+            q, k, v = _split_qkv(linear(lp["attn"]["qkv"], h), cfg)
+        else:
+            q = linear(lp["attn"]["q"], h).reshape(b, nh, hd)
+            k = linear(lp["attn"]["k"], h).reshape(b, nkv, hd)
+            v = linear(lp["attn"]["v"], h).reshape(b, nkv, hd)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        kc = write(kc, k, view_pos)
+        vc = write(vc, v, view_pos)
+        h = decode_attend(q, kc, vc, lengths)
+        h = linear(lp["attn"]["o"], h.reshape(b, -1))
+        x = residual + h
+        residual = x
+        h = rms_norm(lp["post_ln"], x, cfg.rms_norm_eps)
+        return residual + _mlp(lp, h, act), (k, v)
+
+    x, (k_new, v_new) = jax.lax.scan(
+        block, inputs_embeds, (params["layers"], kc_all, vc_all))
+
+    # ONE pool scatter for all layers: [L, B, N, H] rows at (pid, rid)
+    new_k = _scatter_rows(pool.k, k_new[:, :, None], positions[:, None],
+                          tab, page, trash_row, trash_page)
+    new_v = _scatter_rows(pool.v, v_new[:, :, None], positions[:, None],
+                          tab, page, trash_row, trash_page)
+    return rms_norm(params["norm"], x, cfg.rms_norm_eps), PagedKV(new_k,
+                                                                  new_v)
+
+
+def _decode_step_paged_zerocopy(
+    params: dict,
+    cfg: TextConfig,
+    inputs_embeds: jnp.ndarray,
+    positions: jnp.ndarray,
+    pool: PagedKV,
+    tab: jnp.ndarray,
+    *,
+    kv_pages: Optional[int] = None,
+    trash_row: Optional[int] = None,
+    trash_page: Optional[int] = None,
+    attn_impl: str = "auto",
+) -> Tuple[jnp.ndarray, PagedKV]:
+    """Page-table-kernel decode step: attention reads the pool directly
+    (Pallas scalar-prefetched page DMA, zero gather traffic); per-layer
+    row writes scatter through the table."""
     from ..ops.paged import decode_attend_paged
 
     b, d = inputs_embeds.shape

@@ -216,7 +216,7 @@ def test_spec_bailout_needs_two_bad_windows(model):
     cfg, params = model
     eng = DecodeEngine(params, cfg, num_slots=2, max_len=128, speculate=2)
     assert eng._spec_on
-    eng._spec_win = [1024, 1024]          # rate 1.0 < default 1.15
+    eng._spec_win = [1024, 1024]          # rate 1.0 < default 1.3
     eng._maybe_disable_spec()
     assert eng._spec_on and eng._spec_bad == 1
     eng._spec_win = [1024, 2048]          # rate 2.0: streak resets
@@ -353,3 +353,32 @@ def test_spec_mixed_sampling_and_abort(model):
                      sampling=SamplingParams(temperature=0.0)),
         prompt, embeds, 24)
     assert again == want
+
+
+def test_bpe_acceptance_hints_beat_unhinted():
+    """BPE-realistic acceptance (VERDICT round-2 directive #5, scaled down
+    for CI): on an overfit TikZ model with a real byte-level BPE
+    tokenizer, MCTS-style continuation hints must draft substantially
+    better than unhinted n-gram lookup, and both must exceed the no-accept
+    floor of 1.0."""
+    pytest.importorskip("tokenizers")
+    from detikzify_tpu.evaluate.spec_acceptance import (
+        measure_spec_rate, overfit, spec_model_config, train_bpe_tokenizer)
+    from detikzify_tpu.dataset.synthetic import generate_corpus
+
+    corpus = generate_corpus(120, seed=0)
+    tok = train_bpe_tokenizer(corpus)
+    cfg = spec_model_config(len(tok))
+    rows = [tok.encode(c, add_special_tokens=False) for c in corpus]
+    params, loss = overfit(cfg, rows, steps=200)
+    assert loss < 1.5                     # actually overfit
+
+    prompts = [[cfg.bos_token_id] + r[:8] for r in rows[:8]]
+    conts = [r[8:] for r in rows[:8]]
+    plain = measure_spec_rate(params, cfg, prompts, conts,
+                              temperature=0.0, max_new=32, num_slots=4)
+    hinted = measure_spec_rate(params, cfg, prompts, conts,
+                               temperature=0.0, max_new=32, num_slots=4,
+                               use_hints=True)
+    assert plain > 1.0
+    assert hinted > plain + 0.3, (plain, hinted)
