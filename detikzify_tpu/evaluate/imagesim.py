@@ -149,8 +149,7 @@ class ImageSim:
 
             self._embed_adapter = embed_adapter
 
-        @jax.jit
-        def pair_score(e1, e2):
+        def _score_pairs(e1, e2):
             if mode == "cos":
                 return _cos(e1, e2)
             if mode == "cos_avg":
@@ -160,7 +159,19 @@ class ImageSim:
             cost = 1.0 - jnp.einsum("bnd,bmd->bnm", a, b)
             return 2.0 * jnp.tanh(-sinkhorn_emd2(cost)) + 1.0
 
-        self._pair_score = pair_score
+        self._pair_score = jax.jit(_score_pairs)
+
+        @jax.jit
+        def wave_score(params, pixels, ref):
+            """Fused encoder + score for a render wave against ONE cached
+            reference embedding -- a single device program (one dispatch +
+            one sync instead of two + one; decisive on remote tunnels
+            where each dispatch costs ~10ms)."""
+            e1 = _post(siglip.apply(params, vcfg, _norm(pixels)))
+            e2 = jnp.broadcast_to(ref, e1.shape)
+            return _score_pairs(e1, e2)
+
+        self._wave_score = wave_score
 
     # ------------------------------------------------------------------
 
@@ -247,10 +258,9 @@ class ImageSim:
         if b > k:
             pix = np.concatenate(
                 [pix, np.repeat(pix[-1:], b - k, axis=0)])
-        e1 = self._embed(self.vision_params, jnp.asarray(pix))
         ref = self.features(ref_image, text)              # LRU-cached
-        e2 = jnp.broadcast_to(ref, e1.shape)
-        return np.asarray(jax.device_get(self._pair_score(e1, e2)))[:k]
+        return np.asarray(jax.device_get(self._wave_score(
+            self.vision_params, jnp.asarray(pix), ref)))[:k]
 
     def score_batch(self, imgs1, imgs2) -> np.ndarray:
         """Batched image-pair scoring (bucketed to limit recompiles)."""

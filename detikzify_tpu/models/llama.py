@@ -22,8 +22,15 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+import os
+
 from ..config import TextConfig
 from ..ops.attention import attend, decode_attend
+
+#: layer-scan unroll factor for the decode hot path: under per-op dispatch
+#: floors (remote tunnels) unrolling lets XLA fuse across layer bodies;
+#: measured on-chip before adoption (1 = plain scan)
+LAYER_UNROLL = int(os.environ.get("DETIKZIFY_TPU_LAYER_UNROLL", "1"))
 from .layers import (ACTIVATIONS, apply_rope, dense_init, linear, rms_init,
                      rms_norm, rope_cos_sin, rope_inv_freq)
 
@@ -318,7 +325,8 @@ def decode_step(
         return residual + _mlp(lp, h, act), (kc, vc)
 
     x, (new_k, new_v) = jax.lax.scan(
-        block, inputs_embeds, (params["layers"], cache.k, cache.v))
+        block, inputs_embeds, (params["layers"], cache.k, cache.v),
+        unroll=LAYER_UNROLL)
     return rms_norm(params["norm"], x, cfg.rms_norm_eps), KVCache(new_k, new_v)
 
 
@@ -551,7 +559,8 @@ def decode_step_paged(
         return residual + _mlp(lp, h, act), (k, v)
 
     x, (k_new, v_new) = jax.lax.scan(
-        block, inputs_embeds, (params["layers"], kc_all, vc_all))
+        block, inputs_embeds, (params["layers"], kc_all, vc_all),
+        unroll=LAYER_UNROLL)
 
     # ONE pool scatter for all layers: [L, B, N, H] rows at (pid, rid)
     new_k = _scatter_rows(pool.k, k_new[:, :, None], positions[:, None],
