@@ -328,7 +328,7 @@ def main():
 
     # 8B-class serving config (BASELINE config #4): v2-8b int8 decode on
     # one chip. Free the 1.3b engine first -- both do not fit HBM together.
-    tps_8b = hbm_gbps_8b = tps_8b_spec = None
+    tps_8b = hbm_gbps_8b = tps_8b_spec = mcts_8b = None
     try:
         import gc
 
@@ -376,6 +376,33 @@ def main():
         log(f"v2-8b int8 decode: {tok8} tok in {sec8:.2f}s = {tps_8b:.1f} "
             f"tok/s; est. HBM {hbm_gbps:.0f} GB/s "
             f"({hbm_gbps / 819 * 100:.0f}% of v5e peak)")
+        # BASELINE tracked config #4: v2-8b MCTS refinement rollouts/min
+        # (single chip; hermetic compile backend with LaTeX-like latency)
+        try:
+            set_backend(AlwaysFailBackend(0.5))
+            tok8b = ByteTokenizer(
+                vocab_size=cfg8.text.vocab_size,
+                image_token_id=cfg8.image_token_id,
+                bos_token_id=cfg8.bos_token_id,
+                eos_token_id=cfg8.eos_token_id,
+                pad_token_id=cfg8.pad_token_id, model_max_length=640)
+            pipe8b = DetikzifyPipeline(
+                params8, cfg8, DetikzifyProcessor(tok8b, cfg8),
+                metric="fast", engine=eng8, compile_workers=8)
+            list(pipe8b.simulate(image=img, expansions=1, max_length=365))
+            best8 = 0.0
+            for _ in range(2):
+                t0 = time.time()
+                list(pipe8b.simulate(image=img, expansions=8,
+                                     parallelism=8, max_length=365))
+                best8 = max(best8, 8 / (time.time() - t0) * 60)
+            mcts_8b = best8
+            log(f"v2-8b mcts rollouts/min (parallelism=8): {mcts_8b:.0f}")
+            del pipe8b
+            set_backend(None)
+        except Exception as e:
+            mcts_8b = None
+            log(f"8B MCTS bench skipped: {type(e).__name__}: {e}")
         del eng8
         # 8B speculative ceiling: the verify forward reads the same
         # weights for K+1 tokens, so the bandwidth-bound 8B config gains
@@ -424,6 +451,8 @@ def main():
             "v2_8b_int8_tok_s": round(tps_8b, 2) if tps_8b else None,
             "v2_8b_spec4_greedy_tok_s": round(tps_8b_spec, 2)
             if tps_8b_spec else None,
+            "v2_8b_mcts_rollouts_min_par8": round(mcts_8b, 1)
+            if mcts_8b else None,
             "v2_8b_est_hbm_gbps": round(hbm_gbps_8b, 1)
             if hbm_gbps_8b else None,
             **{k: v for k, v in spec_bpe.items()

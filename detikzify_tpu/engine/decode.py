@@ -331,7 +331,7 @@ class DecodeEngine:
                 pool.k[:, sub].reshape(L, s_all, width, n, hd),
                 pool.v[:, sub].reshape(L, s_all, width, n, hd))
 
-        def scatter_view(pool, view, tab_dev, active, pos0, n_rows, k_steps):
+        def scatter_view(pool, view, tab_dev, active, pos0, n_rows):
             """Write the scan's written row range [pos0, pos0+n_rows) of
             every ACTIVE slot back to the pool -- ONE scatter per K/V.
             Inactive slots (stale tables) and trash-block rows divert to
@@ -375,7 +375,8 @@ class DecodeEngine:
             ``kv_pages`` (static, bucketed by the dispatcher) bounds the
             window so KV traffic follows the LIVE max sequence length."""
             width = kv_pages * page
-            view = gather_view(pool, tab_dev, kv_pages)
+            view = None if zerocopy else gather_view(pool, tab_dev,
+                                                     kv_pages)
             pos0 = pos_dev
 
             def body(carry, _):
@@ -412,7 +413,7 @@ class DecodeEngine:
                 return toks, pool, tok_dev, pos_dev, rng
             (tok_dev, pos_dev, _, view, rng), toks = jax.lax.scan(
                 body, (tok_dev, pos_dev, done0, view, rng), None, length=k)
-            pool = scatter_view(pool, view, tab_dev, active, pos0, k, k)
+            pool = scatter_view(pool, view, tab_dev, active, pos0, k)
             return toks, pool, tok_dev, pos_dev, rng
 
         spec = self.spec
@@ -570,7 +571,7 @@ class DecodeEngine:
                     None, length=k)
                 # the scan wrote at most k*(spec+1) rows per slot from pos0
                 pool = scatter_view(pool, view, tab_dev, active, pos0,
-                                    k * (spec + 1), k)
+                                    k * (spec + 1))
                 return toks, counts, pool, tok_dev, pos_dev, buf, rng
 
             self._start_wave_spec = start_wave_spec
