@@ -5,9 +5,9 @@ batch 1 with full re-prefill of the 300-image-token prompt for *every* MCTS
 rollout (``detikzify/infer/generate.py:218-227,246-282``; SURVEY §3.3 hot
 spots) -- with a TPU-native engine:
 
-  * a fixed pool of **slots** (rows of a preallocated contiguous KV cache);
-    rollouts join/leave mid-flight and all slots advance together
-    (batch = all active rollouts, not 1);
+  * a fixed pool of **slots** over a PAGED KV cache: one shared page pool
+    read through per-slot page tables; rollouts join/leave mid-flight and
+    all slots advance together (batch = all active rollouts, not 1);
   * **block decoding**: ``decode_block`` steps run inside ONE jitted
     ``lax.scan`` per host round-trip; slots that hit EOS mid-block freeze
     (writes divert to a trash row). Essential when dispatch latency is
@@ -15,10 +15,12 @@ spots) -- with a TPU-native engine:
   * **fused start**: prefix-restore + bucketed prefill + first-token
     sampling execute as a single device program; starts are **lazy** (no
     host sync) so many rollouts can be enqueued back-to-back and overlap;
-  * **prefix store**: any slot's KV prefix can be saved on device and
-    restored into another slot, so an MCTS child rollout re-prefills only
-    the tokens *below* its tree node. The root (image + bos) prefill
-    happens exactly once per image;
+  * **O(1) prefix store**: saving a prefix pins the slot's pool pages
+    (+ at most one boundary-page copy); restoring splices them into the
+    new slot's table (+ at most one copy-on-write boundary page), so an
+    MCTS child rollout re-prefills only the tokens *below* its tree node
+    and restore cost is independent of prefix length and max_len. The
+    root (image + bos) prefill happens exactly once per image;
   * sampling (temperature/top-p/top-k, image-token ban, first-step EOS
     suppression) fused on device.
 

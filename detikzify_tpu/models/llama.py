@@ -11,8 +11,10 @@ Replaces the reference's transformers ``AutoModel`` text tower + HF
                         restore a cached prefix, then prefill only the tail)
   * ``decode_step``  -- one token for every active slot, batched
 
-The KV cache is a contiguous pytree ``{'k': [L, B, T, NKV, Hd], 'v': ...}``
-preallocated once; slots are rows of the B axis (continuous batching).
+Two cache layouts: the contiguous pytree ``KVCache [L, B, T, NKV, Hd]``
+(training, transient decode views) and the PAGED pool ``PagedKV
+[L, P, page, NKV, Hd]`` read through per-slot page tables (the serving
+engine's persistent store -- see ``prefill_paged``/``decode_step_paged``).
 Layers are scanned (stacked params) for fast compiles and layer-axis FSDP.
 """
 from __future__ import annotations

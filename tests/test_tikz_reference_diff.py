@@ -237,3 +237,32 @@ def test_engine_selection_fuzz():
             [(rc, log.replace(ROOT, "/real/root"))
              for rc, log in attempts], rootfile="/real/root")
         assert got == expected, f"trial {trial}: {attempts}"
+
+
+REAL_ROOT = "/tmp/build/doc.tex"
+
+
+def _real_logs():
+    from fixtures.latexmk_logs import ALL
+
+    return [(log.replace("{ROOT}", REAL_ROOT), want) for log, want in ALL]
+
+
+@pytest.mark.parametrize("i", range(5))
+def test_realistic_logs_match_reference_and_expectations(i):
+    """Hand-vendored realistic TeX Live logs (multi-error with l.N context,
+    other-file package errors, emergency stop, warnings-only, runaway
+    argument): our parser must match BOTH the reference parser and the
+    hand-derived {line: msg} expectation."""
+    log, want = _real_logs()[i]
+    ref = ref_parse(log)
+    ours = our_parse(log)
+    assert ours == ref, f"divergence vs reference on realistic log {i}"
+    if want == {}:
+        # clean compile: the reference's errors property is only consulted
+        # on failures; the raw parse must find nothing error-shaped
+        assert parse_errors(log) == {}
+    elif want == {0: None}:
+        assert ours == {0: FATAL_ERROR_MSG}
+    else:
+        assert ours == want, f"unexpected parse for realistic log {i}"
