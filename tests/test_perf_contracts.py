@@ -241,3 +241,35 @@ def test_speculative_accounting_consistent(setup):
     assert c["decode_tokens"] <= c["spec_tokens"]
     for r in ros:
         eng.release(r)
+
+
+def test_sixteen_expansion_wave_dispatch_budget(setup):
+    """A 16-expansion parallelism-16 MCTS run must start its rollouts in
+    power-of-two fused chunks: total start dispatches bounded well below
+    one-per-rollout (the first full wave alone must fuse)."""
+    import math
+
+    cfg, params, tok = setup
+    set_backend(FakeBackend())
+    try:
+        eng = DecodeEngine(params, cfg, num_slots=16, max_len=96,
+                           page_size=16)
+        gen = DetikzifyGenerator(
+            engine=eng, processor=DetikzifyProcessor(tok, cfg),
+            image=_figure(), metric=None,
+            compile_service=CompileService(workers=2,
+                                           backend=FakeBackend()))
+        for _ in gen.simulate(expansions=16, parallelism=16):
+            pass
+        c = eng.counters
+        assert c["starts"] >= 16
+        # worst case: every refill wave is a lone rollout EXCEPT the first
+        # burst, which must chunk as ceil-log2 groups; empirically waves
+        # fuse far better -- pin a budget that one-dispatch-per-start would
+        # blow immediately
+        budget = c["starts"] - 16 + math.ceil(math.log2(16)) + 1
+        assert c["start_dispatches"] <= budget, (c["start_dispatches"],
+                                                 c["starts"])
+        gen.close()
+    finally:
+        set_backend(None)
