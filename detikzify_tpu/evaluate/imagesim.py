@@ -247,11 +247,13 @@ class ImageSim:
             b *= 2
         return b
 
-    def score_against(self, imgs, ref_image=None,
-                      text: Optional[str] = None) -> np.ndarray:
-        """Score a batch of renders against ONE (cached) reference input --
-        the MCTS wave fast path. The render batch is padded to a power-of-
-        two bucket so only O(log max_wave) programs ever compile."""
+    def score_against_async(self, imgs, ref_image=None,
+                            text: Optional[str] = None):
+        """Dispatch the wave-scoring program WITHOUT blocking on the
+        result. Returns (device_array, k); slice the fetched array to
+        [:k]. Lets the MCTS driver enqueue the encoder pass and keep
+        dispatching decode steps behind it, overlapping the host round
+        trip with device compute (JAX async dispatch)."""
         k = len(imgs)
         pix = np.stack([self._pixels(i) for i in imgs])
         b = self._bucket(k)
@@ -259,8 +261,16 @@ class ImageSim:
             pix = np.concatenate(
                 [pix, np.repeat(pix[-1:], b - k, axis=0)])
         ref = self.features(ref_image, text)              # LRU-cached
-        return np.asarray(jax.device_get(self._wave_score(
-            self.vision_params, jnp.asarray(pix), ref)))[:k]
+        return self._wave_score(
+            self.vision_params, jnp.asarray(pix), ref), k
+
+    def score_against(self, imgs, ref_image=None,
+                      text: Optional[str] = None) -> np.ndarray:
+        """Score a batch of renders against ONE (cached) reference input --
+        the MCTS wave fast path. The render batch is padded to a power-of-
+        two bucket so only O(log max_wave) programs ever compile."""
+        dev, k = self.score_against_async(imgs, ref_image, text)
+        return np.asarray(jax.device_get(dev))[:k]
 
     def score_batch(self, imgs1, imgs2) -> np.ndarray:
         """Batched image-pair scoring (bucketed to limit recompiles)."""

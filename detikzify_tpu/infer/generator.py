@@ -173,7 +173,11 @@ class DetikzifyGenerator:
         self.stats = {"rollouts": 0, "rollout_tokens": 0,
                       "rollout_time": 0.0, "compile_time": 0.0,
                       "score_time": 0.0, "prefix_hits": 0,
-                      "prefix_tokens_saved": 0}
+                      "prefix_tokens_saved": 0,
+                      # parallel-loop wall-time phase split (observability
+                      # for the rollouts/min budget; all host-side clocks)
+                      "t_launch": 0.0, "t_step": 0.0, "t_resolve": 0.0,
+                      "t_complete": 0.0, "t_dispatch": 0.0, "t_wait": 0.0}
 
     def close(self) -> None:
         self.engine.drop_namespace(self.namespace)
@@ -656,15 +660,23 @@ class DetikzifyGenerator:
             self.solution.pop()
         return score, tikz
 
-    def _batch_scores(self, exps: list) -> dict:
-        """Score all scorable renders of one completion wave in a single
-        batched encoder pass (SelfSim cost amortizes across expansions).
-        Text-conditioned scoring keeps the per-call path (the caption
-        conditions the reference embedding through the adapter)."""
-        if self.metric is None or self.text is not None or len(exps) < 2:
-            return {}
-        if not hasattr(self.metric, "score_against"):
-            return {}
+    def _dispatch_scores(self, exps: list):
+        """Rasterize one completion wave's scorable renders and DISPATCH a
+        single batched encoder pass over them (SelfSim cost amortizes
+        across expansions). Returns a pending handle for
+        ``_resolve_scores`` or None when the wave has nothing to batch.
+        Only the device program is enqueued here; the drive loop keeps
+        dispatching decode steps behind it and fetches the result one
+        iteration later, so scoring overlaps decode -- and, in the
+        trickling endgame where compiles land one at a time, each
+        single-render score runs on device behind the NEXT compile's
+        latency window instead of stalling the loop. Text-conditioned
+        scoring keeps the per-call path (the caption conditions the
+        reference embedding through the adapter)."""
+        if self.metric is None or self.text is not None or not exps:
+            return None
+        if not hasattr(self.metric, "score_against_async"):
+            return None
         imgs, keys = [], []
         for exp in exps:
             doc = exp.future.result()
@@ -674,14 +686,24 @@ class DetikzifyGenerator:
                 if img is not None:
                     imgs.append(img)
                     keys.append(id(exp))
-        if len(imgs) < 2:
-            return {}
+        if not imgs:
+            return None
         t0 = time.time()
         # one bucketed encoder pass for the whole wave; reference features
         # come from the metric's LRU (encoded once per search)
-        vals = self.metric.score_against(imgs, self.image)
+        dev, k = self.metric.score_against_async(imgs, self.image)
         self.stats["score_time"] += time.time() - t0
-        return {k: float(v) for k, v in zip(keys, vals)}
+        return dev, k, keys
+
+    def _resolve_scores(self, pending) -> dict:
+        """Fetch the batched wave scores dispatched by _dispatch_scores."""
+        if pending is None:
+            return {}
+        dev, k, keys = pending
+        t0 = time.time()
+        vals = np.asarray(dev)[:k]
+        self.stats["score_time"] += time.time() - t0
+        return {key: float(v) for key, v in zip(keys, vals)}
 
     def _simulate_parallel(self, expansions: Optional[float],
                            parallelism: int
@@ -693,6 +715,7 @@ class DetikzifyGenerator:
         launched = completed = 0
         decoding: List = []
         compiling: List = []
+        scoring: List = []      # [(exps, pending)] score-dispatched waves
 
         def timed_out() -> bool:
             return (self.mcts_timeout is not None
@@ -700,6 +723,7 @@ class DetikzifyGenerator:
 
         try:
             while target is None or completed < target:
+                t_ph = time.time()
                 wave: List = []
                 while ((target is None or launched < target)
                        and len(decoding) + len(compiling) + len(wave)
@@ -719,8 +743,10 @@ class DetikzifyGenerator:
                 if wave:
                     self._launch_wave(wave)
                     decoding.extend(wave)
+                self.stats["t_launch"] += time.time() - t_ph
 
                 if decoding:
+                    t_ph = time.time()
                     self.engine.step()
                     for exp in list(decoding):
                         self._advance_segmentation(exp)
@@ -728,27 +754,67 @@ class DetikzifyGenerator:
                             self._finalize_rollout(exp)
                             decoding.remove(exp)
                             compiling.append(exp)
+                    self.stats["t_step"] += time.time() - t_ph
 
+                # resolve score waves dispatched on a PREVIOUS iteration:
+                # their device program has been running behind this
+                # iteration's decode dispatch, so the fetch overlaps decode.
+                # While decode/compile work remains, only fetch results that
+                # are already materialized (is_ready) -- the compile-latency
+                # waits below then absorb the scoring round trip instead of
+                # stacking on top of it.
+                while scoring:
+                    exps_w, pending = scoring[0]
+                    if (decoding or compiling) and pending is not None:
+                        dev = pending[0]
+                        if hasattr(dev, "is_ready") and not dev.is_ready():
+                            break
+                    t_ph = time.time()
+                    wave_scores = self._resolve_scores(pending)
+                    self.stats["t_resolve"] += time.time() - t_ph
+                    while exps_w:
+                        exp = exps_w.pop(0)
+                        completed += 1
+                        t_ph = time.time()
+                        out = self._complete_expansion(
+                            exp, precomputed=wave_scores.get(id(exp)))
+                        self.stats["t_complete"] += time.time() - t_ph
+                        yield out
+                    scoring.pop(0)
+
+                t_ph = time.time()
                 ready = [exp for exp in compiling if exp.future.done()]
                 if ready:
-                    batch_scores = self._batch_scores(ready)
                     for exp in ready:
                         compiling.remove(exp)
-                        completed += 1
-                        yield self._complete_expansion(
-                            exp, precomputed=batch_scores.get(id(exp)))
+                    pending = self._dispatch_scores(ready)
+                    self.stats["t_dispatch"] += time.time() - t_ph
+                    if pending is None:
+                        # unbatchable wave (no metric / text-conditioned /
+                        # nothing rasterizable): complete in place
+                        for exp in ready:
+                            completed += 1
+                            t_ph = time.time()
+                            out = self._complete_expansion(exp)
+                            self.stats["t_complete"] += time.time() - t_ph
+                            yield out
+                    else:
+                        scoring.append((ready, pending))
 
                 if timed_out() or self.control.should_stop:
                     break
-                if not decoding and not compiling and launched >= (
-                        target or 0) and target is not None:
+                if (not decoding and not compiling and not scoring
+                        and launched >= (target or 0)
+                        and target is not None):
                     break
                 if not decoding and compiling:
                     # nothing to decode; block briefly on the oldest compile
+                    t_ph = time.time()
                     try:
                         compiling[0].future.result(timeout=0.05)
                     except Exception:
                         pass
+                    self.stats["t_wait"] += time.time() - t_ph
         finally:
             for exp in decoding:
                 self.engine.abort(exp.ro)
@@ -761,3 +827,7 @@ class DetikzifyGenerator:
             for exp in compiling:
                 for n in exp.path:
                     n.visits -= 1
+            for exps_w, _ in scoring:
+                for exp in exps_w:     # dispatched but never completed
+                    for n in exp.path:
+                        n.visits -= 1
