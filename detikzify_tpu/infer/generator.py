@@ -177,7 +177,13 @@ class DetikzifyGenerator:
                       # parallel-loop wall-time phase split (observability
                       # for the rollouts/min budget; all host-side clocks)
                       "t_launch": 0.0, "t_step": 0.0, "t_resolve": 0.0,
-                      "t_complete": 0.0, "t_dispatch": 0.0, "t_wait": 0.0}
+                      "t_complete": 0.0, "t_dispatch": 0.0, "t_wait": 0.0,
+                      # loop iterations where decode ran WHILE compiles
+                      # were pending, and the peak expansions in flight
+                      # across all stages: evidence the stages pipeline
+                      # (max_inflight > parallelism iff decode refilled
+                      # during a compile window)
+                      "overlap_ticks": 0, "max_inflight": 0}
 
     def close(self) -> None:
         self.engine.drop_namespace(self.namespace)
@@ -725,9 +731,18 @@ class DetikzifyGenerator:
             while target is None or completed < target:
                 t_ph = time.time()
                 wave: List = []
+                # ``parallelism`` bounds concurrent DECODING rollouts
+                # (device occupancy). Expansions sitting in the compile or
+                # score stage do NOT hold a decode slot, so new rollouts
+                # refill the engine while LaTeX runs -- decode pipelines
+                # behind compile in steady state. Total in-flight
+                # expansions are capped at 2x parallelism to bound
+                # virtual-loss staleness in the tree.
+                n_scoring = sum(len(e) for e, _ in scoring)
                 while ((target is None or launched < target)
-                       and len(decoding) + len(compiling) + len(wave)
-                       < parallelism
+                       and len(decoding) + len(wave) < parallelism
+                       and len(decoding) + len(compiling) + n_scoring
+                       + len(wave) < 2 * parallelism
                        and self.engine.num_active + len(wave)
                        < self.engine.num_slots
                        and not timed_out()
@@ -744,8 +759,13 @@ class DetikzifyGenerator:
                     self._launch_wave(wave)
                     decoding.extend(wave)
                 self.stats["t_launch"] += time.time() - t_ph
+                self.stats["max_inflight"] = max(
+                    self.stats["max_inflight"],
+                    len(decoding) + len(compiling) + n_scoring)
 
                 if decoding:
+                    if compiling:
+                        self.stats["overlap_ticks"] += 1
                     t_ph = time.time()
                     self.engine.step()
                     for exp in list(decoding):

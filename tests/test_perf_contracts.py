@@ -243,6 +243,35 @@ def test_speculative_accounting_consistent(setup):
         eng.release(r)
 
 
+def test_decode_refills_during_compile_windows(setup):
+    """Pipelining contract: expansions in the compile/score stage must NOT
+    hold back decode launches -- with slow compiles, the drive loop must
+    keep decoding new rollouts while earlier ones compile (steady-state
+    rollouts/min depends on this overlap, not on burst decode speed).
+    Evidence: decode steps ran while compiles were pending, and total
+    in-flight expansions exceeded ``parallelism`` (impossible without
+    refill; bounded by 2x parallelism for tree staleness)."""
+    cfg, params, tok = setup
+    backend = FakeBackend(latency=0.25)
+    set_backend(backend)
+    try:
+        eng = DecodeEngine(params, cfg, num_slots=4, max_len=96,
+                           page_size=16)
+        gen = DetikzifyGenerator(
+            engine=eng, processor=DetikzifyProcessor(tok, cfg),
+            image=_figure(), metric=None,
+            compile_service=CompileService(workers=4, backend=backend))
+        for _ in gen.simulate(expansions=8, parallelism=2):
+            pass
+        stats = gen.stats
+        assert stats["overlap_ticks"] > 0, stats
+        assert stats["max_inflight"] > 2, stats
+        assert stats["max_inflight"] <= 4, stats   # 2x parallelism cap
+        gen.close()
+    finally:
+        set_backend(None)
+
+
 def test_sixteen_expansion_wave_dispatch_budget(setup):
     """A 16-expansion parallelism-16 MCTS run must start its rollouts in
     power-of-two fused chunks: total start dispatches bounded well below
