@@ -147,6 +147,45 @@ def test_simulate_parallel_virtual_loss_reverted(pipeline, figure):
         gen.close()
 
 
+def test_parallel_abort_cleans_up_inflight_stages(pipeline, figure):
+    """Aborting a PARALLEL search with expansions in every stage
+    (decoding, compiling, score-dispatched) must free all engine slots,
+    finish all rollouts, and revert the virtual losses of expansions that
+    never completed -- the refill loop keeps more expansions in flight
+    than ``parallelism``, so the cleanup path covers all three lists."""
+    from detikzify_tpu.infer.generator import DetikzifyGenerator
+    from detikzify_tpu.infer.tikz import CompileService
+
+    backend = FakeBackend(latency=0.2)
+    set_backend(backend)
+    try:
+        gen = DetikzifyGenerator(
+            engine=pipeline.engine, processor=pipeline.processor,
+            image=pipeline.load(figure, True), metric=pipeline.metric,
+            compile_service=CompileService(workers=3, backend=backend))
+        free_before = pipeline.engine.num_free_slots
+        completed = 0
+        for _ in gen.simulate(expansions=30, parallelism=3):
+            completed += 1
+            if completed == 2:
+                gen.control.abort()
+        assert completed < 30                      # actually aborted
+        assert pipeline.engine.num_free_slots == free_before
+        assert not pipeline.engine._rollouts
+        # every remaining visit corresponds to a real backprop: virtual
+        # losses of launched-but-never-completed expansions were reverted
+        def walk(n):
+            yield n
+            for c in n.children:
+                yield from walk(c)
+        for node in walk(gen.root):
+            assert node.visits >= 0
+        assert gen.root.visits == len(gen.root._rewards)
+        gen.close()
+    finally:
+        set_backend(FakeBackend())
+
+
 def test_sample_batch(pipeline, figure):
     from PIL import ImageDraw, Image as PILImage
 
