@@ -3,9 +3,15 @@
 Measures the engine's continuous-batched decode throughput (tokens/sec/chip)
 on the DS-1.3b tracked config (BASELINE.md config #2) with an image prompt
 (300 image tokens + bos), and compares against the reference execution model
--- batch-1 sequential decode with full prompt re-prefill per rollout, which
-is exactly how the reference's HF GenerationMixin MCTS loop runs
-(SURVEY §3.3 hot spots (1)-(2)).
+-- bf16 weights (the reference stack's serving dtype, BASELINE.md
+"Reference SW stack"), batch-1 sequential decode with full prompt
+re-prefill per rollout, which is exactly how the reference's HF
+GenerationMixin MCTS loop runs (SURVEY §3.3 hot spots (1)-(2)). The
+baseline emulation is still GENEROUS to the reference: it gets this
+engine's fused starts and 32-token block dispatch (the real loop pays one
+host round-trip per token), but not the int8 quantization / projection
+fusion, which are this framework's serving optimizations. Our own batch-1
+number (int8) is reported alongside as ds13b_batch1_tok_s.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -77,19 +83,53 @@ def main():
 
     log(f"devices: {jax.devices()}")
     cfg = get_config("detikzify-ds-1.3b").replace(model_max_length=640)
-    params = zero_params(cfg, jnp.bfloat16)
+    params_bf16 = zero_params(cfg, jnp.bfloat16)
     from detikzify_tpu.ops.quant import fuse_projections, quantize_params
 
     # int8 serving config + fused qkv/gate-up projections (measured +1.4%
     # at the 16-slot/128-block headline shape; exactness-tested transform)
-    params = fuse_projections(quantize_params(params))
+    params = fuse_projections(quantize_params(params_bf16))
     jax.block_until_ready(params.text["embed_tokens"])
     log("params ready")
+
+    # ---- reference execution model (the vs_baseline denominator): bf16
+    # weights, batch-1, full prompt re-prefill per rollout. bf16 is what
+    # the reference serves (BASELINE.md "Reference SW stack"); int8+fusion
+    # below are THIS framework's optimizations and must not credit the
+    # baseline. Still generous: block dispatch instead of per-token sync.
+    import gc
+
+    eng_base = DecodeEngine(
+        params_bf16, cfg, num_slots=SLOTS, max_len=640, decode_block=32,
+        sampling=SamplingParams(temperature=0.8, top_p=0.95, top_k=0))
+    image_embeds_bf16 = jnp.zeros(
+        (1, cfg.image_seq_len, cfg.text.hidden_size), jnp.bfloat16)
+    prompt = [cfg.image_token_id] * cfg.image_seq_len + [cfg.bos_token_id]
+    t0 = time.time()
+    ro = eng_base.start(list(prompt), image_embeds=image_embeds_bf16,
+                        max_new_tokens=4)
+    while not ro.finished:
+        eng_base.step()
+    eng_base.release(ro)
+    log(f"bf16 baseline warmup (compiles) took {time.time() - t0:.1f}s")
+    t0 = time.time()
+    base_tokens = 0
+    for _ in range(2):
+        ro = eng_base.start(list(prompt), image_embeds=image_embeds_bf16,
+                            max_new_tokens=DECODE_TOKENS)
+        while not ro.finished:
+            eng_base.step()
+        base_tokens += ro.new_tokens
+        eng_base.release(ro)
+    base_bf16_tps = base_tokens / (time.time() - t0)
+    log(f"reference execution model (bf16, batch-1, re-prefill): "
+        f"{base_tokens} tok = {base_bf16_tps:.1f} tok/s")
+    del eng_base, image_embeds_bf16, params_bf16, ro
+    gc.collect()
 
     engine = DecodeEngine(
         params, cfg, num_slots=SLOTS, max_len=640, decode_block=32,
         sampling=SamplingParams(temperature=0.8, top_p=0.95, top_k=0))
-    prompt = [cfg.image_token_id] * cfg.image_seq_len + [cfg.bos_token_id]
     image_embeds = jnp.zeros((1, cfg.image_seq_len, cfg.text.hidden_size),
                              jnp.bfloat16)
 
@@ -108,10 +148,8 @@ def main():
     engine.release(ro)
     log(f"warmup (compiles) took {time.time() - t0:.1f}s")
 
-    # reference execution model: batch-1, sequential rollouts
-    seq_tokens, seq_time, _ = run_rollouts(
-        engine, prompt, image_embeds, n=2, max_new=DECODE_TOKENS)
-    # batch-1 forced: slots available but rollouts issued one at a time
+    # our stack at the reference's execution SHAPE (batch-1, re-prefill)
+    # but with int8+fusion on: how much the serving optimizations alone buy
     t0 = time.time()
     base_tokens = 0
     for _ in range(2):
@@ -123,8 +161,8 @@ def main():
         engine.release(ro)
     base_time = time.time() - t0
     base_tps = base_tokens / base_time
-    log(f"sequential batch-1: {base_tokens} tok in {base_time:.2f}s "
-        f"= {base_tps:.1f} tok/s")
+    log(f"int8 batch-1 (ours, same shape): {base_tokens} tok in "
+        f"{base_time:.2f}s = {base_tps:.1f} tok/s")
 
     # TPU-native HEADLINE: continuous-batched rollouts on the measured-best
     # serving shape (16 slots, 128-step decode blocks; 32 slots measured
@@ -318,7 +356,8 @@ def main():
     # is the serving-shaped number (the eval protocol streams expansions
     # until compile success / score plateau rather than stopping at 16).
     rollouts_min_scored_steady = 0.0
-    for _ in range(2):   # rep 1 absorbs refill-shape compiles (fresh cache)
+    for _ in range(3):   # rep 1 absorbs refill-shape compiles; best-of-3
+                         # rides out multi-second tunnel-weather swings
         t0 = time.time()
         list(pipe_model.simulate(image=img, expansions=32, parallelism=16,
                                  max_length=365))
@@ -347,9 +386,8 @@ def main():
     # 8B-class serving config (BASELINE config #4): v2-8b int8 decode on
     # one chip. Free the 1.3b engine first -- both do not fit HBM together.
     tps_8b = hbm_gbps_8b = tps_8b_spec = mcts_8b = None
+    tikzero_ms = None
     try:
-        import gc
-
         del pipe, pipe8, pipe_model, engine, params, root_prefix
         del image_embeds
         del eng16, eng_mcts            # zombie 1.3b state crowds 8B HBM
@@ -444,16 +482,126 @@ def main():
             del eng8s
         except Exception as e:
             log(f"8B speculative bench skipped: {type(e).__name__}: {e}")
+
+        # BASELINE tracked config #5: TikZero text-conditioned generation
+        # on v2-8b -- measure the conditioning cost (frozen caption
+        # embedder forward + vision tower WITH gated cross-attention on
+        # the learnable blank image; reference adapter/__init__.py +
+        # modeling_adapter.py hooks) and prove the text path executes
+        # on-chip. Decode after conditioning is identical to config #4.
+        # Adapter/embedder are zero-init at the REAL shapes (Llama-3.2-1B
+        # embedder dims; adapter on every vision layer).
+        try:
+            from detikzify_tpu.config import AdapterConfig, TextConfig
+            from detikzify_tpu.models import adapter as adapter_mod
+            from detikzify_tpu.models.adapter import dummy_pixels
+            from detikzify_tpu.models import llama as llama_mod
+            from detikzify_tpu.models.embedding import AdapterBundle
+
+            acfg = AdapterConfig()
+            aparams = adapter_mod.init(jax.random.PRNGKey(3), cfg8.vision,
+                                       acfg, dtype=jnp.bfloat16)
+            embed_cfg = TextConfig(
+                vocab_size=cfg8.text.vocab_size, hidden_size=2048,
+                intermediate_size=8192, num_hidden_layers=16,
+                num_attention_heads=32, num_key_value_heads=8,
+                max_position_embeddings=2048, rope_theta=500000.0)
+            embed_params = jax.jit(lambda: jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype),
+                jax.eval_shape(lambda: llama_mod.init(
+                    jax.random.PRNGKey(4), embed_cfg,
+                    dtype=jnp.bfloat16))))()
+            bundle = AdapterBundle(
+                adapter_params=aparams, adapter_cfg=acfg,
+                embed_params=embed_params, embed_cfg=embed_cfg,
+                tokenizer=tok8b, max_length=64)
+            cfg8a = cfg8.replace(adapter=acfg)   # enables the adapter-
+            # aware encode_image program on the engine
+            eng_ad = DecodeEngine(
+                params8, cfg8a, num_slots=2, max_len=384, decode_block=32,
+                prefix_budget_bytes=16 << 20,
+                sampling=SamplingParams(temperature=0.0))
+            caption = "a bar chart of quarterly revenue by region"
+
+            def condition():
+                ai = bundle.adapter_inputs([caption])
+                emb = eng_ad.encode_image(
+                    jnp.asarray(dummy_pixels(aparams, 1)),
+                    adapter_inputs=ai)
+                jax.block_until_ready(emb)
+                return emb
+            t0 = time.time()
+            emb_txt = condition()                       # compile
+            log(f"tikzero conditioning warmup took {time.time() - t0:.1f}s")
+            cond_ms = []
+            for _ in range(3):
+                t0 = time.time()
+                condition()
+                cond_ms.append((time.time() - t0) * 1e3)
+            tikzero_ms = min(cond_ms)
+            # text-conditioned rollout end-to-end on-chip
+            cap_ids = tok8b.encode(caption) + [cfg8.bos_token_id]
+            p_txt = ([cfg8.image_token_id] * cfg8.image_seq_len
+                     + [int(t) for t in cap_ids])
+            ro = eng_ad.start(list(p_txt), image_embeds=emb_txt,
+                              max_new_tokens=32)
+            while not ro.finished:
+                eng_ad.step()
+            assert ro.new_tokens > 0
+            eng_ad.release(ro)
+            log(f"tikzero text-conditioned path: conditioning "
+                f"{tikzero_ms:.1f} ms, rollout ok ({ro.new_tokens} tok)")
+        except Exception as e:
+            tikzero_ms = None
+            log(f"tikzero bench skipped: {type(e).__name__}: {e}")
+        finally:
+            # free even on failure: the next section needs the HBM
+            eng_ad = bundle = embed_params = aparams = emb_txt = None
+            gc.collect()
         del params8
     except Exception as e:  # keep the primary metric robust to OOM etc.
         log(f"8B bench skipped: {type(e).__name__}: {e}")
+    gc.collect()
+
+    # BASELINE tracked config #1: TL-1.1b single-figure GREEDY sampling
+    # (the v1 legacy model family) -- batch-1 greedy decode tok/s. Runs
+    # LAST: everything else is freed, so the 1.1B tree has HBM to itself.
+    tps_tl = None
+    eng_tl = params_tl = emb_tl = None
+    try:
+        cfg_tl = get_config("detikzify-tl-1.1b").replace(
+            model_max_length=640)
+        params_tl = fuse_projections(quantize_params(
+            zero_params(cfg_tl, jnp.bfloat16)))
+        eng_tl = DecodeEngine(
+            params_tl, cfg_tl, num_slots=2, max_len=640, decode_block=32,
+            prefix_budget_bytes=16 << 20,
+            sampling=SamplingParams(temperature=0.0))
+        p_tl = ([cfg_tl.image_token_id] * cfg_tl.image_seq_len
+                + [cfg_tl.bos_token_id])
+        emb_tl = jnp.zeros(
+            (1, cfg_tl.image_seq_len, cfg_tl.text.hidden_size),
+            jnp.bfloat16)
+        run_rollouts(eng_tl, p_tl, emb_tl, n=1, max_new=8)     # warmup
+        tps_tl = 0.0
+        for _ in range(2):
+            tok_tl, sec_tl, _ = run_rollouts(eng_tl, p_tl, emb_tl, n=1,
+                                             max_new=DECODE_TOKENS)
+            tps_tl = max(tps_tl, tok_tl / sec_tl)
+        log(f"tl-1.1b greedy batch-1 decode: {tps_tl:.1f} tok/s")
+    except Exception as e:
+        log(f"tl-1.1b bench skipped: {type(e).__name__}: {e}")
+    finally:
+        eng_tl = params_tl = emb_tl = None
+        gc.collect()
 
     result = {
         "metric": "tikz_decode_tokens_per_sec_per_chip_ds13b",
         "value": round(tps, 2),
         "unit": "tokens/s",
-        "vs_baseline": round(tps / base_tps, 3),
+        "vs_baseline": round(tps / base_bf16_tps, 3),
         "extra": {
+            "ds13b_batch1_bf16_tok_s": round(base_bf16_tps, 2),
             "ds13b_batch1_tok_s": round(base_tps, 2),
             "ds13b_spec4_greedy_tok_s": round(tps_spec, 2)
             if tps_spec else None,
@@ -475,6 +623,10 @@ def main():
             if mcts_8b else None,
             "v2_8b_est_hbm_gbps": round(hbm_gbps_8b, 1)
             if hbm_gbps_8b else None,
+            "tl11b_greedy_batch1_tok_s": round(tps_tl, 2)
+            if tps_tl else None,
+            "tikzero_condition_ms": round(tikzero_ms, 1)
+            if tikzero_ms else None,
             **{k: v for k, v in spec_bpe.items()
                if k.startswith("spec_rate")},
         },

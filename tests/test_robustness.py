@@ -157,3 +157,66 @@ def test_webui_build_ui_requires_gradio():
 
     with pytest.raises(ImportError, match="gradio"):
         build_ui()
+
+
+def test_parallel_mcts_stress_random_compile_outcomes(setup):
+    """Seeded stress: parallel searches against a compiler with
+    content-keyed pseudo-random latency and hard failures (including
+    UNLOCATABLE errors, log line 0) must stream the requested number of
+    scored results and leave the engine + tree structurally consistent --
+    the refill loop keeps decode, compile, and score stages all busy, so
+    this exercises wave launch, error-line-bounded attach, failed-rollout
+    replay, and cleanup under adversarial compile timing."""
+    import time
+    import zlib
+
+    from detikzify_tpu.infer.generator import DetikzifyGenerator
+    from detikzify_tpu.infer.tikz import CompileResult, CompileService
+
+    cfg, params, processor = setup
+
+    class JitterBackend:
+        """Deterministic (content-addressed) latency + failure injection
+        on top of FakeBackend semantics."""
+
+        def __init__(self):
+            self.base = FakeBackend()
+
+        def compile(self, code, timeout=60):
+            h = zlib.crc32(code.encode())
+            time.sleep((h % 7) * 0.02)          # 0-120 ms jitter
+            if h % 5 == 0:                      # hard, unlocatable failure
+                return CompileResult(status=2, log="! Emergency stop.\n")
+            return self.base.compile(code, timeout)
+
+        def rasterize(self, pdf, size=420):
+            return None
+
+    backend = JitterBackend()
+    set_backend(backend)
+    try:
+        eng = DecodeEngine(params, cfg, num_slots=4, max_len=96,
+                           page_size=16)
+        for parallelism, expansions in ((2, 10), (4, 12)):
+            gen = DetikzifyGenerator(
+                engine=eng, processor=processor, image=_figure(),
+                metric=None,                    # fast mode: scores -1/0/1
+                compile_service=CompileService(workers=3, backend=backend))
+            results = list(gen.simulate(expansions=expansions,
+                                        parallelism=parallelism))
+            assert len(results) == expansions
+            assert all(s in (-1, 0, 1) for s, _ in results)
+            assert eng.num_free_slots == eng.num_slots
+            assert not eng._rollouts
+
+            def walk(n):
+                yield n
+                for c in n.children:
+                    yield from walk(c)
+            for node in walk(gen.root):
+                assert node.visits >= 0
+            assert gen.root.visits == len(gen.root._rewards)
+            assert gen.montecarlo.stats_expansion_count == expansions
+            gen.close()
+    finally:
+        set_backend(FakeBackend())
