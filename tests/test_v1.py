@@ -130,3 +130,48 @@ def test_import_v1_full():
                                   attn_impl="xla")
     assert logits.shape == (1, ids.shape[1], 128)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_v1_pipeline_mcts_end_to_end():
+    """Compose the v1 legacy family with the FULL inference stack
+    (BASELINE tracked config #1 shape): feature-layer tap + biased
+    projector through the engine, SelfSim metric resolving the v1
+    ``pooling_mode="cos"``, MCTS simulate + one-shot sample against the
+    hermetic compiler. The reference drives v1 checkpoints through the
+    same Pipeline/Generator path (model/v1/__init__.py:24-56,
+    infer/generate.py:356-467)."""
+    from detikzify_tpu.infer import DetikzifyPipeline, FakeBackend, \
+        set_backend
+    from detikzify_tpu.infer.tikz import TikzDocument
+    from detikzify_tpu.processing import ByteTokenizer, DetikzifyProcessor
+    from PIL import Image, ImageDraw
+
+    base = tiny_test_config(vocab_size=512)
+    cfg = base.replace(feature_layer=0, projector_bias=True, is_v1=True,
+                       pooling_mode="cos")
+    params = detikzify.init(jax.random.PRNGKey(3), cfg)
+    tok = ByteTokenizer(vocab_size=512, image_token_id=cfg.image_token_id,
+                        bos_token_id=cfg.bos_token_id,
+                        eos_token_id=cfg.eos_token_id, model_max_length=96)
+    set_backend(FakeBackend())
+    try:
+        pipe = DetikzifyPipeline(params, cfg,
+                                 DetikzifyProcessor(tok, cfg),
+                                 num_slots=2, max_len=96, metric="model")
+        # v1 pooling_mode resolves to pooled-cos SelfSim
+        assert pipe.metric.mode == "cos"
+        img = Image.new("RGB", (80, 60), "white")
+        ImageDraw.Draw(img).rectangle([5, 5, 75, 55], outline="black")
+        doc = pipe.sample(image=img)
+        assert isinstance(doc, TikzDocument)
+        results = list(pipe.simulate(image=img, expansions=3))
+        assert len(results) == 3
+        for score, rdoc in results:
+            assert isinstance(rdoc, TikzDocument)
+            if rdoc.is_rasterizable:
+                assert -1.0 <= score <= 1.0
+            else:
+                assert score == -1
+        assert pipe.engine.num_free_slots == pipe.engine.num_slots
+    finally:
+        set_backend(None)
