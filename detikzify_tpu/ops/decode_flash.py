@@ -63,23 +63,45 @@ def _decode_kernel(lengths_ref,            # scalar prefetch [B]
     m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
     l_ref[:] = jnp.zeros_like(l_ref)
 
-    def body(blk, _):
+    # double-buffered KV stream: block n+1's DMA runs behind block n's
+    # matmuls (kbuf/vbuf have a leading slot dim of 2; sem is [2 slots x
+    # {k,v}]). Every started copy is waited exactly once: the warm-up
+    # copy in iteration 0, iteration i's prefetch in iteration i+1.
+    def dma(slot, blk):
         start = blk * block_kv
-        copy_k = pltpu.make_async_copy(
-            k_ref.at[b, pl.ds(start, block_kv)], kbuf, sem.at[0])
-        copy_v = pltpu.make_async_copy(
-            v_ref.at[b, pl.ds(start, block_kv)], vbuf, sem.at[1])
-        copy_k.start()
-        copy_v.start()
-        copy_k.wait()
-        copy_v.wait()
+        return (pltpu.make_async_copy(
+                    k_ref.at[b, pl.ds(start, block_kv)], kbuf.at[slot],
+                    sem.at[slot, 0]),
+                pltpu.make_async_copy(
+                    v_ref.at[b, pl.ds(start, block_kv)], vbuf.at[slot],
+                    sem.at[slot, 1]))
 
+    @pl.when(nblocks > 0)
+    def _():
+        ck, cv = dma(0, 0)
+        ck.start()
+        cv.start()
+
+    def body(blk, _):
+        slot = jax.lax.rem(blk, 2)
+
+        @pl.when(blk + 1 < nblocks)
+        def _():
+            ck, cv = dma(1 - slot, blk + 1)
+            ck.start()
+            cv.start()
+
+        ck, cv = dma(slot, blk)
+        ck.wait()
+        cv.wait()
+
+        start = blk * block_kv
         pos = start + jax.lax.broadcasted_iota(
             jnp.int32, (groups, block_kv), 1)
         valid = pos < length
         # static unroll over kv heads: Mosaic lowers 2D matmuls only
         for h in range(nkv):
-            kh = kbuf[:, h * hd_pad:(h + 1) * hd_pad]   # [block, hd]
+            kh = kbuf[slot, :, h * hd_pad:(h + 1) * hd_pad]  # [block, hd]
             qh = q[h]                                   # [G, hd]
             logits = jax.lax.dot_general(
                 qh, kh.astype(jnp.float32), (((1,), (1,)), ((), ())),
@@ -93,7 +115,7 @@ def _decode_kernel(lengths_ref,            # scalar prefetch [B]
             alpha = jnp.exp(m_prev - m_new)
             l_ref[h] = l_ref[h] * alpha + jnp.sum(p, axis=-1,
                                                   keepdims=True)
-            vh = vbuf[:, h * hd_pad:(h + 1) * hd_pad]   # [block, hd]
+            vh = vbuf[slot, :, h * hd_pad:(h + 1) * hd_pad]  # [block, hd]
             pv = jax.lax.dot_general(
                 p.astype(jnp.float32), vh.astype(jnp.float32),
                 (((1,), (0,)), ((), ())),
@@ -153,9 +175,9 @@ def decode_attend_pallas(
             pltpu.VMEM((nkv, groups, hd_pad), jnp.float32),   # acc
             pltpu.VMEM((nkv, groups, 1), jnp.float32),        # m
             pltpu.VMEM((nkv, groups, 1), jnp.float32),        # l
-            pltpu.VMEM((block_kv, nkv * hd_pad), k_cache.dtype),
-            pltpu.VMEM((block_kv, nkv * hd_pad), v_cache.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, block_kv, nkv * hd_pad), k_cache.dtype),
+            pltpu.VMEM((2, block_kv, nkv * hd_pad), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     out = pl.pallas_call(

@@ -74,20 +74,41 @@ def _paged_kernel(lengths_ref, tab_ref,       # scalar prefetch [B], [B, m]
     m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
     l_ref[:] = jnp.zeros_like(l_ref)
 
-    def body(blk, _):
+    # double-buffered page stream: page blk+1's DMA (page id indirected
+    # through the prefetched table) runs behind page blk's matmuls. Every
+    # started copy is waited exactly once: the warm-up copy in iteration
+    # 0, iteration i's prefetch in iteration i+1.
+    def dma(slot, blk):
         pid = tab_ref[b, blk]                       # page id in the pool
-        copy_k = pltpu.make_async_copy(k_ref.at[pid], kbuf, sem.at[0])
-        copy_v = pltpu.make_async_copy(v_ref.at[pid], vbuf, sem.at[1])
-        copy_k.start()
-        copy_v.start()
-        copy_k.wait()
-        copy_v.wait()
+        return (pltpu.make_async_copy(k_ref.at[pid], kbuf.at[slot],
+                                      sem.at[slot, 0]),
+                pltpu.make_async_copy(v_ref.at[pid], vbuf.at[slot],
+                                      sem.at[slot, 1]))
+
+    @pl.when(npages > 0)
+    def _():
+        ck, cv = dma(0, 0)
+        ck.start()
+        cv.start()
+
+    def body(blk, _):
+        slot = jax.lax.rem(blk, 2)
+
+        @pl.when(blk + 1 < npages)
+        def _():
+            ck, cv = dma(1 - slot, blk + 1)
+            ck.start()
+            cv.start()
+
+        ck, cv = dma(slot, blk)
+        ck.wait()
+        cv.wait()
 
         pos = blk * page + jax.lax.broadcasted_iota(
             jnp.int32, (groups, page), 1)
         valid = pos < length
         for h in range(nkv):
-            kh = kbuf[:, h * hd_pad:(h + 1) * hd_pad]   # [page, hd]
+            kh = kbuf[slot, :, h * hd_pad:(h + 1) * hd_pad]  # [page, hd]
             logits = jax.lax.dot_general(
                 q[h], kh.astype(jnp.float32), (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)     # [G, page]
@@ -100,7 +121,7 @@ def _paged_kernel(lengths_ref, tab_ref,       # scalar prefetch [B], [B, m]
             alpha = jnp.exp(m_prev - m_new)
             l_ref[h] = l_ref[h] * alpha + jnp.sum(p, axis=-1,
                                                   keepdims=True)
-            vh = vbuf[:, h * hd_pad:(h + 1) * hd_pad]
+            vh = vbuf[slot, :, h * hd_pad:(h + 1) * hd_pad]
             pv = jax.lax.dot_general(
                 p.astype(jnp.float32), vh.astype(jnp.float32),
                 (((1,), (0,)), ((), ())),
@@ -154,9 +175,9 @@ def decode_attend_paged_pallas(
             pltpu.VMEM((nkv, groups, hd_pad), jnp.float32),   # acc
             pltpu.VMEM((nkv, groups, 1), jnp.float32),        # m
             pltpu.VMEM((nkv, groups, 1), jnp.float32),        # l
-            pltpu.VMEM((page, nkv * hd_pad), pool_k.dtype),
-            pltpu.VMEM((page, nkv * hd_pad), pool_v.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, page, nkv * hd_pad), pool_k.dtype),
+            pltpu.VMEM((2, page, nkv * hd_pad), pool_v.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     out = pl.pallas_call(
