@@ -13,6 +13,9 @@ def parse_args():
     p.add_argument("--base_model", required=True)
     p.add_argument("--arxivcap", required=True,
                    help="dataset path with (image, caption) pairs")
+    p.add_argument("--size", type=int, default=1_000_000,
+                   help="the amount of figures to use for pretraining "
+                        "(reference pretrain.py --size)")
     p.add_argument("--output", required=True)
     p.add_argument("--batch_size", type=int, default=256)
     p.add_argument("--micro_batch_size", type=int, default=1)
@@ -32,7 +35,8 @@ def main():
     import datasets
 
     ds = datasets.load_from_disk(args.arxivcap)
-    items = [{"image": ex["image"], "text": ex["caption"]} for ex in ds]
+    items = [{"image": ex["image"], "text": ex["caption"]}
+             for ex in ds.select(range(min(args.size, len(ds))))]
 
     from detikzify_tpu.parallel.mesh import make_mesh
 

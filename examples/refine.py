@@ -12,11 +12,11 @@ from detikzify_tpu.train.grpo import GRPOConfig, SelfSimReward, refine
 def parse_args():
     p = argparse.ArgumentParser(
         description="Post-train DeTikZify-TPU with GRPO.")
-    p.add_argument("--model", required=True)
-    p.add_argument("--dataset", required=True,
+    p.add_argument("--model", "--base_model", required=True)
+    p.add_argument("--dataset", "--datikz", required=True,
                    help="dataset path with figure images")
     p.add_argument("--output", required=True)
-    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--steps", "--num_train_steps", type=int, default=100)
     p.add_argument("--num_generations", type=int, default=32)
     p.add_argument("--max_new_tokens", type=int, default=512)
     p.add_argument("--learning_rate", type=float, default=1e-6)

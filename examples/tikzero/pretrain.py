@@ -23,6 +23,9 @@ def parse_args():
     p.add_argument("--micro_batch_size", type=int, default=8)
     p.add_argument("--epochs", type=int, default=3)
     p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--mse_loss", action="store_true",
+                   help="distill with L2 instead of cosine similarity "
+                        "(reference tikzero/pretrain.py --mse_loss)")
     p.add_argument("--distributed", action="store_true")
     return p.parse_args()
 
@@ -70,11 +73,14 @@ def main():
     items = [{"image": ex["image"], "text": ex["caption"]} for ex in ds
              if ex.get("caption")]
 
+    from detikzify_tpu.train.adapter.pretrain import DistillLossConfig
+
     trained = pretrain_adapter(
         args.output, bundle, cfg, params.vision, items,
         batch_size=args.batch_size,
         micro_batch_size=args.micro_batch_size,
-        learning_rate=args.learning_rate, epochs=args.epochs)
+        learning_rate=args.learning_rate, epochs=args.epochs,
+        loss_cfg=DistillLossConfig(kind="l2") if args.mse_loss else None)
     save_adapter(os.path.join(args.output, "adapter"), trained, cfg.vision,
                  active_every=acfg.cross_attn_every_n_layers)
 
