@@ -458,7 +458,13 @@ class DecodeEngine:
                 by per-slot positions), and emit 1..spec+1 tokens via
                 distribution-preserving acceptance. Frozen slots write to
                 the trash page and re-emit EOS. Returns per-step token
-                blocks [k, S, spec+1] and emit counts [k, S]."""
+                blocks [k, S, spec+1] and emit counts [k, S].
+
+                Always reads through the gathered contiguous view, even
+                under DETIKZIFY_TPU_PAGED_ATTN=pallas: the verify forward
+                is an offset-prefill (multi-row window attention), which
+                the zero-copy page-table decode kernel does not model --
+                the opt-in only covers the 1-token/step plain scan."""
 
                 def body(carry, _):
                     tokens, positions, done, view, buf, rng = carry
