@@ -141,3 +141,106 @@ def test_trash_rows_never_dereference_table(setup):
         victim_pages, trash_row=TRASH_ROW, trash_page=9, attn_impl="xla")
     np.testing.assert_array_equal(np.asarray(pool.k[:, :8]), before)
     assert np.abs(np.asarray(pool.k[:, 9])).sum() > 0   # went to trash
+
+
+def test_page_pool_refcount_fuzz():
+    """Seeded fuzz over the engine's page-pool lifecycle: random
+    interleavings of fresh starts, prefix-restored starts, stores at
+    random depths, releases, drops, and aborts must keep the host page
+    accounting exactly consistent -- every non-trash page's refcount
+    equals the number of live slot-table entries plus stored-prefix
+    references to it, the free list is duplicate-free and exactly the
+    zero-refcount pages, and tearing everything down returns the pool to
+    fully free. Guards the COW/pin logic that all prefix-reuse
+    performance rests on."""
+    from detikzify_tpu.config import tiny_test_config
+    from detikzify_tpu.engine import DecodeEngine
+    from detikzify_tpu.models import detikzify
+    from detikzify_tpu.ops.sampling import SamplingParams
+
+    cfg = tiny_test_config(vocab_size=512)
+    params = detikzify.init(jax.random.PRNGKey(0), cfg)
+
+    def check(eng):
+        n_pages = eng._page_refs.shape[0]
+        trash = eng._trash_page
+        expected = np.zeros(n_pages, np.int64)
+        for slot in range(eng.num_slots):
+            if eng._table_live[slot]:
+                np.add.at(expected, eng._tables[slot], 1)
+        for sp in eng._prefix_store.values():
+            np.add.at(expected, list(sp.pages), 1)
+        for pid in range(n_pages):
+            if pid == trash:
+                continue
+            assert eng._page_refs[pid] == expected[pid], (
+                pid, int(eng._page_refs[pid]), int(expected[pid]))
+        free = eng._free_pages
+        assert len(free) == len(set(free))
+        assert trash not in free
+        zero = {pid for pid in range(n_pages)
+                if pid != trash and eng._page_refs[pid] == 0}
+        assert set(free) == zero, sorted(set(free) ^ zero)
+
+    for seed in (0, 7):
+        rng = np.random.default_rng(seed)
+        eng = DecodeEngine(params, cfg, num_slots=3, max_len=96,
+                           page_size=16, prefix_budget_bytes=1 << 30,
+                           sampling=SamplingParams(temperature=0.0))
+        live = []              # rollouts not yet released
+        keys = []
+        for i in range(40):
+            ops = ["start"]
+            if keys:
+                ops += ["restore", "drop"]
+            finished = [r for r in live if r.finished]
+            if finished:
+                ops += ["store", "release", "release"]
+            unfinished = [r for r in live if not r.finished]
+            if unfinished:
+                ops += ["abort", "run"]
+            op = ops[rng.integers(len(ops))]
+            if op == "start" and eng.num_free_slots:
+                n = int(rng.integers(2, 60))
+                prompt = [cfg.bos_token_id] + [int(t) for t in
+                                               rng.integers(1, 200, n)]
+                live.append(eng.start(prompt,
+                                      max_new_tokens=int(rng.integers(1, 8)),
+                                      lazy=bool(rng.integers(2))))
+            elif op == "restore":
+                key = keys[rng.integers(len(keys))]
+                sp = eng.get_prefix(key)
+                if sp is not None and eng.num_free_slots:
+                    ids = list(sp.token_ids) + [int(t) for t in
+                                                rng.integers(1, 200, 2)]
+                    live.append(eng.start(ids, max_new_tokens=2, prefix=sp))
+            elif op == "store" and finished:
+                ro = finished[rng.integers(len(finished))]
+                length = int(rng.integers(1, ro.length + 1))
+                key = f"k{seed}-{i}"
+                if eng.store_prefix(key, ro, length=length) is not None:
+                    keys.append(key)
+            elif op == "release" and finished:
+                ro = finished[rng.integers(len(finished))]
+                eng.release(ro)
+                live.remove(ro)
+            elif op == "drop" and keys:
+                key = keys.pop(rng.integers(len(keys)))
+                eng.drop_prefix(key)
+            elif op == "abort" and unfinished:
+                eng.abort(unfinished[rng.integers(len(unfinished))])
+                eng.run()
+            elif op == "run":
+                eng.run()
+            check(eng)
+        # teardown: everything released + dropped -> pool fully free
+        eng.run()
+        for ro in live:
+            eng.release(ro)
+        for key in list(keys):
+            eng.drop_prefix(key)
+        check(eng)
+        n_pages = eng._page_refs.shape[0]
+        assert len(eng._free_pages) == n_pages - 1
+        assert all(int(r) == 0 for pid, r in enumerate(eng._page_refs)
+                   if pid != eng._trash_page)
