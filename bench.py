@@ -2,22 +2,27 @@
 
 Measures the engine's continuous-batched decode throughput (tokens/sec/chip)
 on the DS-1.3b tracked config (BASELINE.md config #2) with an image prompt
-(300 image tokens + bos), and compares against the reference execution model
--- bf16 weights (the reference stack's serving dtype, BASELINE.md
-"Reference SW stack"), batch-1 sequential decode with full prompt
-re-prefill per rollout, which is exactly how the reference's HF
-GenerationMixin MCTS loop runs (SURVEY §3.3 hot spots (1)-(2)). The
-baseline emulation is still GENEROUS to the reference: it gets this
-engine's fused starts and 32-token block dispatch (the real loop pays one
-host round-trip per token), but not the int8 quantization / projection
-fusion, which are this framework's serving optimizations. Our own batch-1
-number (int8) is reported alongside as ds13b_batch1_tok_s.
+(300 image tokens + bos), and compares against a LADDER of reference
+execution models measured on the same chip (the reference publishes no
+absolute numbers in-tree; BASELINE.md records `published: {}`):
+
+  1. ds13b_reference_loop_tok_s -- the TRUE reference loop: bf16 weights
+     (the reference stack's serving dtype), batch-1 on a single-slot
+     engine, full prompt re-prefill per rollout, ONE HOST ROUND-TRIP PER
+     TOKEN (HF GenerationMixin semantics, SURVEY §3.3 hot spots (1)-(2)).
+  2. ds13b_batch1_bf16_tok_s -- the same but granted this engine's
+     32-token block dispatch (removes the per-token sync the reference
+     cannot avoid). ** vs_baseline uses THIS rung **: on this host the
+     device link is a remote tunnel whose per-token RTT would flatter us
+     unrepresentatively; rung 2 is maximally generous to the reference
+     short of that (it measures at the bf16 weight-streaming bound).
+  3. ds13b_batch1_tok_s -- our serving engine (int8+fusion, 8 slots) at
+     batch-1 occupancy: what our own optimizations cost/buy at the
+     reference's shape.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
-where vs_baseline is the throughput multiple over the reference execution
-model measured on the same chip/model (reference publishes no absolute
-numbers in-tree; BASELINE.md records `published: {}`).
+with vs_baseline = value / ds13b_batch1_bf16_tok_s (rung 2).
 """
 from __future__ import annotations
 
@@ -93,14 +98,29 @@ def main():
     log("params ready")
 
     # ---- reference execution model (the vs_baseline denominator): bf16
-    # weights, batch-1, full prompt re-prefill per rollout. bf16 is what
-    # the reference serves (BASELINE.md "Reference SW stack"); int8+fusion
+    # weights, batch-1 on a SINGLE-slot engine (the reference's forward
+    # carries exactly one sequence -- no other slots' KV rows in the
+    # scan), full prompt re-prefill per rollout. bf16 is what the
+    # reference serves (BASELINE.md "Reference SW stack"); int8+fusion
     # below are THIS framework's optimizations and must not credit the
     # baseline. Still generous: block dispatch instead of per-token sync.
     import gc
 
+    def measure_batch1(eng, prompt, embeds, reps=2):
+        """Timed sequential rollouts, one at a time, full re-prefill."""
+        t0 = time.time()
+        tokens = 0
+        for _ in range(reps):
+            ro = eng.start(list(prompt), image_embeds=embeds,
+                           max_new_tokens=DECODE_TOKENS)
+            while not ro.finished:
+                eng.step()
+            tokens += ro.new_tokens
+            eng.release(ro)
+        return tokens, time.time() - t0
+
     eng_base = DecodeEngine(
-        params_bf16, cfg, num_slots=SLOTS, max_len=640, decode_block=32,
+        params_bf16, cfg, num_slots=1, max_len=640, decode_block=32,
         sampling=SamplingParams(temperature=0.8, top_p=0.95, top_k=0))
     image_embeds_bf16 = jnp.zeros(
         (1, cfg.image_seq_len, cfg.text.hidden_size), jnp.bfloat16)
@@ -112,19 +132,40 @@ def main():
         eng_base.step()
     eng_base.release(ro)
     log(f"bf16 baseline warmup (compiles) took {time.time() - t0:.1f}s")
-    t0 = time.time()
-    base_tokens = 0
-    for _ in range(2):
-        ro = eng_base.start(list(prompt), image_embeds=image_embeds_bf16,
-                            max_new_tokens=DECODE_TOKENS)
-        while not ro.finished:
-            eng_base.step()
-        base_tokens += ro.new_tokens
-        eng_base.release(ro)
-    base_bf16_tps = base_tokens / (time.time() - t0)
+    base_tokens, base_secs = measure_batch1(eng_base, prompt,
+                                            image_embeds_bf16)
+    base_bf16_tps = base_tokens / base_secs
     log(f"reference execution model (bf16, batch-1, re-prefill): "
         f"{base_tokens} tok = {base_bf16_tps:.1f} tok/s")
-    del eng_base, image_embeds_bf16, params_bf16, ro
+    del eng_base
+
+    # the TRUE reference loop additionally pays ONE HOST ROUND-TRIP PER
+    # TOKEN (HF GenerationMixin fetches each sampled token into Python
+    # before the next forward -- SURVEY §3.3 hot spot (2)). decode_block=1
+    # with the engine's synchronous step() reproduces exactly that.
+    # Reported for the record; vs_baseline deliberately does NOT use this
+    # rung because this host's device link is a remote tunnel whose RTT
+    # would flatter us unrepresentatively.
+    base_loop_tps = None
+    try:
+        eng_tok = DecodeEngine(
+            params_bf16, cfg, num_slots=1, max_len=640, decode_block=1,
+            sampling=SamplingParams(temperature=0.8, top_p=0.95,
+                                    top_k=0))
+        ro = eng_tok.start(list(prompt), image_embeds=image_embeds_bf16,
+                           max_new_tokens=4)
+        while not ro.finished:
+            eng_tok.step()
+        eng_tok.release(ro)
+        toks_l, secs_l = measure_batch1(eng_tok, prompt,
+                                        image_embeds_bf16, reps=1)
+        base_loop_tps = toks_l / secs_l
+        log(f"true reference loop (bf16, batch-1, 1 host sync/token): "
+            f"{base_loop_tps:.1f} tok/s")
+        del eng_tok
+    except Exception as e:
+        log(f"per-token loop baseline skipped: {type(e).__name__}: {e}")
+    del image_embeds_bf16, params_bf16, ro
     gc.collect()
 
     engine = DecodeEngine(
@@ -149,19 +190,11 @@ def main():
     log(f"warmup (compiles) took {time.time() - t0:.1f}s")
 
     # our stack at the reference's execution SHAPE (batch-1, re-prefill)
-    # but with int8+fusion on: how much the serving optimizations alone buy
-    t0 = time.time()
-    base_tokens = 0
-    for _ in range(2):
-        ro = engine.start(list(prompt), image_embeds=image_embeds,
-                          max_new_tokens=DECODE_TOKENS)
-        while not ro.finished:
-            engine.step()
-        base_tokens += ro.new_tokens
-        engine.release(ro)
-    base_time = time.time() - t0
+    # but with int8+fusion on (and the 8-slot serving engine): how much
+    # the serving optimizations alone buy
+    base_tokens, base_time = measure_batch1(engine, prompt, image_embeds)
     base_tps = base_tokens / base_time
-    log(f"int8 batch-1 (ours, same shape): {base_tokens} tok in "
+    log(f"int8 batch-1 (ours, serving engine): {base_tokens} tok in "
         f"{base_time:.2f}s = {base_tps:.1f} tok/s")
 
     # TPU-native HEADLINE: continuous-batched rollouts on the measured-best
@@ -341,12 +374,15 @@ def main():
     list(pipe_model.simulate(image=img, expansions=1,
                              max_length=365))  # warmup score compiles
     rollouts_min_scored = 0.0
-    for _ in range(2):                          # best-of-2: tunnel jitter
-        t0 = time.time()
-        list(pipe_model.simulate(image=img, expansions=16, parallelism=16,
-                                 max_length=365))
-        rollouts_min_scored = max(rollouts_min_scored,
-                                  16 / (time.time() - t0) * 60)
+    try:    # best-so-far survives a late-rep failure
+        for _ in range(2):                      # best-of-2: tunnel jitter
+            t0 = time.time()
+            list(pipe_model.simulate(image=img, expansions=16,
+                                     parallelism=16, max_length=365))
+            rollouts_min_scored = max(rollouts_min_scored,
+                                      16 / (time.time() - t0) * 60)
+    except Exception as e:
+        log(f"selfsim burst bench degraded: {type(e).__name__}: {e}")
     log(f"mcts rollouts/min (parallelism=16, SelfSim scoring): "
         f"{rollouts_min_scored:.0f}")
     # steady-state shape: 32 expansions through the same 16 decode slots.
@@ -356,13 +392,16 @@ def main():
     # is the serving-shaped number (the eval protocol streams expansions
     # until compile success / score plateau rather than stopping at 16).
     rollouts_min_scored_steady = 0.0
-    for _ in range(3):   # rep 1 absorbs refill-shape compiles; best-of-3
-                         # rides out multi-second tunnel-weather swings
-        t0 = time.time()
-        list(pipe_model.simulate(image=img, expansions=32, parallelism=16,
-                                 max_length=365))
-        rollouts_min_scored_steady = max(rollouts_min_scored_steady,
-                                         32 / (time.time() - t0) * 60)
+    try:    # best-so-far survives a late-rep failure
+        for _ in range(3):   # rep 1 absorbs refill-shape compiles;
+                             # best-of-3 rides out tunnel-weather swings
+            t0 = time.time()
+            list(pipe_model.simulate(image=img, expansions=32,
+                                     parallelism=16, max_length=365))
+            rollouts_min_scored_steady = max(rollouts_min_scored_steady,
+                                             32 / (time.time() - t0) * 60)
+    except Exception as e:
+        log(f"selfsim steady bench degraded: {type(e).__name__}: {e}")
     log(f"mcts rollouts/min (par16, SelfSim, steady-state over 32): "
         f"{rollouts_min_scored_steady:.0f}")
 
@@ -602,15 +641,19 @@ def main():
         "vs_baseline": round(tps / base_bf16_tps, 3),
         "extra": {
             "ds13b_batch1_bf16_tok_s": round(base_bf16_tps, 2),
+            "ds13b_reference_loop_tok_s": round(base_loop_tps, 2)
+            if base_loop_tps else None,
             "ds13b_batch1_tok_s": round(base_tps, 2),
             "ds13b_spec4_greedy_tok_s": round(tps_spec, 2)
             if tps_spec else None,
             "mcts_rollouts_min_par1": round(rollout_rates[1], 1),
             "mcts_rollouts_min_par16": round(rollout_rates[16], 1),
             "mcts_rollouts_min_par16_selfsim":
-            round(rollouts_min_scored, 1),
+            round(rollouts_min_scored, 1) if rollouts_min_scored
+            else None,
             "mcts_rollouts_min_par16_selfsim_steady":
-            round(rollouts_min_scored_steady, 1),
+            round(rollouts_min_scored_steady, 1)
+            if rollouts_min_scored_steady else None,
             "p50_ttfc_s_par8_n10": round(p50_ttfc, 2),
             "prefix_hit_start_ms": round(prefix_start_ms, 1),
             "prefix_hit_start_ms_maxlen2048":

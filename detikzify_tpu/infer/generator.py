@@ -178,11 +178,11 @@ class DetikzifyGenerator:
                       # for the rollouts/min budget; all host-side clocks)
                       "t_launch": 0.0, "t_step": 0.0, "t_resolve": 0.0,
                       "t_complete": 0.0, "t_dispatch": 0.0, "t_wait": 0.0,
-                      # loop iterations where decode ran WHILE compiles
-                      # were pending, and the peak expansions in flight
-                      # across all stages: evidence the stages pipeline
-                      # (max_inflight > parallelism iff decode refilled
-                      # during a compile window)
+                      # loop iterations where decode ran WHILE compile or
+                      # score work was pending, and the peak expansions in
+                      # flight across all stages: evidence the stages
+                      # pipeline (max_inflight > parallelism iff decode
+                      # refilled during a compile/score window)
                       "overlap_ticks": 0, "max_inflight": 0}
 
     def close(self) -> None:
@@ -761,10 +761,11 @@ class DetikzifyGenerator:
                 self.stats["t_launch"] += time.time() - t_ph
                 self.stats["max_inflight"] = max(
                     self.stats["max_inflight"],
-                    len(decoding) + len(compiling) + n_scoring)
+                    len(decoding) + len(compiling)
+                    + sum(len(e) for e, _ in scoring))
 
                 if decoding:
-                    if compiling:
+                    if compiling or scoring:
                         self.stats["overlap_ticks"] += 1
                     t_ph = time.time()
                     self.engine.step()
