@@ -171,3 +171,91 @@ def test_crop_pdf_margins_passthrough_without_pymupdf():
 
     data = b"%PDF-1.4 not really a pdf"
     assert crop_pdf_margins(data) == data
+
+
+def test_latexmk_backend_executes_against_emulated_binary(tmp_path,
+                                                          monkeypatch):
+    """Execute LatexmkBackend's REAL subprocess path end-to-end against an
+    emulated ``latexmk`` binary (no TeX Live in this environment): CLI
+    flag wiring (reference tikz.py:111-119), shared-build-dir engine
+    chain, stale-log removal, log/PDF collection, error-line parse, and
+    \\thispagestyle injection. Closes the 'LatexmkBackend never executed'
+    leg as far as an offline box allows."""
+    import os
+    import stat
+
+    from detikzify_tpu.infer.tikz import (LatexmkBackend, TikzDocument,
+                                          parse_errors, set_backend)
+
+    bin_dir = tmp_path / "bin"
+    bin_dir.mkdir()
+    arglog = tmp_path / "args.log"
+    fake = bin_dir / "latexmk"
+    fake.write_text(f"""#!/bin/bash
+out=""; engine=""; tex=""
+for a in "$@"; do
+  case "$a" in
+    -output-directory=*) out="${{a#-output-directory=}}";;
+    -pdflatex|-lualatex|-xelatex) engine="${{a#-}}";;
+    -*) ;;
+    *) tex="$a";;
+  esac
+done
+echo "$engine $*" >> "{arglog}"
+if grep -q "FAILLINE" "$tex"; then
+  n=$(grep -o "FAILLINE [0-9]*" "$tex" | head -1 | cut -d" " -f2)
+  printf '(./doc.tex\\n./doc.tex:%s: Forced test error.\\n' "$n" \\
+      > "$out/doc.log"
+  exit 12
+fi
+if grep -q "ONLYLUA" "$tex" && [ "$engine" = pdflatex ]; then
+  printf '(./doc.tex\\n! Emergency stop.\\n' > "$out/doc.log"
+  exit 12
+fi
+printf 'Output written on doc.pdf (1 page).\\n' > "$out/doc.log"
+printf '%%PDF-1.4 emulated test pdf' > "$out/doc.pdf"
+exit 0
+""")
+    fake.chmod(fake.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{bin_dir}:{os.environ['PATH']}")
+
+    backend = LatexmkBackend()
+    assert LatexmkBackend.available()
+
+    # 1. success: first engine (pdflatex) wins; flags wired like the
+    # reference; \thispagestyle{empty} injected
+    code = "\\begin{document}\\tikz{\\draw (0,0) -- (1,1);}\\end{document}"
+    res = backend.compile(code)
+    assert res.status == 0 and res.pdf is not None
+    assert res.pdf.startswith(b"%PDF-1.4")
+    lines = arglog.read_text().splitlines()
+    assert lines[-1].startswith("pdflatex ")
+    for flag in ("-f", "-norc", "-file-line-error",
+                 "-interaction=nonstopmode", "-nobibtex"):
+        assert flag in lines[-1]
+    arglog.write_text("")
+
+    # 2. engine chain: pdflatex fails, lualatex salvages
+    res = backend.compile("% ONLYLUA\n" + code)
+    assert res.status == 0 and res.pdf is not None
+    engines = [ln.split()[0] for ln in arglog.read_text().splitlines()]
+    assert engines[:2] == ["pdflatex", "lualatex"]
+    arglog.write_text("")
+
+    # 3. all engines fail at a located line: status != 0, error parsed
+    res = backend.compile("line one\n% FAILLINE 4\nline three\n"
+                          "\\errorhere")
+    assert res.status != 0 and res.pdf is None
+    assert parse_errors(res.log) == {4: "Forced test error."}
+    # full document flow: errors surface through TikzDocument
+    set_backend(backend)
+    try:
+        doc = TikzDocument("line one\n% FAILLINE 2\nline three")
+        assert doc.compiled_with_errors
+        assert not doc.is_rasterizable
+        assert 2 in doc.errors
+    finally:
+        set_backend(None)
+    # every engine in the chain was attempted before giving up
+    engines = [ln.split()[0] for ln in arglog.read_text().splitlines()]
+    assert engines[:3] == ["pdflatex", "lualatex", "xelatex"]
