@@ -147,6 +147,7 @@ def main():
     # rung because this host's device link is a remote tunnel whose RTT
     # would flatter us unrepresentatively.
     base_loop_tps = None
+    eng_tok = None
     try:
         eng_tok = DecodeEngine(
             params_bf16, cfg, num_slots=1, max_len=640, decode_block=1,
@@ -162,9 +163,10 @@ def main():
         base_loop_tps = toks_l / secs_l
         log(f"true reference loop (bf16, batch-1, 1 host sync/token): "
             f"{base_loop_tps:.1f} tok/s")
-        del eng_tok
     except Exception as e:
         log(f"per-token loop baseline skipped: {type(e).__name__}: {e}")
+    finally:
+        eng_tok = None   # free HBM even when the measurement failed
     del image_embeds_bf16, params_bf16, ro
     gc.collect()
 

@@ -761,8 +761,7 @@ class DetikzifyGenerator:
                 self.stats["t_launch"] += time.time() - t_ph
                 self.stats["max_inflight"] = max(
                     self.stats["max_inflight"],
-                    len(decoding) + len(compiling)
-                    + sum(len(e) for e, _ in scoring))
+                    len(decoding) + len(compiling) + n_scoring)
 
                 if decoding:
                     if compiling or scoring:

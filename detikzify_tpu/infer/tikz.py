@@ -256,7 +256,10 @@ class LatexmkBackend:
 
     def _prepare(self, code: str) -> str:
         if "\\documentclass" not in code:
-            code = ("\\documentclass[tikz]{standalone}\n" + code)
+            # prepend ON THE SAME LINE: log line numbers must keep
+            # indexing the caller's code lines (MCTS error-line-bounded
+            # attach maps doc.errors keys to node line counts)
+            code = "\\documentclass[tikz]{standalone}" + code
         if "\\thispagestyle{empty}" not in code and "\\begin{document}" in code:
             code = code.replace("\\begin{document}",
                                 "\\begin{document}\\thispagestyle{empty}", 1)

@@ -203,7 +203,7 @@ for a in "$@"; do
 done
 echo "$engine $*" >> "{arglog}"
 if grep -q "FAILLINE" "$tex"; then
-  n=$(grep -o "FAILLINE [0-9]*" "$tex" | head -1 | cut -d" " -f2)
+  n=$(grep -n "FAILLINE" "$tex" | head -1 | cut -d: -f1)
   printf '(./doc.tex\\n./doc.tex:%s: Forced test error.\\n' "$n" \\
       > "$out/doc.log"
   exit 12
@@ -230,9 +230,10 @@ exit 0
     assert res.pdf.startswith(b"%PDF-1.4")
     lines = arglog.read_text().splitlines()
     assert lines[-1].startswith("pdflatex ")
+    argv = lines[-1].split()
     for flag in ("-f", "-norc", "-file-line-error",
                  "-interaction=nonstopmode", "-nobibtex"):
-        assert flag in lines[-1]
+        assert flag in argv, (flag, argv)
     arglog.write_text("")
 
     # 2. engine chain: pdflatex fails, lualatex salvages
@@ -242,15 +243,20 @@ exit 0
     assert engines[:2] == ["pdflatex", "lualatex"]
     arglog.write_text("")
 
-    # 3. all engines fail at a located line: status != 0, error parsed
-    res = backend.compile("line one\n% FAILLINE 4\nline three\n"
+    # 3. all engines fail at a located line: status != 0, error parsed.
+    # The fake reports the marker's ACTUAL line in the compiled file, so
+    # this also pins that _prepare's \documentclass prepend does NOT
+    # shift line numbers (it must land on the same line as the caller's
+    # first line -- MCTS error-line-bounded attach depends on doc.errors
+    # keys indexing doc.code lines).
+    res = backend.compile("line one\n% FAILLINE marker\nline three\n"
                           "\\errorhere")
     assert res.status != 0 and res.pdf is None
-    assert parse_errors(res.log) == {4: "Forced test error."}
+    assert parse_errors(res.log) == {2: "Forced test error."}
     # full document flow: errors surface through TikzDocument
     set_backend(backend)
     try:
-        doc = TikzDocument("line one\n% FAILLINE 2\nline three")
+        doc = TikzDocument("line one\n% FAILLINE marker\nline three")
         assert doc.compiled_with_errors
         assert not doc.is_rasterizable
         assert 2 in doc.errors
