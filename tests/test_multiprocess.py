@@ -22,20 +22,21 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_gather_and_sync():
+def _run_workers(mode: str, xla_flags=None, timeout: int = 300):
     port = _free_port()
     env = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu")
-    # the conftest's 8-virtual-device flag must not leak into the workers:
-    # each worker is one process with its own devices
+    # the conftest's 8-virtual-device flag must not leak into the workers
     env.pop("XLA_FLAGS", None)
+    if xla_flags:
+        env["XLA_FLAGS"] = xla_flags
     procs = [subprocess.Popen(
-        [sys.executable, WORKER, str(pid), "2", str(port)],
+        [sys.executable, WORKER, str(pid), "2", str(port), mode],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
         for pid in range(2)]
     outs = []
     try:
         for p in procs:
-            out, err = p.communicate(timeout=300)
+            out, err = p.communicate(timeout=timeout)
             outs.append((p.returncode, out, err))
     finally:
         for p in procs:
@@ -44,4 +45,25 @@ def test_two_process_gather_and_sync():
     for rc, out, err in outs:
         assert rc == 0, f"worker failed (rc {rc}):\n{err[-3000:]}"
         assert "OK pid=" in out and "procs=2" in out, out
+    return outs
+
+
+def test_two_process_gather_and_sync():
+    outs = _run_workers("gather")
+    for _, out, _ in outs:
         assert "sync=6.0" in out, out
+
+
+def test_two_process_train_step():
+    """Genuine multi-HOST training: a 2x2 ('data','model') mesh spanning two
+    jax.distributed processes (2 local CPU devices each), FSDP+TP param
+    shardings, and jitted steps whose grad reduction crosses the process
+    boundary. Loss must fall and both processes must end bit-identical."""
+    outs = _run_workers(
+        "train", xla_flags="--xla_force_host_platform_device_count=2",
+        timeout=600)
+    lines = [next(ln for ln in out.splitlines() if ln.startswith("OK pid="))
+             for _, out, _ in outs]
+    # same loss trajectory and post-update parameter checksum on both hosts
+    tails = {ln.split(" ", 2)[2] for ln in lines}
+    assert len(tails) == 1, lines
