@@ -1,0 +1,343 @@
+"""HTTP serving front end with dynamic request batching.
+
+The reference ships no server (its closest analogue is the gradio webui,
+``detikzify/webui/webui.py``); this module is the executable counterpart of
+docs/SERVING.md: one shared ``DetikzifyPipeline`` (and therefore ONE decode
+engine / KV page pool / set of compiled programs) behind a scheduler thread
+that merges concurrently queued one-shot requests into fused engine waves
+(``pipeline.sample_batch`` -- continuous-batched decode over the slot pool),
+and runs MCTS refinement requests with slot-level parallelism.
+
+Endpoints (JSON over stdlib http.server, no extra dependencies):
+
+``POST /v1/generate``
+    {"image": <base64 or data-URI or URL>, "text": optional caption
+    (TikZero), "algorithm": "sampling"|"mcts", "temperature"/"top_p"/
+    "top_k"/"max_new_tokens": optional sampling overrides, "expansions"/
+    "timeout"/"strict": MCTS knobs} ->
+    {"code", "compiled", "errors", and for MCTS "score" + "candidates"}.
+
+``GET /healthz``   liveness + engine shape.
+``GET /metrics``   engine dispatch/token counters, page-pool stats,
+                   request counts, queue depth.
+
+Run: ``python -m detikzify_tpu.serve --model detikzify-v2-8b --port 8000``.
+"""
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, List, Optional, Tuple
+
+from .infer import DetikzifyPipeline
+from .infer.tikz import TikzDocument
+from .utils.image import load as load_image
+
+_SAMPLING_KEYS = ("temperature", "top_p", "top_k", "max_new_tokens")
+
+
+@dataclass
+class _Job:
+    kind: str                                   # "sample" | "mcts"
+    image: Any
+    text: Optional[str] = None
+    preprocess: bool = True
+    sampling: Dict[str, Any] = field(default_factory=dict)
+    expansions: Optional[int] = None
+    timeout: Optional[float] = None
+    strict: bool = False
+    done: threading.Event = field(default_factory=threading.Event)
+    result: Optional[Dict[str, Any]] = None
+    error: Optional[BaseException] = None
+
+    def batch_key(self) -> Optional[Tuple]:
+        """Jobs sharing a key can fuse into one ``sample_batch`` wave.
+        Text-conditioned jobs run alone (the batch path is image-only)."""
+        if self.kind != "sample" or self.text is not None:
+            return None
+        return tuple(self.sampling.get(k) for k in _SAMPLING_KEYS) + (
+            self.preprocess,)
+
+    def finish(self, result=None, error=None) -> None:
+        self.result, self.error = result, error
+        self.done.set()
+
+
+def _doc_json(doc: TikzDocument, score: Optional[float] = None) -> Dict:
+    out: Dict[str, Any] = {
+        "code": doc.code,
+        "compiled": doc.is_rasterizable,
+        "errors": {str(k): v for k, v in doc.errors.items()},
+    }
+    if score is not None:
+        out["score"] = score
+    return out
+
+
+class InferenceServer:
+    """Scheduler owning the pipeline: all device work happens on ONE thread
+    (the engine is not re-entrant); HTTP threads only enqueue and wait."""
+
+    def __init__(self, pipeline: DetikzifyPipeline, *,
+                 max_pending: int = 64,
+                 batch_window_s: float = 0.02,
+                 default_mcts_timeout: float = 60.0):
+        self.pipeline = pipeline
+        self.batch_window_s = batch_window_s
+        self.default_mcts_timeout = default_mcts_timeout
+        self._queue: "queue.Queue[Optional[_Job]]" = queue.Queue(max_pending)
+        # jobs the scheduler peeled off while assembling a wave; only the
+        # scheduler thread touches this (re-putting into the bounded queue
+        # could deadlock against producers when it is full)
+        self._deferred: List[Optional[_Job]] = []
+        self.requests = {"sample": 0, "mcts": 0, "failed": 0, "batched": 0}
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="detikzify-scheduler")
+        self._thread.start()
+
+    # -- submission (HTTP threads) ----------------------------------------
+    def submit(self, job: _Job) -> _Job:
+        try:
+            self._queue.put_nowait(job)
+        except queue.Full:
+            raise OverloadedError(
+                f"request queue full ({self._queue.maxsize} pending)")
+        return job
+
+    def stop(self) -> None:
+        self._queue.put(None)
+        self._thread.join(timeout=30)
+
+    @property
+    def queue_depth(self) -> int:
+        return self._queue.qsize()
+
+    # -- scheduling (the one device thread) --------------------------------
+    def _collect_wave(self, first: _Job) -> List[_Job]:
+        """Merge queued one-shot jobs with the same sampling params into one
+        engine wave (up to the slot count), waiting at most
+        ``batch_window_s`` for stragglers."""
+        wave = [first]
+        key, limit = first.batch_key(), self.pipeline.engine.num_slots
+        deadline = time.monotonic() + self.batch_window_s
+        while key is not None and len(wave) < limit:
+            try:
+                nxt = self._queue.get(
+                    timeout=max(0.0, deadline - time.monotonic()))
+            except queue.Empty:
+                break
+            if nxt is None:                      # shutdown: handle after wave
+                self._deferred.append(nxt)
+                break
+            if nxt.batch_key() == key:
+                wave.append(nxt)
+            else:
+                self._deferred.append(nxt)
+        return wave
+
+    def _next_job(self) -> Optional[_Job]:
+        if self._deferred:
+            return self._deferred.pop(0)
+        return self._queue.get()
+
+    def _loop(self) -> None:
+        while True:
+            job = self._next_job()
+            if job is None:
+                return
+            wave = self._collect_wave(job)
+            try:
+                if job.kind == "mcts":
+                    self._run_mcts(job)
+                else:
+                    self._run_samples(wave)
+            except BaseException as e:  # noqa: BLE001 -- report to client
+                self.requests["failed"] += len(wave)
+                for j in wave:
+                    j.finish(error=e)
+                if not isinstance(e, Exception):
+                    raise
+
+    def _run_samples(self, wave: List[_Job]) -> None:
+        if len(wave) > 1:
+            docs = self.pipeline.sample_batch(
+                [j.image for j in wave], preprocess=wave[0].preprocess,
+                **wave[0].sampling)
+            self.requests["batched"] += len(wave)
+        else:
+            j = wave[0]
+            kw = dict(j.sampling)
+            kw.pop("max_new_tokens", None)   # sample() sizes from max_len
+            docs = [self.pipeline.sample(image=j.image, text=j.text,
+                                         preprocess=j.preprocess, **kw)]
+        self.requests["sample"] += len(wave)
+        for j, doc in zip(wave, docs):
+            j.finish(result=_doc_json(doc))
+
+    def _run_mcts(self, job: _Job) -> None:
+        kw = dict(job.sampling)
+        kw.pop("max_new_tokens", None)
+        best: Optional[Tuple[float, TikzDocument]] = None
+        candidates: List[Dict] = []
+        for score, doc in self.pipeline.simulate(
+                image=job.image, text=job.text, preprocess=job.preprocess,
+                expansions=job.expansions,
+                timeout=job.timeout or self.default_mcts_timeout,
+                strict=job.strict, **kw):
+            candidates.append(_doc_json(doc, score))
+            if doc.is_rasterizable and (best is None or score > best[0]):
+                best = (score, doc)
+        self.requests["mcts"] += 1
+        if best is None:
+            # reference eval semantics: the last rollout is the answer even
+            # when nothing compiled (examples/eval.py keeps the final doc)
+            result = candidates[-1] if candidates else {
+                "code": "", "compiled": False, "errors": {}}
+        else:
+            result = _doc_json(best[1], best[0])
+        result["candidates"] = candidates
+        job.finish(result=result)
+
+    # -- introspection ------------------------------------------------------
+    def metrics(self) -> Dict[str, Any]:
+        eng = self.pipeline.engine
+        return {
+            "engine": dict(eng.counters),
+            "spec_rate": eng.spec_rate,
+            "num_slots": eng.num_slots,
+            "num_free_slots": eng.num_free_slots,
+            "prefix_pages_used": eng.prefix_pages_used,
+            "requests": dict(self.requests),
+            "queue_depth": self.queue_depth,
+        }
+
+
+class OverloadedError(RuntimeError):
+    pass
+
+
+def _parse_job(payload: Dict[str, Any]) -> _Job:
+    if not isinstance(payload, dict):
+        raise ValueError("request body must be a JSON object")
+    image = payload.get("image")
+    if image is None:
+        raise ValueError("missing required field 'image'")
+    image = load_image(image)                 # base64 / data-URI / URL / path
+    algorithm = payload.get("algorithm", "sampling")
+    if algorithm not in ("sampling", "mcts"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    sampling = {k: payload[k] for k in _SAMPLING_KEYS if k in payload}
+    if "top_k" in sampling:
+        sampling["top_k"] = int(sampling["top_k"])
+    expansions = payload.get("expansions")
+    return _Job(
+        kind="mcts" if algorithm == "mcts" else "sample",
+        image=image,
+        text=payload.get("text") or None,
+        preprocess=bool(payload.get("preprocess", True)),
+        sampling=sampling,
+        expansions=int(expansions) if expansions is not None else None,
+        timeout=payload.get("timeout"),
+        strict=bool(payload.get("strict", False)),
+    )
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server_version = "detikzify-tpu"
+    # set by make_server:
+    inference: InferenceServer
+
+    def _reply(self, status: int, obj: Dict) -> None:
+        body = json.dumps(obj).encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, fmt, *args):          # quiet by default
+        pass
+
+    def do_GET(self):  # noqa: N802 -- BaseHTTPRequestHandler API
+        inf = self.inference
+        if self.path == "/healthz":
+            self._reply(200, {"status": "ok",
+                              "num_slots": inf.pipeline.engine.num_slots,
+                              "queue_depth": inf.queue_depth})
+        elif self.path == "/metrics":
+            self._reply(200, inf.metrics())
+        else:
+            self._reply(404, {"error": f"no such path {self.path!r}"})
+
+    def do_POST(self):  # noqa: N802
+        if self.path != "/v1/generate":
+            self._reply(404, {"error": f"no such path {self.path!r}"})
+            return
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            payload = json.loads(self.rfile.read(length) or b"{}")
+            job = _parse_job(payload)
+        except Exception as e:  # noqa: BLE001 -- malformed request payload
+            self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+            return
+        try:
+            self.inference.submit(job)
+        except OverloadedError as e:
+            self._reply(503, {"error": str(e)})
+            return
+        job.done.wait()
+        if job.error is not None:
+            self._reply(500, {"error": f"{type(job.error).__name__}: "
+                                       f"{job.error}"})
+        else:
+            self._reply(200, job.result)
+
+
+def make_server(pipeline: DetikzifyPipeline, host: str = "127.0.0.1",
+                port: int = 8000, **kw) -> Tuple[ThreadingHTTPServer,
+                                                 InferenceServer]:
+    """Build (http_server, inference_server); caller runs serve_forever()."""
+    inference = InferenceServer(pipeline, **kw)
+    handler = type("Handler", (_Handler,), {"inference": inference})
+    httpd = ThreadingHTTPServer((host, port), handler)
+    return httpd, inference
+
+
+def main(argv: Optional[List[str]] = None) -> None:
+    import argparse
+
+    from .webui.strings import MODELS
+    from .webui.webui import cached_load
+
+    parser = argparse.ArgumentParser(
+        description="DeTikZify-TPU inference server")
+    parser.add_argument("--model", default=next(iter(MODELS)))
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--speculate", type=int, default=0)
+    parser.add_argument("--max-pending", type=int, default=64)
+    parser.add_argument("--mcts-timeout", type=float, default=60.0)
+    args = parser.parse_args(argv)
+
+    pipeline = cached_load(MODELS.get(args.model, args.model),
+                           speculate=args.speculate)
+    httpd, inference = make_server(
+        pipeline, args.host, args.port, max_pending=args.max_pending,
+        default_mcts_timeout=args.mcts_timeout)
+    print(f"serving {args.model} on http://{args.host}:{args.port}",
+          flush=True)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        inference.stop()
+        httpd.server_close()
+
+
+if __name__ == "__main__":
+    main()
