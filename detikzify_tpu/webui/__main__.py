@@ -13,9 +13,14 @@ def parse_args():
                         choices=list(MODELS),
                         help="initially selected model")
     parser.add_argument("--algorithm", default="mcts",
-                        choices=list(ALGORITHMS))
+                        choices=list(ALGORITHMS),
+                        help="initially selected inference algorithm")
     parser.add_argument("--lock", action="store_true",
-                        help="serialize generation runs")
+                        help="lock model selection (serializes runs)")
+    parser.add_argument("--lock_reason",
+                        default="Duplicate this space to be able to "
+                                "change this value.",
+                        help="why model selection is locked")
     parser.add_argument("--share", action="store_true",
                         help="create a public gradio link")
     parser.add_argument("--light", action="store_true",
@@ -29,8 +34,10 @@ def parse_args():
 
 def main():
     args = parse_args()
-    demo = build_ui(model=args.model, lock=args.lock, light=args.light,
-                    timeout=args.timeout, speculate=args.speculate)
+    demo = build_ui(model=args.model, algorithm=args.algorithm,
+                    lock=args.lock, lock_reason=args.lock_reason,
+                    light=args.light, timeout=args.timeout,
+                    speculate=args.speculate)
     demo.queue().launch(share=args.share)
 
 

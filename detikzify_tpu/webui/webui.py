@@ -103,10 +103,15 @@ def inference(pipeline: DetikzifyPipeline, image, *, text: Optional[str] = None,
     yield "".join(text_parts), outputs
 
 
-def build_ui(model: str = "detikzify-v2.5-8b", *, lock: bool = False,
+def build_ui(model: str = "detikzify-v2.5-8b", *, algorithm: str = "mcts",
+             lock: bool = False, lock_reason: str = "",
              light: bool = False, timeout: Optional[int] = 600,
              speculate: int = 0):
-    """Assemble the gradio Blocks app (reference webui.py:131-341)."""
+    """Assemble the gradio Blocks app (reference webui.py:131-341).
+
+    ``algorithm`` preselects the inference algorithm radio;
+    ``lock_reason`` explains a locked model dropdown (reference
+    __main__.py ``--lock_reason``)."""
     gr = _require_gradio()
     control = ExplicitAbort()
     run_lock = GeneratorLock(control) if lock else None
@@ -146,9 +151,10 @@ def build_ui(model: str = "detikzify-v2.5-8b", *, lock: bool = False,
         with gr.Accordion(label="Settings", open=False):
             model_dd = gr.Dropdown(
                 choices=list(MODELS), value=model, label="Model",
-                interactive=not lock)
+                interactive=not lock,
+                info=lock_reason if lock else None)
             algorithm = gr.Radio(
-                choices=list(ALGORITHMS), value="mcts",
+                choices=list(ALGORITHMS), value=algorithm,
                 label="Algorithm", info="; ".join(
                     f"{k}: {v}" for k, v in ALGORITHMS.items()))
             with gr.Accordion(label="Advanced"):

@@ -69,8 +69,9 @@ def _component(demo, cls, **match):
 
 
 def test_build_ui_layout_and_event_graph(gr):
-    demo = webui_mod.build_ui(model="detikzify-v2-8b", lock=True, light=True,
-                              timeout=5)
+    demo = webui_mod.build_ui(model="detikzify-v2-8b", algorithm="sampling",
+                              lock=True, lock_reason="space is locked",
+                              light=True, timeout=5)
     assert isinstance(demo, gr.Blocks)
     # theme: Soft, light-patched (every *_dark color == its light value)
     assert isinstance(demo.theme, gr.themes.Soft)
@@ -96,7 +97,9 @@ def test_build_ui_layout_and_event_graph(gr):
     # registry + algorithm choices surface the reference model zoo
     assert model_dd.kwargs["choices"] == list(MODELS)
     assert model_dd.kwargs["interactive"] is False       # lock=True
+    assert model_dd.kwargs["info"] == "space is locked"  # --lock_reason
     assert algorithm.kwargs["choices"] == list(ALGORITHMS)
+    assert algorithm.kwargs["value"] == "sampling"       # --algorithm
     sliders = [c for c in demo.components if isinstance(c, gr.Slider)]
     assert {s.kwargs["label"] for s in sliders} == {
         "Temperature", "Top-p", "Top-k", "Exploration coefficient"}
