@@ -27,8 +27,9 @@ def parse_args():
                         help="force light theme")
     parser.add_argument("--speculate", type=int, default=0,
                         help="n-gram speculative decoding draft length")
-    parser.add_argument("--timeout", type=int, default=600,
-                        help="MCTS wall-clock budget in seconds")
+    parser.add_argument("--timeout", type=int, default=60,
+                        help="LaTeX compile timeout in seconds (the MCTS "
+                             "budget is the UI Timeout slider, in minutes)")
     return parser.parse_args()
 
 

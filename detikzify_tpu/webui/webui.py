@@ -54,15 +54,19 @@ def inference(pipeline: DetikzifyPipeline, image, *, text: Optional[str] = None,
               temperature: Optional[float] = None,
               top_p: Optional[float] = None, top_k: Optional[int] = None,
               exploration: Optional[float] = None, strict: bool = False,
-              preprocess: bool = True):
+              preprocess: bool = True,
+              compile_timeout: Optional[float] = None):
     """Generator yielding (partial_code, outputs) for UI streaming.
 
     ``text`` conditions generation through the TikZero adapter (and the
-    TikZero+ prompt when the checkpoint expects it)."""
+    TikZero+ prompt when the checkpoint expects it). ``timeout`` is the
+    MCTS wall-clock budget in seconds; ``compile_timeout`` overrides the
+    per-document LaTeX limit (reference webui.py:280 partials it in)."""
     outputs = MctsOutputs()
     streamer = TextIteratorStreamer(pipeline.processor)
     text_parts = []
-    gen_kwargs = dict(temperature=temperature, top_p=top_p, top_k=top_k)
+    gen_kwargs = dict(temperature=temperature, top_p=top_p, top_k=top_k,
+                      compile_timeout=compile_timeout)
 
     if algorithm == "sampling":
         doc = pipeline.sample(image=image, text=text, preprocess=preprocess,
@@ -105,13 +109,14 @@ def inference(pipeline: DetikzifyPipeline, image, *, text: Optional[str] = None,
 
 def build_ui(model: str = "detikzify-v2.5-8b", *, algorithm: str = "mcts",
              lock: bool = False, lock_reason: str = "",
-             light: bool = False, timeout: Optional[int] = 600,
+             light: bool = False, timeout: Optional[int] = 60,
              speculate: int = 0):
     """Assemble the gradio Blocks app (reference webui.py:131-341).
 
     ``algorithm`` preselects the inference algorithm radio;
-    ``lock_reason`` explains a locked model dropdown (reference
-    __main__.py ``--lock_reason``)."""
+    ``lock_reason`` explains a locked model dropdown; ``timeout`` is the
+    per-document LaTeX compile limit in seconds (reference semantics --
+    the MCTS wall-clock budget is the UI "Timeout" slider, in minutes)."""
     gr = _require_gradio()
     control = ExplicitAbort()
     run_lock = GeneratorLock(control) if lock else None
@@ -165,6 +170,9 @@ def build_ui(model: str = "detikzify-v2.5-8b", *, algorithm: str = "mcts",
                 top_k = gr.Slider(0, 100, value=0, step=5, label="Top-k")
                 exploration = gr.Slider(0.0, 2.0, value=0.6, step=0.1,
                                         label="Exploration coefficient")
+                budget = gr.Slider(0, 60, value=10, step=1, label="Timeout",
+                                   info="Minutes after which MCTS stops "
+                                        "(0 = unlimited).")
                 strict = gr.Checkbox(value=False, label="Strict mode",
                                      info="Treat recoverable compile errors "
                                           "as fatal when scoring rollouts.")
@@ -175,13 +183,15 @@ def build_ui(model: str = "detikzify-v2.5-8b", *, algorithm: str = "mcts",
         state_outputs = gr.State(None)
 
         def run(image_editor, text, model_name, algo, temp, tp, tk, expl,
-                strict_mode, prep):
+                minutes, strict_mode, prep):
             image = (image_editor or {}).get("composite") \
                 if isinstance(image_editor, dict) else image_editor
             pipe = cached_load(MODELS.get(model_name, model_name),
                                speculate=speculate)
             gen = inference(pipe, image, text=text or None, algorithm=algo,
-                            timeout=timeout, control=control.reset(),
+                            timeout=minutes * 60 if minutes else None,
+                            compile_timeout=timeout,
+                            control=control.reset(),
                             temperature=temp, top_p=tp, top_k=int(tk),
                             exploration=expl, strict=strict_mode,
                             preprocess=prep)
@@ -195,8 +205,8 @@ def build_ui(model: str = "detikzify-v2.5-8b", *, algorithm: str = "mcts",
 
         run_event = run_btn.click(
             run, inputs=[sketchpad, caption, model_dd, algorithm,
-                         temperature, top_p, top_k, exploration, strict,
-                         preprocess],
+                         temperature, top_p, top_k, exploration, budget,
+                         strict, preprocess],
             outputs=[code_pane, gallery, state_outputs])
         stop_btn.click(stop, cancels=[run_event])
         clear_btn.add([code_pane, gallery])

@@ -102,12 +102,13 @@ def test_build_ui_layout_and_event_graph(gr):
     assert algorithm.kwargs["value"] == "sampling"       # --algorithm
     sliders = [c for c in demo.components if isinstance(c, gr.Slider)]
     assert {s.kwargs["label"] for s in sliders} == {
-        "Temperature", "Top-p", "Top-k", "Exploration coefficient"}
+        "Temperature", "Top-p", "Top-k", "Exploration coefficient",
+        "Timeout"}
 
-    # run: 10 inputs -> (code, gallery, state); stop cancels it
+    # run: 11 inputs -> (code, gallery, state); stop cancels it
     (run_ev,) = demo.events_for(run_btn, "click")
     assert run_ev.inputs[0] is sketchpad and run_ev.inputs[1] is caption
-    assert len(run_ev.inputs) == 10
+    assert len(run_ev.inputs) == 11
     assert run_ev.outputs == [code_pane, gallery, state]
     (stop_ev,) = demo.events_for(stop_btn, "click")
     assert stop_ev.cancels == [run_ev]
@@ -133,7 +134,7 @@ def test_run_handler_sampling_and_mcts(gr):
 
     # sampling: ImageEditor dicts carry the drawing under "composite"
     steps = list(run_ev.fn({"composite": _figure()}, "", "detikzify-v2-8b",
-                           "sampling", 0.8, 0.95, 0, 0.6, False, True))
+                           "sampling", 0.8, 0.95, 0, 0.6, 10, False, True))
     assert steps
     code, images, outputs = steps[-1]
     assert isinstance(code, str) and code
@@ -141,8 +142,9 @@ def test_run_handler_sampling_and_mcts(gr):
     assert isinstance(outputs, MctsOutputs)
 
     # mcts: streams incrementally, later yields accumulate text
+    # (0.1 min = 6 s wall-clock MCTS budget via the new Timeout slider)
     steps = list(run_ev.fn({"composite": _figure()}, "", "detikzify-v2-8b",
-                           "mcts", 0.8, 0.95, 0, 0.6, False, True))
+                           "mcts", 0.8, 0.95, 0, 0.6, 0.1, False, True))
     assert len(steps) > 1
     # streaming accumulates: every later yield extends the earlier text
     assert steps[-1][0].startswith(steps[0][0])
