@@ -153,6 +153,7 @@ def build_ui(model: str = "detikzify-v2.5-8b", *, algorithm: str = "mcts",
                                           elem_id="preview-close")
                 svg_btn = gr.DownloadButton("Download SVG", visible=False)
 
+        is_mcts = algorithm == "mcts"
         with gr.Accordion(label="Settings", open=False):
             model_dd = gr.Dropdown(
                 choices=list(MODELS), value=model, label="Model",
@@ -169,11 +170,14 @@ def build_ui(model: str = "detikzify-v2.5-8b", *, algorithm: str = "mcts",
                                   label="Top-p")
                 top_k = gr.Slider(0, 100, value=0, step=5, label="Top-k")
                 exploration = gr.Slider(0.0, 2.0, value=0.6, step=0.1,
+                                        visible=is_mcts,
                                         label="Exploration coefficient")
                 budget = gr.Slider(0, 60, value=10, step=1, label="Timeout",
+                                   visible=is_mcts,
                                    info="Minutes after which MCTS stops "
                                         "(0 = unlimited).")
                 strict = gr.Checkbox(value=False, label="Strict mode",
+                                     visible=is_mcts,
                                      info="Treat recoverable compile errors "
                                           "as fatal when scoring rollouts.")
                 preprocess = gr.Checkbox(value=True, label="Preprocess",
@@ -202,6 +206,14 @@ def build_ui(model: str = "detikzify-v2.5-8b", *, algorithm: str = "mcts",
 
         def stop():
             control.abort()
+
+        def toggle_mcts_controls(algo):
+            # reference webui.py:289-300: MCTS-only knobs hide in sampling
+            vis = gr.update(visible=algo == "mcts")
+            return vis, vis, vis
+
+        algorithm.change(toggle_mcts_controls, inputs=[algorithm],
+                         outputs=[exploration, budget, strict])
 
         run_event = run_btn.click(
             run, inputs=[sketchpad, caption, model_dd, algorithm,

@@ -93,6 +93,9 @@ class Component:
     def select(self, fn=None, inputs=None, outputs=None, cancels=None):
         return self._event("select", fn, inputs, outputs, cancels)
 
+    def change(self, fn=None, inputs=None, outputs=None, cancels=None):
+        return self._event("change", fn, inputs, outputs, cancels)
+
 
 class _Container(Component):
     """Row/Column/Accordion: components AND context managers."""

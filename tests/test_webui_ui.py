@@ -126,6 +126,21 @@ def test_build_ui_layout_and_event_graph(gr):
     (close_ev,) = demo.events_for(preview_close, "click")
     assert close_ev.outputs == [svg_btn]
 
+    # MCTS-only knobs start hidden (algorithm="sampling") and toggle with
+    # the radio (reference webui.py:289-300)
+    expl = next(s for s in sliders
+                if s.kwargs["label"] == "Exploration coefficient")
+    budget = next(s for s in sliders if s.kwargs["label"] == "Timeout")
+    strict = _component(demo, "Checkbox", label="Strict mode")
+    for c in (expl, budget, strict):
+        assert c.kwargs["visible"] is False
+    (chg_ev,) = demo.events_for(algorithm, "change")
+    assert chg_ev.outputs == [expl, budget, strict]
+    shown = chg_ev.fn("mcts")
+    assert all(u == gr.update(visible=True) for u in shown)
+    hidden = chg_ev.fn("sampling")
+    assert all(u == gr.update(visible=False) for u in hidden)
+
 
 def test_run_handler_sampling_and_mcts(gr):
     demo = webui_mod.build_ui(model="detikzify-v2-8b", timeout=5)
