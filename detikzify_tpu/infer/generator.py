@@ -99,6 +99,7 @@ class DetikzifyGenerator:
         control: Optional[ExplicitAbort] = None,
         compile_service: Optional[CompileService] = None,
         max_length: Optional[int] = None,
+        max_new_tokens: Optional[int] = None,
         on_token=None,                  # per-token streaming callback
         adapter=None,                   # AdapterBundle for text conditioning
         sampling=None,                  # SamplingParams override (per-call)
@@ -150,6 +151,13 @@ class DetikzifyGenerator:
                 root_ids = tuple(
                     [processor.image_token_id] * processor.image_seq_len
                     + list(root_ids))
+
+        if max_new_tokens is not None:
+            # reference generate() semantics: cap NEW tokens past the prompt
+            # (root_ids is final here -- text-only prompts prepend image
+            # tokens above)
+            self.max_length = min(self.max_length,
+                                  len(root_ids) + max_new_tokens)
 
         self.image_embeds = None
         if pixel_values is not None:

@@ -11,7 +11,8 @@ and runs MCTS refinement requests with slot-level parallelism.
 Endpoints (JSON over stdlib http.server, no extra dependencies):
 
 ``POST /v1/generate``
-    {"image": <base64 or data-URI or URL>, "text": optional caption
+    {"image": <base64 or data-URI; URLs/server paths only with
+    --allow-external-images>, "text": optional caption
     (TikZero), "algorithm": "sampling"|"mcts", "temperature"/"top_p"/
     "top_k"/"max_new_tokens": optional sampling overrides, "expansions"/
     "timeout"/"strict": MCTS knobs} ->
@@ -85,10 +86,16 @@ class InferenceServer:
     def __init__(self, pipeline: DetikzifyPipeline, *,
                  max_pending: int = 64,
                  batch_window_s: float = 0.02,
-                 default_mcts_timeout: float = 60.0):
+                 default_mcts_timeout: float = 60.0,
+                 allow_external_images: bool = False):
         self.pipeline = pipeline
         self.batch_window_s = batch_window_s
         self.default_mcts_timeout = default_mcts_timeout
+        # when False (default), requests may only carry inline image bytes
+        # (base64 / data-URI); URLs and server-side paths are rejected at
+        # parse time (SSRF / local-file-probe hardening)
+        self.allow_external_images = allow_external_images
+        self._closed = False
         self._queue: "queue.Queue[Optional[_Job]]" = queue.Queue(max_pending)
         # jobs the scheduler peeled off while assembling a wave; only the
         # scheduler thread touches this (re-putting into the bounded queue
@@ -101,15 +108,27 @@ class InferenceServer:
 
     # -- submission (HTTP threads) ----------------------------------------
     def submit(self, job: _Job) -> _Job:
+        if self._closed:
+            raise OverloadedError("scheduler stopped")
         try:
             self._queue.put_nowait(job)
         except queue.Full:
             raise OverloadedError(
                 f"request queue full ({self._queue.maxsize} pending)")
+        if self._closed:
+            # lost the race against scheduler exit: make sure THIS job is
+            # failed rather than parked forever (the drain may have run
+            # before our put landed)
+            self._fail_pending(RuntimeError("scheduler stopped"))
         return job
 
     def stop(self) -> None:
-        self._queue.put(None)
+        while self._thread.is_alive():
+            try:
+                self._queue.put(None, timeout=1)
+                break
+            except queue.Full:     # scheduler draining or already dead
+                continue
         self._thread.join(timeout=30)
 
     @property
@@ -123,6 +142,18 @@ class InferenceServer:
         ``batch_window_s`` for stragglers."""
         wave = [first]
         key, limit = first.batch_key(), self.pipeline.engine.num_slots
+        if key is not None and self._deferred:
+            # jobs deferred out of an earlier wave may match THIS key --
+            # sweep them first so same-key requests still fuse even after
+            # being parked behind a non-matching job
+            keep: List[Optional[_Job]] = []
+            for j in self._deferred:
+                if (j is not None and len(wave) < limit
+                        and j.batch_key() == key):
+                    wave.append(j)
+                else:
+                    keep.append(j)
+            self._deferred = keep
         deadline = time.monotonic() + self.batch_window_s
         while key is not None and len(wave) < limit:
             try:
@@ -145,22 +176,40 @@ class InferenceServer:
         return self._queue.get()
 
     def _loop(self) -> None:
+        try:
+            while True:
+                job = self._next_job()
+                if job is None:
+                    return
+                wave = self._collect_wave(job)
+                try:
+                    if job.kind == "mcts":
+                        self._run_mcts(job)
+                    else:
+                        self._run_samples(wave)
+                except BaseException as e:  # noqa: BLE001 -- report to client
+                    self.requests["failed"] += len(wave)
+                    for j in wave:
+                        j.finish(error=e)
+                    if not isinstance(e, Exception):
+                        raise
+        finally:
+            # scheduler exiting (shutdown or fatal BaseException): fail every
+            # parked job so no HTTP thread blocks on done.wait() forever
+            self._closed = True
+            self._fail_pending(RuntimeError("scheduler stopped"))
+
+    def _fail_pending(self, err: BaseException) -> None:
+        pending, self._deferred = self._deferred, []
         while True:
-            job = self._next_job()
-            if job is None:
-                return
-            wave = self._collect_wave(job)
             try:
-                if job.kind == "mcts":
-                    self._run_mcts(job)
-                else:
-                    self._run_samples(wave)
-            except BaseException as e:  # noqa: BLE001 -- report to client
-                self.requests["failed"] += len(wave)
-                for j in wave:
-                    j.finish(error=e)
-                if not isinstance(e, Exception):
-                    raise
+                pending.append(self._queue.get_nowait())
+            except queue.Empty:
+                break
+        for j in pending:
+            if j is not None:
+                self.requests["failed"] += 1
+                j.finish(error=err)
 
     def _run_samples(self, wave: List[_Job]) -> None:
         if len(wave) > 1:
@@ -170,10 +219,9 @@ class InferenceServer:
             self.requests["batched"] += len(wave)
         else:
             j = wave[0]
-            kw = dict(j.sampling)
-            kw.pop("max_new_tokens", None)   # sample() sizes from max_len
             docs = [self.pipeline.sample(image=j.image, text=j.text,
-                                         preprocess=j.preprocess, **kw)]
+                                         preprocess=j.preprocess,
+                                         **j.sampling)]
         self.requests["sample"] += len(wave)
         for j, doc in zip(wave, docs):
             j.finish(result=_doc_json(doc))
@@ -186,7 +234,9 @@ class InferenceServer:
         for score, doc in self.pipeline.simulate(
                 image=job.image, text=job.text, preprocess=job.preprocess,
                 expansions=job.expansions,
-                timeout=job.timeout or self.default_mcts_timeout,
+                # timeout=0 means unlimited (match the webui budget slider)
+                timeout=self.default_mcts_timeout if job.timeout is None
+                else (job.timeout or None),
                 strict=job.strict, **kw):
             candidates.append(_doc_json(doc, score))
             if doc.is_rasterizable and (best is None or score > best[0]):
@@ -194,8 +244,9 @@ class InferenceServer:
         self.requests["mcts"] += 1
         if best is None:
             # reference eval semantics: the last rollout is the answer even
-            # when nothing compiled (examples/eval.py keeps the final doc)
-            result = candidates[-1] if candidates else {
+            # when nothing compiled (examples/eval.py keeps the final doc);
+            # copy -- aliasing candidates[-1] would make the JSON circular
+            result = dict(candidates[-1]) if candidates else {
                 "code": "", "compiled": False, "errors": {}}
         else:
             result = _doc_json(best[1], best[0])
@@ -220,20 +271,43 @@ class OverloadedError(RuntimeError):
     pass
 
 
-def _parse_job(payload: Dict[str, Any]) -> _Job:
+_COERCE = {"temperature": float, "top_p": float, "top_k": int,
+           "max_new_tokens": int}
+
+
+def _parse_job(payload: Dict[str, Any],
+               allow_external_images: bool = False) -> _Job:
     if not isinstance(payload, dict):
         raise ValueError("request body must be a JSON object")
     image = payload.get("image")
     if image is None:
         raise ValueError("missing required field 'image'")
-    image = load_image(image)                 # base64 / data-URI / URL / path
+    if isinstance(image, str) and not allow_external_images:
+        # decode inline payloads HERE and hand the loader raw bytes, so the
+        # string never reaches its URL-fetch / filesystem-path branches
+        # (SSRF / local-file-probe hardening)
+        import base64
+        import binascii
+        try:
+            raw = base64.b64decode(image.split(",", 1)[-1], validate=True)
+        except (binascii.Error, ValueError):
+            raise ValueError("'image' must be inline base64 or a data-URI "
+                             "(external URLs/paths are disabled)")
+        image = load_image(raw)
+    else:
+        image = load_image(image)             # base64 / data-URI / URL / path
     algorithm = payload.get("algorithm", "sampling")
     if algorithm not in ("sampling", "mcts"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
-    sampling = {k: payload[k] for k in _SAMPLING_KEYS if k in payload}
-    if "top_k" in sampling:
-        sampling["top_k"] = int(sampling["top_k"])
+    # coerce all numeric knobs HERE so a type error is a 400 at parse time,
+    # not a 500 from the scheduler thread after wasting a queue slot
+    sampling = {k: _COERCE[k](payload[k])
+                for k in _SAMPLING_KEYS if k in payload}
     expansions = payload.get("expansions")
+    timeout = payload.get("timeout")
+    timeout = float(timeout) if timeout is not None else None
+    if algorithm == "mcts" and timeout == 0 and expansions is None:
+        raise ValueError("timeout=0 (unlimited) requires 'expansions'")
     return _Job(
         kind="mcts" if algorithm == "mcts" else "sample",
         image=image,
@@ -241,7 +315,7 @@ def _parse_job(payload: Dict[str, Any]) -> _Job:
         preprocess=bool(payload.get("preprocess", True)),
         sampling=sampling,
         expansions=int(expansions) if expansions is not None else None,
-        timeout=payload.get("timeout"),
+        timeout=timeout,
         strict=bool(payload.get("strict", False)),
     )
 
@@ -280,7 +354,9 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             length = int(self.headers.get("Content-Length", 0))
             payload = json.loads(self.rfile.read(length) or b"{}")
-            job = _parse_job(payload)
+            job = _parse_job(
+                payload,
+                allow_external_images=self.inference.allow_external_images)
         except Exception as e:  # noqa: BLE001 -- malformed request payload
             self._reply(400, {"error": f"{type(e).__name__}: {e}"})
             return
@@ -321,13 +397,17 @@ def main(argv: Optional[List[str]] = None) -> None:
     parser.add_argument("--speculate", type=int, default=0)
     parser.add_argument("--max-pending", type=int, default=64)
     parser.add_argument("--mcts-timeout", type=float, default=60.0)
+    parser.add_argument("--allow-external-images", action="store_true",
+                        help="let requests reference URLs/server paths "
+                             "(trusted networks only: SSRF risk)")
     args = parser.parse_args(argv)
 
     pipeline = cached_load(MODELS.get(args.model, args.model),
                            speculate=args.speculate)
     httpd, inference = make_server(
         pipeline, args.host, args.port, max_pending=args.max_pending,
-        default_mcts_timeout=args.mcts_timeout)
+        default_mcts_timeout=args.mcts_timeout,
+        allow_external_images=args.allow_external_images)
     print(f"serving {args.model} on http://{args.host}:{args.port}",
           flush=True)
     try:

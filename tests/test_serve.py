@@ -171,3 +171,125 @@ def test_parse_job_validation():
     assert job.batch_key() is None            # mcts never fuses
     sample = _parse_job({"image": _b64(_figure()), "temperature": 0.1})
     assert sample.batch_key() is not None
+
+
+def test_parse_job_coerces_numeric_knobs_at_parse_time():
+    # a type error must be a 400 at parse, not a 500 from the scheduler
+    job = _parse_job({"image": _b64(_figure()), "temperature": "0.5",
+                      "top_p": "0.9", "max_new_tokens": "7"})
+    assert job.sampling == {"temperature": 0.5, "top_p": 0.9,
+                            "max_new_tokens": 7}
+    for bad in ({"temperature": "hot"}, {"timeout": "soon"},
+                {"max_new_tokens": "many"}):
+        with pytest.raises(ValueError):
+            _parse_job({"image": _b64(_figure()), **bad})
+
+
+def test_parse_job_rejects_unbounded_mcts():
+    # timeout=0 means unlimited; without an expansion budget that would
+    # wedge the single scheduler thread forever
+    with pytest.raises(ValueError, match="expansions"):
+        _parse_job({"image": _b64(_figure()), "algorithm": "mcts",
+                    "timeout": 0})
+    job = _parse_job({"image": _b64(_figure()), "algorithm": "mcts",
+                      "timeout": 0, "expansions": 2})
+    assert job.timeout == 0
+
+
+def test_parse_job_blocks_external_image_refs(tmp_path):
+    img = _figure()
+    path = tmp_path / "fig.png"
+    img.save(path)
+    for ref in ("http://169.254.169.254/latest/meta-data", str(path)):
+        with pytest.raises(ValueError, match="external"):
+            _parse_job({"image": ref})
+    # inline payloads still work, with or without a data-URI prefix
+    for inline in (_b64(img), "data:image/png;base64," + _b64(img)):
+        assert _parse_job({"image": inline}).image.size == img.size
+    # the opt-in flag restores path/URL loading (trusted networks)
+    job = _parse_job({"image": str(path)}, allow_external_images=True)
+    assert job.image.size == img.size
+
+
+def test_mcts_result_json_serializable_when_nothing_compiles():
+    # all-failed candidates: result must be a COPY of the last candidate,
+    # not an alias (aliasing makes candidates contain the result -> circular
+    # JSON -> dropped connection)
+    from types import SimpleNamespace
+
+    from detikzify_tpu.serve import InferenceServer, _Job
+
+    class Doc:
+        code, is_rasterizable, errors = "x", False, {0: "boom"}
+
+    class Pipe:
+        def simulate(self, **kw):
+            yield (-1.0, Doc())
+            yield (-1.0, Doc())
+
+    srv = InferenceServer.__new__(InferenceServer)   # no scheduler thread
+    srv.pipeline = Pipe()
+    srv.default_mcts_timeout = 1.0
+    srv.requests = {"sample": 0, "mcts": 0, "failed": 0, "batched": 0}
+    job = _Job(kind="mcts", image=SimpleNamespace(), expansions=2)
+    srv._run_mcts(job)
+    body = json.dumps(job.result)                     # must not raise
+    assert json.loads(body)["compiled"] is False
+    assert len(job.result["candidates"]) == 2
+
+
+def test_collect_wave_sweeps_deferred_jobs():
+    import queue as queue_mod
+    from types import SimpleNamespace
+
+    from detikzify_tpu.serve import InferenceServer, _Job
+
+    srv = InferenceServer.__new__(InferenceServer)
+    srv.pipeline = SimpleNamespace(engine=SimpleNamespace(num_slots=4))
+    srv.batch_window_s = 0.0
+    srv._queue = queue_mod.Queue()
+    mk = lambda i, t: _Job(kind="sample", image=i,  # noqa: E731
+                           sampling={"temperature": t})
+    b, c, d = mk(1, 0.5), mk(2, 0.5), mk(3, 0.9)
+    srv._deferred = [d, c]
+    wave = srv._collect_wave(b)
+    assert wave == [b, c], "same-key deferred job must fuse into the wave"
+    assert srv._deferred == [d]
+
+
+def test_singleton_max_new_tokens_is_honored(server):
+    # a lone request must respect the cap just like a fused wave would
+    # (ByteTokenizer: 1 token == 1 byte of code)
+    base, _ = server
+    status, body = _post(base, {"image": _b64(_figure()),
+                                "temperature": 0.0, "max_new_tokens": 4})
+    assert status == 200
+    assert len(body["code"]) <= 4
+
+
+@pytest.mark.filterwarnings(
+    "ignore::pytest.PytestUnhandledThreadExceptionWarning")
+def test_scheduler_exit_fails_pending_jobs_and_rejects_new_ones():
+    from types import SimpleNamespace
+
+    from detikzify_tpu.serve import InferenceServer, OverloadedError, _Job
+
+    class Pipe:
+        engine = SimpleNamespace(num_slots=4)
+
+        def sample(self, **kw):
+            raise SystemExit("fatal runtime error")
+
+    srv = InferenceServer(Pipe(), batch_window_s=0.01)
+    jobs = [_Job(kind="sample", image=i, sampling={"temperature": 0.1 * i})
+            for i in range(1, 4)]
+    for j in jobs:
+        srv.submit(j)
+    for j in jobs:
+        assert j.done.wait(timeout=10), "job parked forever"
+        assert j.error is not None
+    srv._thread.join(timeout=10)
+    assert not srv._thread.is_alive()
+    with pytest.raises(OverloadedError):
+        srv.submit(_Job(kind="sample", image=9))
+    srv.stop()                                        # must not block
