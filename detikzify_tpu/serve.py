@@ -18,6 +18,14 @@ Endpoints (JSON over stdlib http.server, no extra dependencies):
     "timeout"/"strict": MCTS knobs} ->
     {"code", "compiled", "errors", and for MCTS "score" + "candidates"}.
 
+``POST /v1/stream``
+    Same payload; responds with ``text/event-stream`` (SSE). Sampling
+    emits ``token`` events ({"text": delta}) as the model decodes, then
+    one ``result`` event. MCTS additionally emits a ``candidate`` event
+    per rollout (token deltas reset at each rollout boundary). A client
+    disconnect aborts the in-flight search (ExplicitAbort), freeing the
+    engine slots -- the webui's cancel semantics over plain HTTP.
+
 ``GET /healthz``   liveness + engine shape.
 ``GET /metrics``   engine dispatch/token counters, page-pool stats,
                    request counts, queue depth.
@@ -36,6 +44,7 @@ from typing import Any, Dict, List, Optional, Tuple
 
 from .infer import DetikzifyPipeline
 from .infer.tikz import TikzDocument
+from .utils.generation import ExplicitAbort
 from .utils.image import load as load_image
 
 _SAMPLING_KEYS = ("temperature", "top_p", "top_k", "max_new_tokens")
@@ -51,14 +60,20 @@ class _Job:
     expansions: Optional[int] = None
     timeout: Optional[float] = None
     strict: bool = False
+    # streaming (SSE) jobs carry an event queue the HTTP thread drains and
+    # an abort handle a client disconnect fires; both None for plain jobs
+    stream: Optional["queue.Queue"] = None
+    control: Optional[ExplicitAbort] = None
     done: threading.Event = field(default_factory=threading.Event)
     result: Optional[Dict[str, Any]] = None
     error: Optional[BaseException] = None
 
     def batch_key(self) -> Optional[Tuple]:
         """Jobs sharing a key can fuse into one ``sample_batch`` wave.
-        Text-conditioned jobs run alone (the batch path is image-only)."""
-        if self.kind != "sample" or self.text is not None:
+        Text-conditioned and streaming jobs run alone (the batch path is
+        image-only and cannot attribute tokens to one request)."""
+        if self.kind != "sample" or self.text is not None \
+                or self.stream is not None:
             return None
         return tuple(self.sampling.get(k) for k in _SAMPLING_KEYS) + (
             self.preprocess,)
@@ -66,6 +81,32 @@ class _Job:
     def finish(self, result=None, error=None) -> None:
         self.result, self.error = result, error
         self.done.set()
+        if self.stream is not None:
+            self.stream.put(None)               # wake the draining HTTP thread
+
+
+class _DeltaDecoder:
+    """Incrementally decode token ids to text deltas (multibyte-safe: holds
+    tokens back until they decode cleanly, like TextIteratorStreamer)."""
+
+    def __init__(self, processor, emit):
+        self.processor, self.emit = processor, emit
+        self._tokens: List[int] = []
+        self._emitted = ""
+
+    def __call__(self, token: int) -> None:
+        self._tokens.append(int(token))
+        text = self.processor.decode(self._tokens, skip_special_tokens=True)
+        if text.endswith("�"):
+            return                              # mid-multibyte; wait
+        delta = text[len(self._emitted):]
+        self._emitted = text
+        if delta:
+            self.emit(delta)
+
+    def reset(self) -> None:
+        """Start a fresh decode context (MCTS rollout boundary)."""
+        self._tokens, self._emitted = [], ""
 
 
 def _doc_json(doc: TikzDocument, score: Optional[float] = None) -> Dict:
@@ -219,9 +260,14 @@ class InferenceServer:
             self.requests["batched"] += len(wave)
         else:
             j = wave[0]
+            kw = dict(j.sampling)
+            if j.stream is not None:
+                kw.update(on_token=_DeltaDecoder(
+                    self.pipeline.processor,
+                    lambda d: j.stream.put(("token", d))),
+                    control=j.control)
             docs = [self.pipeline.sample(image=j.image, text=j.text,
-                                         preprocess=j.preprocess,
-                                         **j.sampling)]
+                                         preprocess=j.preprocess, **kw)]
         self.requests["sample"] += len(wave)
         for j, doc in zip(wave, docs):
             j.finish(result=_doc_json(doc))
@@ -229,6 +275,11 @@ class InferenceServer:
     def _run_mcts(self, job: _Job) -> None:
         kw = dict(job.sampling)
         kw.pop("max_new_tokens", None)
+        decoder = None
+        if job.stream is not None:
+            decoder = _DeltaDecoder(self.pipeline.processor,
+                                    lambda d: job.stream.put(("token", d)))
+            kw.update(on_token=decoder, control=job.control)
         best: Optional[Tuple[float, TikzDocument]] = None
         candidates: List[Dict] = []
         for score, doc in self.pipeline.simulate(
@@ -238,6 +289,9 @@ class InferenceServer:
                 timeout=self.default_mcts_timeout if job.timeout is None
                 else (job.timeout or None),
                 strict=job.strict, **kw):
+            if decoder is not None:
+                decoder.reset()      # next tokens belong to the next rollout
+                job.stream.put(("candidate", _doc_json(doc, score)))
             candidates.append(_doc_json(doc, score))
             if doc.is_rasterizable and (best is None or score > best[0]):
                 best = (score, doc)
@@ -276,7 +330,8 @@ _COERCE = {"temperature": float, "top_p": float, "top_k": int,
 
 
 def _parse_job(payload: Dict[str, Any],
-               allow_external_images: bool = False) -> _Job:
+               allow_external_images: bool = False,
+               stream: bool = False) -> _Job:
     if not isinstance(payload, dict):
         raise ValueError("request body must be a JSON object")
     image = payload.get("image")
@@ -317,6 +372,8 @@ def _parse_job(payload: Dict[str, Any],
         expansions=int(expansions) if expansions is not None else None,
         timeout=timeout,
         strict=bool(payload.get("strict", False)),
+        stream=queue.Queue() if stream else None,
+        control=ExplicitAbort() if stream else None,
     )
 
 
@@ -348,7 +405,8 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(404, {"error": f"no such path {self.path!r}"})
 
     def do_POST(self):  # noqa: N802
-        if self.path != "/v1/generate":
+        stream = self.path == "/v1/stream"
+        if self.path != "/v1/generate" and not stream:
             self._reply(404, {"error": f"no such path {self.path!r}"})
             return
         try:
@@ -356,7 +414,8 @@ class _Handler(BaseHTTPRequestHandler):
             payload = json.loads(self.rfile.read(length) or b"{}")
             job = _parse_job(
                 payload,
-                allow_external_images=self.inference.allow_external_images)
+                allow_external_images=self.inference.allow_external_images,
+                stream=stream)
         except Exception as e:  # noqa: BLE001 -- malformed request payload
             self._reply(400, {"error": f"{type(e).__name__}: {e}"})
             return
@@ -365,12 +424,46 @@ class _Handler(BaseHTTPRequestHandler):
         except OverloadedError as e:
             self._reply(503, {"error": str(e)})
             return
+        if stream:
+            self._stream_reply(job)
+            return
         job.done.wait()
         if job.error is not None:
             self._reply(500, {"error": f"{type(job.error).__name__}: "
                                        f"{job.error}"})
         else:
             self._reply(200, job.result)
+
+    def _write_event(self, kind: str, data) -> None:
+        if kind == "token":
+            data = {"text": data}
+        self.wfile.write(
+            f"event: {kind}\ndata: {json.dumps(data)}\n\n".encode())
+        self.wfile.flush()
+
+    def _stream_reply(self, job: _Job) -> None:
+        """Drain the job's event queue into an SSE response. HTTP/1.0 +
+        connection close, so no Content-Length/chunking is needed."""
+        self.send_response(200)
+        self.send_header("Content-Type", "text/event-stream")
+        self.send_header("Cache-Control", "no-cache")
+        self.end_headers()
+        try:
+            while True:
+                event = job.stream.get()
+                if event is None:               # finish() sentinel
+                    break
+                self._write_event(*event)
+            if job.error is not None:
+                self._write_event("error", {
+                    "error": f"{type(job.error).__name__}: {job.error}"})
+            else:
+                self._write_event("result", job.result)
+        except (BrokenPipeError, ConnectionResetError):
+            # client went away mid-stream: cancel the in-flight search so
+            # the engine slots free up instead of decoding into the void
+            if job.control is not None:
+                job.control.abort()
 
 
 def make_server(pipeline: DetikzifyPipeline, host: str = "127.0.0.1",

@@ -293,3 +293,97 @@ def test_scheduler_exit_fails_pending_jobs_and_rejects_new_ones():
     with pytest.raises(OverloadedError):
         srv.submit(_Job(kind="sample", image=9))
     srv.stop()                                        # must not block
+
+
+def _sse_events(base, payload):
+    """POST /v1/stream and parse the SSE response into (kind, data) pairs,
+    also recording whether any token event arrived BEFORE the result."""
+    import http.client
+    from urllib.parse import urlparse
+
+    u = urlparse(base)
+    conn = http.client.HTTPConnection(u.hostname, u.port, timeout=300)
+    conn.request("POST", "/v1/stream", body=json.dumps(payload).encode(),
+                 headers={"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    assert resp.status == 200
+    assert resp.getheader("Content-Type") == "text/event-stream"
+    events, kind = [], None
+    for raw in resp:
+        line = raw.decode().rstrip("\n")
+        if line.startswith("event: "):
+            kind = line[len("event: "):]
+        elif line.startswith("data: "):
+            events.append((kind, json.loads(line[len("data: "):])))
+    conn.close()
+    return events
+
+
+def test_stream_sampling_emits_tokens_then_result(server):
+    base, _ = server
+    events = _sse_events(base, {"image": _b64(_figure()),
+                                "temperature": 0.0, "max_new_tokens": 8})
+    kinds = [k for k, _ in events]
+    assert kinds[-1] == "result" and "error" not in kinds
+    tokens = [d["text"] for k, d in events if k == "token"]
+    result = events[-1][1]
+    assert tokens, "no token events streamed"
+    # greedy: the streamed deltas must reassemble the final program exactly
+    assert "".join(tokens) == result["code"]
+    assert len(result["code"]) <= 8
+
+
+def test_stream_mcts_emits_candidates(server):
+    base, _ = server
+    events = _sse_events(base, {"image": _b64(_figure()),
+                                "algorithm": "mcts", "expansions": 2,
+                                "timeout": 0, "temperature": 0.0})
+    kinds = [k for k, _ in events]
+    assert kinds.count("candidate") == 2
+    assert kinds[-1] == "result"
+    result = events[-1][1]
+    assert len(result["candidates"]) == 2
+    # candidate events mirror the final candidate list, in rollout order
+    streamed = [d for k, d in events if k == "candidate"]
+    assert streamed == result["candidates"]
+
+
+def test_parse_job_stream_wiring():
+    from detikzify_tpu.utils.generation import ExplicitAbort
+
+    plain = _parse_job({"image": _b64(_figure())})
+    assert plain.stream is None and plain.control is None
+    job = _parse_job({"image": _b64(_figure())}, stream=True)
+    assert job.stream is not None
+    assert isinstance(job.control, ExplicitAbort)
+    assert job.batch_key() is None, "streamed jobs must never fuse"
+    # finish() must wake the draining HTTP thread via the sentinel
+    job.finish(result={"code": ""})
+    assert job.stream.get_nowait() is None
+
+
+def test_stream_job_failure_wakes_the_drain():
+    # a scheduler-side failure must push the sentinel so the HTTP thread
+    # stops draining and reports an error event instead of hanging
+    import queue as queue_mod
+    from types import SimpleNamespace
+
+    from detikzify_tpu.serve import InferenceServer, _Job
+
+    class Pipe:
+        engine = SimpleNamespace(num_slots=4)
+        processor = SimpleNamespace(decode=lambda *a, **kw: "")
+
+        def sample(self, **kw):
+            raise ValueError("boom")
+
+    srv = InferenceServer(Pipe(), batch_window_s=0.0)
+    job = _Job(kind="sample", image=object(), stream=queue_mod.Queue())
+    srv.submit(job)
+    assert job.done.wait(timeout=10)
+    assert isinstance(job.error, ValueError)
+    # drain exactly like _stream_reply: events until the sentinel
+    while True:
+        if job.stream.get(timeout=5) is None:
+            break
+    srv.stop()
