@@ -8,7 +8,26 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SCRIPTS = ["infer.py", "pretrain.py", "train.py", "eval.py", "refine.py",
-           "sketchify.py", "tikzero/pretrain.py", "tikzero/train.py"]
+           "sketchify.py", "serve_bench.py", "tikzero/pretrain.py",
+           "tikzero/train.py"]
+
+
+def test_serve_bench_tiny_end_to_end():
+    """The serving load generator must run hermetically: fused waves plus a
+    concurrent SSE client against a tiny CPU pipeline."""
+    import json
+
+    env = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu",
+               DETIKZIFY_TPU_COMPILER="fake")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", "serve_bench.py"),
+         "--tiny", "--requests", "6", "--clients", "3",
+         "--max-new-tokens", "8"],
+        capture_output=True, text=True, timeout=600, env=env)
+    assert out.returncode == 0, out.stderr[-2000:]
+    result = json.loads(out.stdout.strip().splitlines()[-1])
+    assert result["requests"] == 7 and result["failed"] == 0
+    assert result["fused_fraction"] > 0, "no requests fused into waves"
 
 
 @pytest.mark.parametrize("script", SCRIPTS)
