@@ -264,8 +264,15 @@ class DetikzifyGenerator:
         if (ids and ids[-1] == eos) or len(ids) >= self.max_length:
             return  # terminal state: nothing to extend
 
+        if self.control.should_stop:
+            # aborted before this rollout even started (e.g. an HTTP client
+            # disconnected between scheduling and execution): don't touch
+            # the engine.  Deliberately NOT reset here -- an abort must be
+            # sticky for the whole search; owners that reuse a control
+            # across searches reset it themselves (webui.py:198).
+            return
+
         t0 = time.time()
-        self.control.reset()
         found = self.engine.best_prefix(ids, namespace=self.namespace)
         prefix = found[1] if found else None
         if prefix is not None:
@@ -362,6 +369,11 @@ class DetikzifyGenerator:
                 rollout_gen.close()
                 break
             new_nodes.append(new_node)
+        if not new_nodes and self.control.should_stop:
+            # the rollout was aborted before producing anything: don't
+            # compile/score the parent node as if it were a fresh rollout
+            # (a genuinely terminal state still falls through below)
+            return
         self._record_rollout_tokens(new_nodes, origin=node)
 
         if node.is_widen_node:
@@ -499,9 +511,9 @@ class DetikzifyGenerator:
                 yield self.solution.pop()
             if self.control.should_stop:
                 # the whole SEARCH stops, not just the in-flight rollout
-                # (reference raises InterruptedError, generate.py:278-280;
-                # rollout() resets the flag per rollout, so without this
-                # check an aborted search would keep running)
+                # (reference raises InterruptedError, generate.py:278-280);
+                # the flag is sticky -- rollout() never resets it -- so an
+                # abort landing between rollouts cannot be lost
                 return
             if (self.mcts_timeout is not None
                     and time.time() - start > self.mcts_timeout):

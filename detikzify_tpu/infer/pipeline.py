@@ -162,8 +162,11 @@ class DetikzifyPipeline:
         pil = [self.load(img, preprocess) for img in images]
         out = self.processor(images=pil)
         embeds = self.engine.encode_image(jnp.asarray(out.pixel_values))
-        max_new = max_new_tokens or (self.engine.max_len - 1
-                                     - out.input_ids.shape[1])
+        # `is not None`, not truthiness: max_new_tokens=0 must mean "zero
+        # new tokens" here exactly as it does on the singleton sample()
+        # path, or the same request diverges depending on wave fusion
+        max_new = (max_new_tokens if max_new_tokens is not None
+                   else self.engine.max_len - 1 - out.input_ids.shape[1])
 
         queue = list(range(len(pil)))
         rollouts: dict = {}

@@ -44,7 +44,7 @@ from typing import Any, Dict, List, Optional, Tuple
 
 from .infer import DetikzifyPipeline
 from .infer.tikz import TikzDocument
-from .utils.generation import ExplicitAbort
+from .utils.generation import ExplicitAbort, IncrementalDecoder
 from .utils.image import load as load_image
 
 _SAMPLING_KEYS = ("temperature", "top_p", "top_k", "max_new_tokens")
@@ -78,35 +78,35 @@ class _Job:
         return tuple(self.sampling.get(k) for k in _SAMPLING_KEYS) + (
             self.preprocess,)
 
-    def finish(self, result=None, error=None) -> None:
+    def finish(self, result=None, error=None) -> bool:
+        """First finish wins (the scheduler and a racing shutdown drain may
+        both try); returns whether THIS call transitioned the job."""
+        if self.done.is_set():
+            return False
         self.result, self.error = result, error
         self.done.set()
         if self.stream is not None:
             self.stream.put(None)               # wake the draining HTTP thread
+        return True
 
 
-class _DeltaDecoder:
-    """Incrementally decode token ids to text deltas (multibyte-safe: holds
-    tokens back until they decode cleanly, like TextIteratorStreamer)."""
+class _TokenEmitter:
+    """on_token callback: decode incrementally, emit ("token", delta)
+    stream events. Thin wrapper over utils.generation.IncrementalDecoder
+    (newline-bounded decode cost -- this runs on the scheduler thread
+    inside the engine decode loop)."""
 
-    def __init__(self, processor, emit):
-        self.processor, self.emit = processor, emit
-        self._tokens: List[int] = []
-        self._emitted = ""
+    def __init__(self, processor, stream: "queue.Queue"):
+        self._decoder = IncrementalDecoder(processor)
+        self._stream = stream
 
     def __call__(self, token: int) -> None:
-        self._tokens.append(int(token))
-        text = self.processor.decode(self._tokens, skip_special_tokens=True)
-        if text.endswith("�"):
-            return                              # mid-multibyte; wait
-        delta = text[len(self._emitted):]
-        self._emitted = text
+        delta = self._decoder.push(token)
         if delta:
-            self.emit(delta)
+            self._stream.put(("token", delta))
 
     def reset(self) -> None:
-        """Start a fresh decode context (MCTS rollout boundary)."""
-        self._tokens, self._emitted = [], ""
+        self._decoder.reset()                   # MCTS rollout boundary
 
 
 def _doc_json(doc: TikzDocument, score: Optional[float] = None) -> Dict:
@@ -137,6 +137,9 @@ class InferenceServer:
         # parse time (SSRF / local-file-probe hardening)
         self.allow_external_images = allow_external_images
         self._closed = False
+        # serializes the shutdown drain: submit() threads racing the
+        # scheduler's exit must not double-fail jobs or double-count
+        self._fail_lock = threading.Lock()
         self._queue: "queue.Queue[Optional[_Job]]" = queue.Queue(max_pending)
         # jobs the scheduler peeled off while assembling a wave; only the
         # scheduler thread touches this (re-putting into the bounded queue
@@ -229,9 +232,9 @@ class InferenceServer:
                     else:
                         self._run_samples(wave)
                 except BaseException as e:  # noqa: BLE001 -- report to client
-                    self.requests["failed"] += len(wave)
                     for j in wave:
-                        j.finish(error=e)
+                        if j.finish(error=e):
+                            self.requests["failed"] += 1
                     if not isinstance(e, Exception):
                         raise
         finally:
@@ -241,16 +244,16 @@ class InferenceServer:
             self._fail_pending(RuntimeError("scheduler stopped"))
 
     def _fail_pending(self, err: BaseException) -> None:
-        pending, self._deferred = self._deferred, []
-        while True:
-            try:
-                pending.append(self._queue.get_nowait())
-            except queue.Empty:
-                break
-        for j in pending:
-            if j is not None:
-                self.requests["failed"] += 1
-                j.finish(error=err)
+        with self._fail_lock:
+            pending, self._deferred = self._deferred, []
+            while True:
+                try:
+                    pending.append(self._queue.get_nowait())
+                except queue.Empty:
+                    break
+            for j in pending:
+                if j is not None and j.finish(error=err):
+                    self.requests["failed"] += 1
 
     def _run_samples(self, wave: List[_Job]) -> None:
         if len(wave) > 1:
@@ -260,25 +263,36 @@ class InferenceServer:
             self.requests["batched"] += len(wave)
         else:
             j = wave[0]
+            if self._client_gone(j):
+                return
             kw = dict(j.sampling)
             if j.stream is not None:
-                kw.update(on_token=_DeltaDecoder(
-                    self.pipeline.processor,
-                    lambda d: j.stream.put(("token", d))),
-                    control=j.control)
+                kw.update(on_token=_TokenEmitter(self.pipeline.processor,
+                                                 j.stream),
+                          control=j.control)
             docs = [self.pipeline.sample(image=j.image, text=j.text,
                                          preprocess=j.preprocess, **kw)]
         self.requests["sample"] += len(wave)
         for j, doc in zip(wave, docs):
             j.finish(result=_doc_json(doc))
 
+    def _client_gone(self, job: _Job) -> bool:
+        """A streaming client that disconnected while its job was queued
+        already fired the abort -- skip the device work entirely."""
+        if job.control is not None and job.control.should_stop:
+            if job.finish(error=RuntimeError("client disconnected")):
+                self.requests["failed"] += 1
+            return True
+        return False
+
     def _run_mcts(self, job: _Job) -> None:
+        if self._client_gone(job):
+            return
         kw = dict(job.sampling)
         kw.pop("max_new_tokens", None)
         decoder = None
         if job.stream is not None:
-            decoder = _DeltaDecoder(self.pipeline.processor,
-                                    lambda d: job.stream.put(("token", d)))
+            decoder = _TokenEmitter(self.pipeline.processor, job.stream)
             kw.update(on_token=decoder, control=job.control)
         best: Optional[Tuple[float, TikzDocument]] = None
         candidates: List[Dict] = []
@@ -340,11 +354,14 @@ def _parse_job(payload: Dict[str, Any],
     if isinstance(image, str) and not allow_external_images:
         # decode inline payloads HERE and hand the loader raw bytes, so the
         # string never reaches its URL-fetch / filesystem-path branches
-        # (SSRF / local-file-probe hardening)
+        # (SSRF / local-file-probe hardening).  Whitespace is stripped
+        # first: standard encoders (MIME, the base64 CLI) wrap at 76 cols,
+        # and stripping cannot launder a URL/path into valid base64.
         import base64
         import binascii
+        inline = "".join(image.split(",", 1)[-1].split())
         try:
-            raw = base64.b64decode(image.split(",", 1)[-1], validate=True)
+            raw = base64.b64decode(inline, validate=True)
         except (binascii.Error, ValueError):
             raise ValueError("'image' must be inline base64 or a data-URI "
                              "(external URLs/paths are disabled)")
@@ -354,14 +371,27 @@ def _parse_job(payload: Dict[str, Any],
     algorithm = payload.get("algorithm", "sampling")
     if algorithm not in ("sampling", "mcts"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
-    # coerce all numeric knobs HERE so a type error is a 400 at parse time,
-    # not a 500 from the scheduler thread after wasting a queue slot
+    # coerce + range-check all numeric knobs HERE so a bad value is a 400
+    # at parse time, not a 500 from the scheduler thread after wasting a
+    # queue slot
     sampling = {k: _COERCE[k](payload[k])
                 for k in _SAMPLING_KEYS if k in payload}
+    if sampling.get("temperature", 0.0) < 0:
+        raise ValueError("temperature must be >= 0")
+    if not 0.0 <= sampling.get("top_p", 1.0) <= 1.0:
+        raise ValueError("top_p must be in [0, 1]")
+    if sampling.get("top_k", 0) < 0:
+        raise ValueError("top_k must be >= 0 (0 disables)")
+    if sampling.get("max_new_tokens", 1) < 1:
+        raise ValueError("max_new_tokens must be >= 1")
     expansions = payload.get("expansions")
+    if expansions is not None and int(expansions) < 1:
+        raise ValueError("expansions must be >= 1")
     timeout = payload.get("timeout")
     timeout = float(timeout) if timeout is not None else None
-    if algorithm == "mcts" and timeout == 0 and expansions is None:
+    if algorithm == "mcts" and timeout == 0 and not expansions:
+        # timeout=0 means unlimited; without a positive expansion budget
+        # the single scheduler thread would search forever
         raise ValueError("timeout=0 (unlimited) requires 'expansions'")
     return _Job(
         kind="mcts" if algorithm == "mcts" else "sample",

@@ -68,6 +68,39 @@ class TokenStreamer(_BaseStreamer):
         return self._drain()
 
 
+class IncrementalDecoder:
+    """Decode a token stream to text deltas. Holds tokens back until they
+    decode cleanly (multibyte chars may split across byte-level tokens) and
+    restarts the decode context after each newline, so per-token decode
+    cost is bounded by line length instead of growing with the stream
+    (byte-level tokenizers are concat-safe at any boundary; HF's own
+    TextStreamer flushes its cache on newline for the same reason)."""
+
+    def __init__(self, processor, skip_special_tokens: bool = True):
+        self.processor = processor
+        self.skip_special_tokens = skip_special_tokens
+        self.reset()
+
+    def reset(self) -> None:
+        """Start a fresh decode context (e.g. an MCTS rollout boundary)."""
+        self._tokens: List[int] = []
+        self._emitted = ""
+
+    def push(self, token: int) -> str:
+        """Feed one token id; returns the newly decoded text ('' if the
+        token is still held back mid-multibyte)."""
+        self._tokens.append(int(token))
+        text = self.processor.decode(
+            self._tokens, skip_special_tokens=self.skip_special_tokens)
+        if text.endswith("�"):
+            return ""  # mid-multibyte; wait for the rest
+        delta = text[len(self._emitted):]
+        self._emitted = text
+        if text.endswith("\n"):
+            self.reset()
+        return delta
+
+
 class TextIteratorStreamer(_BaseStreamer):
     """Yields decoded text deltas; buffers tokens until they decode cleanly
     (byte-level tokenizers may split multibyte chars across tokens)."""
@@ -75,23 +108,14 @@ class TextIteratorStreamer(_BaseStreamer):
     def __init__(self, processor, skip_special_tokens: bool = True,
                  timeout: Optional[float] = None):
         super().__init__(timeout)
-        self.processor = processor
-        self.skip_special_tokens = skip_special_tokens
-        self._tokens: List[int] = []
-        self._emitted = ""
+        self._decoder = IncrementalDecoder(processor, skip_special_tokens)
 
     def put(self, token: int) -> None:
         self._queue.put(int(token))
 
     def __iter__(self) -> Iterator[str]:
         for token in self._drain():
-            self._tokens.append(token)
-            text = self.processor.decode(
-                self._tokens, skip_special_tokens=self.skip_special_tokens)
-            if text.endswith("�"):
-                continue  # mid-multibyte; wait for the rest
-            delta = text[len(self._emitted):]
-            self._emitted = text
+            delta = self._decoder.push(token)
             if delta:
                 yield delta
 

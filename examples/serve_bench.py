@@ -40,7 +40,10 @@ def main():
 
     if args.tiny:
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+    import os
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache"))
 
     from PIL import Image, ImageDraw
 

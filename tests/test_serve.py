@@ -387,3 +387,52 @@ def test_stream_job_failure_wakes_the_drain():
         if job.stream.get(timeout=5) is None:
             break
     srv.stop()
+
+
+def test_parse_job_rejects_zero_expansions_and_bad_ranges():
+    # expansions=0 with timeout=0 used to pass validation and wedge the
+    # scheduler in an unbounded search (review finding)
+    with pytest.raises(ValueError, match="expansions"):
+        _parse_job({"image": _b64(_figure()), "algorithm": "mcts",
+                    "timeout": 0, "expansions": 0})
+    for bad, msg in (({"max_new_tokens": 0}, "max_new_tokens"),
+                     ({"temperature": -0.1}, "temperature"),
+                     ({"top_p": 1.5}, "top_p"),
+                     ({"top_k": -1}, "top_k"),
+                     ({"expansions": -2}, "expansions")):
+        with pytest.raises(ValueError, match=msg):
+            _parse_job({"image": _b64(_figure()), **bad})
+
+
+def test_parse_job_accepts_wrapped_base64():
+    # MIME/CLI encoders wrap base64 at 76 cols; the hardened inline path
+    # must strip whitespace, not reject the payload (review finding)
+    img = _figure()
+    raw = _b64(img)
+    wrapped = "\n".join(raw[i:i + 76] for i in range(0, len(raw), 76)) + "\n"
+    assert _parse_job({"image": wrapped}).image.size == img.size
+
+
+def test_job_finish_is_first_wins():
+    from detikzify_tpu.serve import _Job
+
+    job = _Job(kind="sample", image=object())
+    assert job.finish(result={"code": "x"}) is True
+    assert job.finish(error=RuntimeError("late")) is False
+    assert job.result == {"code": "x"} and job.error is None
+
+
+def test_abort_is_sticky_across_rollouts(server):
+    # an abort landing BETWEEN rollouts (e.g. SSE client disconnect during
+    # montecarlo selection) must stop the search -- rollout() used to
+    # reset the flag, erasing it (review finding)
+    from detikzify_tpu.utils.generation import ExplicitAbort
+
+    _, inference = server
+    pipe = inference.pipeline
+    control = ExplicitAbort()
+    control.abort()
+    docs = list(pipe.simulate(image=_figure(), expansions=5,
+                              control=control))
+    assert docs == [], "pre-aborted search must produce no rollouts"
+    assert pipe.engine.num_free_slots == pipe.engine.num_slots
