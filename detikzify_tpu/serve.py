@@ -128,7 +128,10 @@ class InferenceServer:
                  max_pending: int = 64,
                  batch_window_s: float = 0.02,
                  default_mcts_timeout: float = 60.0,
-                 allow_external_images: bool = False):
+                 allow_external_images: bool = False,
+                 mcts_parallelism: Optional[int] = None,
+                 max_body_bytes: int = 32 << 20,
+                 max_image_pixels: int = 32_000_000):
         self.pipeline = pipeline
         self.batch_window_s = batch_window_s
         self.default_mcts_timeout = default_mcts_timeout
@@ -136,6 +139,14 @@ class InferenceServer:
         # (base64 / data-URI); URLs and server-side paths are rejected at
         # parse time (SSRF / local-file-probe hardening)
         self.allow_external_images = allow_external_images
+        # MCTS expansions decode concurrently over the engine's slots
+        # (docs/SERVING.md measured shape); None = use every slot
+        self.mcts_parallelism = mcts_parallelism
+        # request-size guards: cap the JSON body before it is buffered and
+        # the decoded image's pixel count before PIL decompresses it
+        # (decompression-bomb / OOM hardening on a 1-core host)
+        self.max_body_bytes = max_body_bytes
+        self.max_image_pixels = max_image_pixels
         self._closed = False
         # serializes the shutdown drain: submit() threads racing the
         # scheduler's exit must not double-fail jobs or double-count
@@ -299,6 +310,8 @@ class InferenceServer:
         for score, doc in self.pipeline.simulate(
                 image=job.image, text=job.text, preprocess=job.preprocess,
                 expansions=job.expansions,
+                parallelism=(self.mcts_parallelism
+                             or self.pipeline.engine.num_slots),
                 # timeout=0 means unlimited (match the webui budget slider)
                 timeout=self.default_mcts_timeout if job.timeout is None
                 else (job.timeout or None),
@@ -343,9 +356,16 @@ _COERCE = {"temperature": float, "top_p": float, "top_k": int,
            "max_new_tokens": int}
 
 
+def _check_pixels(width: int, height: int, max_pixels: int) -> None:
+    if width * height > max_pixels:
+        raise ValueError(f"image too large: {width}x{height} exceeds the "
+                         f"{max_pixels}-pixel limit")
+
+
 def _parse_job(payload: Dict[str, Any],
                allow_external_images: bool = False,
-               stream: bool = False) -> _Job:
+               stream: bool = False,
+               max_image_pixels: int = 32_000_000) -> _Job:
     if not isinstance(payload, dict):
         raise ValueError("request body must be a JSON object")
     image = payload.get("image")
@@ -359,15 +379,23 @@ def _parse_job(payload: Dict[str, Any],
         # and stripping cannot launder a URL/path into valid base64.
         import base64
         import binascii
+        import io
+
+        from PIL import Image as PILImage
         inline = "".join(image.split(",", 1)[-1].split())
         try:
             raw = base64.b64decode(inline, validate=True)
         except (binascii.Error, ValueError):
             raise ValueError("'image' must be inline base64 or a data-URI "
                              "(external URLs/paths are disabled)")
+        # header-only probe BEFORE the full decode: a small compressed
+        # payload can claim a huge bitmap (decompression bomb)
+        with PILImage.open(io.BytesIO(raw)) as probe:
+            _check_pixels(*probe.size, max_image_pixels)
         image = load_image(raw)
     else:
         image = load_image(image)             # base64 / data-URI / URL / path
+        _check_pixels(*image.size, max_image_pixels)
     algorithm = payload.get("algorithm", "sampling")
     if algorithm not in ("sampling", "mcts"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
@@ -441,11 +469,17 @@ class _Handler(BaseHTTPRequestHandler):
             return
         try:
             length = int(self.headers.get("Content-Length", 0))
+            if length > self.inference.max_body_bytes:
+                self._reply(413, {"error": f"request body {length} bytes "
+                                  f"exceeds the "
+                                  f"{self.inference.max_body_bytes} limit"})
+                return
             payload = json.loads(self.rfile.read(length) or b"{}")
             job = _parse_job(
                 payload,
                 allow_external_images=self.inference.allow_external_images,
-                stream=stream)
+                stream=stream,
+                max_image_pixels=self.inference.max_image_pixels)
         except Exception as e:  # noqa: BLE001 -- malformed request payload
             self._reply(400, {"error": f"{type(e).__name__}: {e}"})
             return
@@ -520,6 +554,11 @@ def main(argv: Optional[List[str]] = None) -> None:
     parser.add_argument("--speculate", type=int, default=0)
     parser.add_argument("--max-pending", type=int, default=64)
     parser.add_argument("--mcts-timeout", type=float, default=60.0)
+    parser.add_argument("--mcts-parallelism", type=int, default=0,
+                        help="concurrent MCTS expansions per request "
+                             "(0 = one per engine slot)")
+    parser.add_argument("--max-body-mb", type=int, default=32,
+                        help="reject request bodies larger than this")
     parser.add_argument("--allow-external-images", action="store_true",
                         help="let requests reference URLs/server paths "
                              "(trusted networks only: SSRF risk)")
@@ -530,6 +569,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     httpd, inference = make_server(
         pipeline, args.host, args.port, max_pending=args.max_pending,
         default_mcts_timeout=args.mcts_timeout,
+        mcts_parallelism=args.mcts_parallelism or None,
+        max_body_bytes=args.max_body_mb << 20,
         allow_external_images=args.allow_external_images)
     print(f"serving {args.model} on http://{args.host}:{args.port}",
           flush=True)

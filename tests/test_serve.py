@@ -223,6 +223,8 @@ def test_mcts_result_json_serializable_when_nothing_compiles():
         code, is_rasterizable, errors = "x", False, {0: "boom"}
 
     class Pipe:
+        engine = SimpleNamespace(num_slots=4)
+
         def simulate(self, **kw):
             yield (-1.0, Doc())
             yield (-1.0, Doc())
@@ -230,6 +232,7 @@ def test_mcts_result_json_serializable_when_nothing_compiles():
     srv = InferenceServer.__new__(InferenceServer)   # no scheduler thread
     srv.pipeline = Pipe()
     srv.default_mcts_timeout = 1.0
+    srv.mcts_parallelism = None
     srv.requests = {"sample": 0, "mcts": 0, "failed": 0, "batched": 0}
     job = _Job(kind="mcts", image=SimpleNamespace(), expansions=2)
     srv._run_mcts(job)
@@ -436,3 +439,55 @@ def test_abort_is_sticky_across_rollouts(server):
                               control=control))
     assert docs == [], "pre-aborted search must produce no rollouts"
     assert pipe.engine.num_free_slots == pipe.engine.num_slots
+
+
+def test_oversized_body_and_decompression_bomb_rejected(server):
+    import http.client
+    from urllib.parse import urlparse
+
+    base, inference = server
+    # body larger than max_body_bytes: rejected by header, never buffered
+    u = urlparse(base)
+    conn = http.client.HTTPConnection(u.hostname, u.port, timeout=60)
+    conn.putrequest("POST", "/v1/generate")
+    conn.putheader("Content-Length", str(inference.max_body_bytes + 1))
+    conn.endheaders()
+    resp = conn.getresponse()
+    assert resp.status == 413
+    conn.close()
+    # small payload claiming a huge bitmap: header probe rejects before
+    # PIL decompresses it (1-bit 9000x9000 -> tiny PNG, 81M pixels)
+    bomb = Image.new("1", (9000, 9000), 1)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base, {"image": _b64(bomb)})
+    assert e.value.code == 400 and "too large" in str(e.value.read())
+
+
+def test_mcts_runs_with_slot_parallelism():
+    from types import SimpleNamespace
+
+    from detikzify_tpu.serve import InferenceServer, _Job
+
+    seen = {}
+
+    class Doc:
+        code, is_rasterizable, errors = "x", True, {}
+
+    class Pipe:
+        engine = SimpleNamespace(num_slots=8)
+        processor = SimpleNamespace(decode=lambda *a, **kw: "")
+
+        def simulate(self, **kw):
+            seen.update(kw)
+            yield (0.5, Doc())
+
+    srv = InferenceServer.__new__(InferenceServer)   # no scheduler thread
+    srv.pipeline = Pipe()
+    srv.default_mcts_timeout = 1.0
+    srv.mcts_parallelism = None
+    srv.requests = {"sample": 0, "mcts": 0, "failed": 0, "batched": 0}
+    srv._run_mcts(_Job(kind="mcts", image=object(), expansions=1))
+    assert seen["parallelism"] == 8, "server MCTS must use every slot"
+    srv.mcts_parallelism = 2
+    srv._run_mcts(_Job(kind="mcts", image=object(), expansions=1))
+    assert seen["parallelism"] == 2
