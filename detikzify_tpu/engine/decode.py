@@ -817,16 +817,25 @@ class DecodeEngine:
                 tails[i] = ro.token_ids[starts_l[i]:]
 
         # --- page tables: shared stored pages for the restored prefix,
-        # fresh private pages for everything else. Pin shared pages for
-        # the WHOLE wave before any allocation: allocating may LRU-evict a
-        # stored prefix another row of this wave is restoring from.
+        # fresh private pages for everything else. Pin EVERY page the wave
+        # READS (full pages that join the slot table AND the non-aligned
+        # boundary page the COW gather copies from) before any allocation:
+        # allocating may LRU-evict a stored prefix a row of this very wave
+        # is restoring from, and a recycled boundary page would be
+        # overwritten by the same fused program that gathers it.
         shared_rows: List[List[int]] = []
+        boundary_pins: List[int] = []
         for i, (ro, pf) in enumerate(zip(rollouts, prefixes)):
             k_full = starts_l[i] // page
             shared = ([int(p) for p in pf.pages[:k_full]]
                       if pf is not None else [])
             for pid in shared:
                 self._incref(pid)
+            if pf is not None:
+                n_read = -(-starts_l[i] // page)
+                for pid in pf.pages[k_full:n_read]:
+                    self._incref(int(pid))
+                    boundary_pins.append(int(pid))
             shared_rows.append(shared)
 
         read_need = max((-(-s // page) for s in starts_l), default=0)
@@ -837,15 +846,31 @@ class DecodeEngine:
         read_tab = np.full((b, pb), self._trash_page, np.int32)
         write_tab = np.zeros((b, m_cap), np.int32)
         cow = np.zeros((b,), np.int32)
+        installed: List[int] = []     # rows whose tables are already live
         for i, (ro, pf) in enumerate(zip(rollouts, prefixes)):
             slot, shared = ro.slot, shared_rows[i]
             assert not self._table_live[slot], "slot table leak"
             priv = self._alloc_pages(m_cap - len(shared))
             if priv is None:
-                for row in shared_rows:
+                # roll back EVERYTHING this call did: wave pins, and the
+                # tables already installed for earlier rows (their private
+                # pages are refcount-1 and must return to the pool)
+                for j in installed:
+                    s = rollouts[j].slot
+                    # one decref per table entry: the wave pin IS the
+                    # table's reference for shared pages
+                    for pid in self._tables[s]:
+                        self._decref(int(pid))
+                    self._table_live[s] = False
+                for j, row in enumerate(shared_rows):
+                    if j in installed:
+                        continue      # already dropped via the table above
                     for pid in row:
                         self._decref(pid)
+                for pid in boundary_pins:
+                    self._decref(pid)
                 raise RuntimeError("page pool exhausted")
+            installed.append(i)
             table = shared + priv
             self._tables[slot] = table
             self._table_live[slot] = True
@@ -916,6 +941,11 @@ class DecodeEngine:
             self._rollouts[ro.slot] = ro
             self._active[ro.slot] = True
             self._first_pending[ro.slot] = firsts[i]
+        # boundary pages were only read by the dispatch just enqueued;
+        # anything that recycles them now writes in a LATER program, which
+        # the device orders after this one's gather
+        for pid in boundary_pins:
+            self._decref(pid)
 
     def _make_rollout(self, token_ids: Sequence[int], max_new_tokens: int,
                       sampling: Optional[SamplingParams],
@@ -967,7 +997,11 @@ class DecodeEngine:
         prefix = self._check_prefix(token_ids, prefix)
         ro = self._make_rollout(token_ids, max_new_tokens, sampling,
                                 on_token)
-        self._launch_group([ro], [prefix], image_embeds, hints=[hint])
+        try:
+            self._launch_group([ro], [prefix], image_embeds, hints=[hint])
+        except BaseException:
+            self._free_slots.append(ro.slot)   # never launched: return it
+            raise
         if not lazy:
             self.flush()
         return ro
@@ -1011,16 +1045,33 @@ class DecodeEngine:
                 and b > 1):
             image_embeds = jnp.broadcast_to(
                 image_embeds, (b,) + image_embeds.shape[1:])
+        # pin every restored prefix's pages for the WHOLE burst: an early
+        # chunk's page allocation may LRU-evict a prefix a later chunk
+        # restores from, and its freed pages would otherwise be handed out
+        # again while still referenced
+        burst_pins = [int(p) for pf in pfs if pf is not None
+                      for p in pf.pages]
+        for pid in burst_pins:
+            self._incref(pid)
         i = 0
-        while i < b:
-            n = 1
-            while n * 2 <= b - i:    # largest power of two that still fits
-                n *= 2
-            emb = None if image_embeds is None else image_embeds[i:i + n]
-            self._launch_group(
-                rollouts[i:i + n], pfs[i:i + n], emb,
-                hints=None if hints is None else list(hints[i:i + n]))
-            i += n
+        try:
+            while i < b:
+                n = 1
+                while n * 2 <= b - i:  # largest power of two that fits
+                    n *= 2
+                emb = (None if image_embeds is None
+                       else image_embeds[i:i + n])
+                self._launch_group(
+                    rollouts[i:i + n], pfs[i:i + n], emb,
+                    hints=None if hints is None else list(hints[i:i + n]))
+                i += n
+        except BaseException:
+            for ro in rollouts[i:]:    # never launched: return their slots
+                self._free_slots.append(ro.slot)
+            raise
+        finally:
+            for pid in burst_pins:
+                self._decref(pid)
         return rollouts
 
     def flush(self) -> List[Rollout]:
@@ -1094,12 +1145,16 @@ class DecodeEngine:
 
     def _kv_limit(self, k: int) -> int:
         """Smallest bucket covering every live slot's rows after k more
-        steps (+1 block of slack for pipelined dispatch)."""
+        steps (+ slack for pipelined dispatch: the in-flight scan advances
+        up to decode_block tokens -- times spec+1 when speculating --
+        beyond the host's stale lengths before this limit is applied)."""
         live = [len(ro.token_ids) for slot, ro in self._rollouts.items()
                 if self._active[slot]]
         if not live:
             return self.max_len
-        need = max(live) + k + (self.decode_block if self.pipelined else 0)
+        per_step = 1 + (self.spec if self._spec_on else 0)
+        need = max(live) + k + (self.decode_block * per_step
+                                if self.pipelined else 0)
         for b in BUCKETS:
             if need <= b <= self.max_len:
                 return b

@@ -143,6 +143,192 @@ def test_trash_rows_never_dereference_table(setup):
     assert np.abs(np.asarray(pool.k[:, 9])).sum() > 0   # went to trash
 
 
+def _check_accounting(eng):
+    """Host page accounting invariant: every non-trash page's refcount ==
+    live slot-table references + stored-prefix references; the free list
+    is duplicate-free and exactly the zero-refcount pages."""
+    n_pages = eng._page_refs.shape[0]
+    trash = eng._trash_page
+    expected = np.zeros(n_pages, np.int64)
+    for slot in range(eng.num_slots):
+        if eng._table_live[slot]:
+            np.add.at(expected, eng._tables[slot], 1)
+    for sp in eng._prefix_store.values():
+        np.add.at(expected, list(sp.pages), 1)
+    for pid in range(n_pages):
+        if pid == trash:
+            continue
+        assert eng._page_refs[pid] == expected[pid], (
+            pid, int(eng._page_refs[pid]), int(expected[pid]))
+    free = eng._free_pages
+    assert len(free) == len(set(free))
+    assert trash not in free
+    zero = {pid for pid in range(n_pages)
+            if pid != trash and eng._page_refs[pid] == 0}
+    assert set(free) == zero, sorted(set(free) ^ zero)
+
+
+def _tiny_engine(num_slots=3, max_len=128, page_size=16,
+                 prefix_budget_bytes=1, **kw):
+    from detikzify_tpu.config import tiny_test_config
+    from detikzify_tpu.engine import DecodeEngine
+    from detikzify_tpu.models import detikzify
+    from detikzify_tpu.ops.sampling import SamplingParams
+
+    cfg = tiny_test_config(vocab_size=512)
+    params = detikzify.init(jax.random.PRNGKey(0), cfg)
+    eng = DecodeEngine(params, cfg, num_slots=num_slots, max_len=max_len,
+                       page_size=page_size,
+                       prefix_budget_bytes=prefix_budget_bytes,
+                       sampling=SamplingParams(temperature=0.0), **kw)
+    return cfg, params, eng
+
+
+def _drain(eng, ro):
+    while not ro.finished:
+        eng.step()
+    return list(ro.token_ids)
+
+
+def test_restore_survives_same_wave_eviction():
+    """A restored start whose own page allocation LRU-evicts the prefix it
+    is restoring from must still produce correct tokens: the non-aligned
+    BOUNDARY page is only read by the COW gather (it never joins the slot
+    table), and before the wave pinned it, eviction could recycle it as
+    the same wave's private page -- the fused program would then prefill
+    over the very page it gathers (review finding)."""
+    cfg, params, eng = _tiny_engine()    # pool: 3*8 + 2 pages (+trash)
+    rng = np.random.default_rng(3)
+    prompt = [cfg.bos_token_id] + [int(t) for t in rng.integers(1, 200, 23)]
+
+    ro0 = eng.start(prompt, max_new_tokens=1)
+    _drain(eng, ro0)
+    sp = eng.store_prefix("k", ro0, length=20)   # 20 % 16 != 0: boundary
+    assert sp is not None and len(sp.pages) == 2
+    eng.release(ro0)
+
+    # occupy the other two slots so the restore's allocation must evict
+    fill1 = eng.start([cfg.bos_token_id] + [3] * 9, max_new_tokens=40,
+                      lazy=True)
+    fill2 = eng.start([cfg.bos_token_id] + [5] * 9, max_new_tokens=40,
+                      lazy=True)
+    # two more stored prefixes eat the remaining slack (each pins 1 copy)
+    spf1 = eng.store_prefix("f1", fill1, length=4)
+    spf2 = eng.store_prefix("f2", fill2, length=4)
+    assert spf1 is not None and spf2 is not None
+    need = eng._m_cap - 20 // eng.page            # private pages for restore
+    assert len(eng._free_pages) < need, "scenario must force eviction"
+
+    ids = list(sp.token_ids) + [int(t) for t in rng.integers(1, 200, 4)]
+    boundary = int(sp.pages[1])
+    ro = eng.start(ids, prefix=sp, max_new_tokens=6)
+    assert sp.dropped, "restore's own allocation must have evicted it"
+    # the still-referenced boundary page must NOT have been recycled into
+    # this very wave's private pages (the fused program would write it)
+    assert boundary not in list(eng._tables[ro.slot]), \
+        "boundary page recycled into the wave that reads it"
+    got = _drain(eng, ro)
+    _check_accounting(eng)
+
+    _, _, ref = _tiny_engine()
+    want = _drain(ref, ref.start(ids, max_new_tokens=6))
+    assert got == want, "restored rollout diverged after boundary recycle"
+
+
+def test_burst_cross_chunk_eviction_keeps_prefix_pages():
+    """start_many chunks a burst into power-of-two groups; chunk 1's page
+    allocation may LRU-evict the prefix chunk 2 restores from. The burst
+    must pin every restored prefix's pages upfront, or the later chunk
+    increfs pages already handed back to the pool (review finding)."""
+    cfg, params, eng = _tiny_engine()
+    rng = np.random.default_rng(4)
+
+    def mk(n, seed):
+        r = np.random.default_rng(seed)
+        return [cfg.bos_token_id] + [int(t) for t in r.integers(1, 200, n)]
+
+    # store C first (LRU-oldest), spanning 6 full pages + boundary
+    roc = eng.start(mk(101, 0), max_new_tokens=1)
+    _drain(eng, roc)
+    spc = eng.store_prefix("C", roc, length=100)
+    assert spc is not None and len(spc.pages) == 7
+    eng.release(roc)
+    # A and B pin further pages so chunk 1 must evict
+    roa = eng.start(mk(37, 1), max_new_tokens=1)
+    _drain(eng, roa)
+    spa = eng.store_prefix("A", roa, length=36)
+    eng.release(roa)
+    rob = eng.start(mk(69, 2), max_new_tokens=1)
+    _drain(eng, rob)
+    spb = eng.store_prefix("B", rob, length=68)
+    eng.release(rob)
+    assert len(eng._free_pages) < 2 * eng._m_cap, \
+        "chunk 1 must be forced to evict"
+
+    tail = [int(t) for t in rng.integers(1, 200, 3)]
+    prompts = [mk(10, 5), mk(10, 6), list(spc.token_ids) + tail]
+    ros = eng.start_many(prompts, prefixes=[None, None, spc],
+                         max_new_tokens=4)
+    for ro in ros:
+        _drain(eng, ro)
+    _check_accounting(eng)
+
+    _, _, ref = _tiny_engine()
+    want = _drain(ref, ref.start(prompts[2], max_new_tokens=4))
+    assert list(ros[2].token_ids) == want
+
+
+def test_pool_exhaustion_rolls_back_cleanly():
+    """A failed allocation mid-wave must return every slot and page: no
+    leaked tables, no lost slots, and the engine keeps serving (review
+    finding: the old path leaked all wave slots + earlier rows' pages)."""
+    cfg, params, eng = _tiny_engine()
+    real_alloc = eng._alloc_pages
+    fails = {"n": 1}
+
+    def flaky(n):
+        if fails["n"] > 0:
+            fails["n"] -= 1
+            return None
+        return real_alloc(n)
+
+    eng._alloc_pages = flaky
+    free_slots = len(eng._free_slots)
+    free_pages = len(eng._free_pages)
+    prompt = [cfg.bos_token_id] + [7] * 9
+    with pytest.raises(RuntimeError, match="exhausted"):
+        eng.start(prompt, max_new_tokens=2)
+    assert len(eng._free_slots) == free_slots
+    assert len(eng._free_pages) == free_pages
+    _check_accounting(eng)
+
+    # burst: chunk 1 (2 rows) succeeds, chunk 2 fails -> chunk 1 lives on,
+    # the failing chunk's slot is returned
+    fails["n"] = 0
+    calls = {"n": 0}
+
+    def flaky2(n):
+        calls["n"] += 1
+        if calls["n"] == 3:                     # third row's private pages
+            return None
+        return real_alloc(n)
+
+    eng._alloc_pages = flaky2
+    with pytest.raises(RuntimeError, match="exhausted"):
+        eng.start_many([prompt, prompt, prompt], max_new_tokens=2)
+    assert len(eng._free_slots) == 1, "failed chunk's slot must return"
+    launched = [ro for ro in eng._rollouts.values()]
+    assert len(launched) == 2, "chunk 1 must have launched"
+    eng._alloc_pages = real_alloc
+    for ro in launched:
+        _drain(eng, ro)
+        eng.release(ro)
+    _check_accounting(eng)
+    # the engine still serves after both failures
+    ro = eng.start(prompt, max_new_tokens=2)
+    _drain(eng, ro)
+
+
 def test_page_pool_refcount_fuzz():
     """Seeded fuzz over the engine's page-pool lifecycle: random
     interleavings of fresh starts, prefix-restored starts, stores at
@@ -199,6 +385,8 @@ def test_page_pool_refcount_fuzz():
             unfinished = [r for r in live if not r.finished]
             if unfinished:
                 ops += ["abort", "run"]
+            if eng.num_free_slots >= 2:
+                ops += ["burst"]
             op = ops[rng.integers(len(ops))]
             if op == "start" and eng.num_free_slots:
                 n = int(rng.integers(2, 60))
@@ -207,6 +395,21 @@ def test_page_pool_refcount_fuzz():
                 live.append(eng.start(prompt,
                                       max_new_tokens=int(rng.integers(1, 8)),
                                       lazy=bool(rng.integers(2))))
+            elif op == "burst":
+                b = int(rng.integers(2, eng.num_free_slots + 1))
+                prompts, pfx = [], []
+                for _ in range(b):
+                    sp = (eng.get_prefix(keys[rng.integers(len(keys))])
+                          if keys and rng.integers(2) else None)
+                    base = list(sp.token_ids) if sp is not None else \
+                        [cfg.bos_token_id]
+                    n = int(rng.integers(1, 20))
+                    prompts.append(base + [int(t) for t in
+                                           rng.integers(1, 200, n)])
+                    pfx.append(sp)
+                live.extend(eng.start_many(
+                    prompts, prefixes=pfx,
+                    max_new_tokens=int(rng.integers(1, 6))))
             elif op == "restore":
                 key = keys[rng.integers(len(keys))]
                 sp = eng.get_prefix(key)
