@@ -501,7 +501,9 @@ def decode_step_paged(
     scatter through the table. Set DETIKZIFY_TPU_PAGED_ATTN=pallas to use
     the zero-copy page-table kernel instead (no gather traffic; wins on
     bandwidth-bound directly-attached chips, loses to the gather under
-    per-op dispatch floors)."""
+    per-op dispatch floors). The kernel engages only for head_dim 128
+    (e.g. the 8B flagship): smaller heads would force a full-pool pad
+    copy per layer and fall back to a per-layer window gather instead."""
     import os
 
     if os.environ.get("DETIKZIFY_TPU_PAGED_ATTN") == "pallas":

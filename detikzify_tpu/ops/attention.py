@@ -22,7 +22,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-_NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+from .pallas_common import NEG_INF as _NEG_INF  # shared mask sentinel
 
 
 def _repeat_kv(x: jnp.ndarray, n_rep: int) -> jnp.ndarray:

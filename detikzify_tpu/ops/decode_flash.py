@@ -22,20 +22,12 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-try:
-    from jax.experimental.pallas import tpu as pltpu
-    _HAS_PLTPU = True
-except ImportError:  # pragma: no cover
-    pltpu = None
-    _HAS_PLTPU = False
-
-_NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+from .pallas_common import HAS_PLTPU as _HAS_PLTPU
+from .pallas_common import NEG_INF as _NEG_INF
+from .pallas_common import pltpu
+from .pallas_common import round_up as _round_up
 
 BLOCK_KV = 256
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def supported(q, k_cache) -> bool:
@@ -43,7 +35,11 @@ def supported(q, k_cache) -> bool:
         return False
     nh, hd = q.shape[1], q.shape[2]
     nkv = k_cache.shape[2]
-    return hd <= 128 and nh % nkv == 0
+    # hd must be exactly 128: for hd < 128 the host-side hd_pad would
+    # jnp.pad (full-copy) the ENTIRE cache per layer per decode step,
+    # costing more HBM traffic than the XLA read-all-and-mask path this
+    # kernel exists to beat (review finding)
+    return hd == 128 and nh % nkv == 0
 
 
 def _decode_kernel(lengths_ref,            # scalar prefetch [B]
@@ -150,11 +146,15 @@ def decode_attend_pallas(
     block_kv = min(block_kv, _round_up(max_len, 128))
     len_pad = _round_up(max_len, block_kv)
 
-    qp = jnp.pad(q, ((0, 0), (0, 0), (0, hd_pad - hd)))
-    kp = jnp.pad(k_cache, ((0, 0), (0, len_pad - max_len), (0, 0),
-                           (0, hd_pad - hd)))
-    vp = jnp.pad(v_cache, ((0, 0), (0, len_pad - max_len), (0, 0),
-                           (0, hd_pad - hd)))
+    # only trace pads when they do something: the auto route (supported())
+    # guarantees hd == 128 and bucketed max_len, so the hot path reshapes
+    # without copying; direct/interpret callers with odd shapes still pad
+    qp = (q if hd_pad == hd
+          else jnp.pad(q, ((0, 0), (0, 0), (0, hd_pad - hd))))
+    kp, vp = k_cache, v_cache
+    if hd_pad != hd or len_pad != max_len:
+        pads = ((0, 0), (0, len_pad - max_len), (0, 0), (0, hd_pad - hd))
+        kp, vp = jnp.pad(kp, pads), jnp.pad(vp, pads)
     kp = kp.reshape(b, len_pad, nkv * hd_pad)
     vp = vp.reshape(b, len_pad, nkv * hd_pad)
 

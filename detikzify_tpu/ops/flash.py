@@ -18,20 +18,12 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-try:  # pltpu only imports on TPU-capable installs; guard for CPU test envs
-    from jax.experimental.pallas import tpu as pltpu
-    _HAS_PLTPU = True
-except ImportError:  # pragma: no cover
-    pltpu = None
-    _HAS_PLTPU = False
-
-_NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+from .pallas_common import HAS_PLTPU as _HAS_PLTPU
+from .pallas_common import NEG_INF as _NEG_INF
+from .pallas_common import pltpu
+from .pallas_common import round_up as _round_up
 
 _MAX_FUSED_T = 8192  # beyond this, VMEM-resident K/V no longer fits
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def supported(q, k, v, *, bias=None, causal=False) -> bool:

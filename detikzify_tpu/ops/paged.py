@@ -26,20 +26,11 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-try:
-    from jax.experimental.pallas import tpu as pltpu
-    _HAS_PLTPU = True
-except ImportError:  # pragma: no cover
-    pltpu = None
-    _HAS_PLTPU = False
-
 from .attention import decode_attend
-
-_NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from .pallas_common import HAS_PLTPU as _HAS_PLTPU
+from .pallas_common import NEG_INF as _NEG_INF
+from .pallas_common import pltpu
+from .pallas_common import round_up as _round_up
 
 
 def gather_pages(pool: jnp.ndarray, tab: jnp.ndarray) -> jnp.ndarray:
@@ -54,7 +45,9 @@ def supported(q, pool_k) -> bool:
         return False
     nh, hd = q.shape[1], q.shape[2]
     nkv, page = pool_k.shape[2], pool_k.shape[1]
-    return hd <= 128 and nh % nkv == 0 and page % 128 == 0
+    # hd must be exactly 128: hd < 128 would jnp.pad (full-copy) the
+    # ENTIRE multi-GB page pool per layer per decode step (review finding)
+    return hd == 128 and nh % nkv == 0 and page % 128 == 0
 
 
 def _paged_kernel(lengths_ref, tab_ref,       # scalar prefetch [B], [B, m]
@@ -152,9 +145,15 @@ def decode_attend_paged_pallas(
     scale = (hd ** -0.5) if scale is None else float(scale)
 
     hd_pad = _round_up(hd, 128)
-    qp = jnp.pad(q, ((0, 0), (0, 0), (0, hd_pad - hd)))
-    kp = jnp.pad(pool_k, ((0, 0), (0, 0), (0, 0), (0, hd_pad - hd)))
-    vp = jnp.pad(pool_v, ((0, 0), (0, 0), (0, 0), (0, hd_pad - hd)))
+    # only trace pads when they do something: the auto route (supported())
+    # guarantees hd == 128, so the pool is reshaped without copying;
+    # direct/interpret callers with smaller heads still pad
+    if hd_pad == hd:
+        qp, kp, vp = q, pool_k, pool_v
+    else:
+        qp = jnp.pad(q, ((0, 0), (0, 0), (0, hd_pad - hd)))
+        kp = jnp.pad(pool_k, ((0, 0), (0, 0), (0, 0), (0, hd_pad - hd)))
+        vp = jnp.pad(pool_v, ((0, 0), (0, 0), (0, 0), (0, hd_pad - hd)))
     kp = kp.reshape(-1, page, nkv * hd_pad)
     vp = vp.reshape(-1, page, nkv * hd_pad)
 
