@@ -697,12 +697,27 @@ class DetikzifyGenerator:
         trickling endgame where compiles land one at a time, each
         single-render score runs on device behind the NEXT compile's
         latency window instead of stalling the loop. Text-conditioned
-        scoring keeps the per-call path (the caption conditions the
-        reference embedding through the adapter)."""
-        if self.metric is None or self.text is not None or not exps:
+        (TikZero) searches batch too: only the REFERENCE embedding is
+        caption-conditioned (renders never are, matching ``score()``),
+        and ``ImageSim.features`` LRU-caches it per (image, text) -- so
+        wave scores are identical to the per-call path while paying one
+        encoder dispatch per wave instead of per render."""
+        if self.metric is None or not exps:
             return None
         if not hasattr(self.metric, "score_against_async"):
             return None
+        if self.text is not None:
+            # duck-typed metrics may lack text support; their searches
+            # keep the per-call ``score()`` path (which has the same
+            # TypeError fallback)
+            import inspect
+
+            try:
+                sig = inspect.signature(self.metric.score_against_async)
+                if "text" not in sig.parameters:
+                    return None
+            except (TypeError, ValueError):
+                return None
         imgs, keys = [], []
         for exp in exps:
             doc = exp.future.result()
@@ -717,7 +732,11 @@ class DetikzifyGenerator:
         t0 = time.time()
         # one bucketed encoder pass for the whole wave; reference features
         # come from the metric's LRU (encoded once per search)
-        dev, k = self.metric.score_against_async(imgs, self.image)
+        if self.text is not None:
+            dev, k = self.metric.score_against_async(imgs, self.image,
+                                                     text=self.text)
+        else:
+            dev, k = self.metric.score_against_async(imgs, self.image)
         self.stats["score_time"] += time.time() - t0
         return dev, k, keys
 

@@ -8,14 +8,17 @@ Generate TikZ programs from raster figures or hand-drawn sketches,
 optionally refined with MCTS and compiler feedback.
 """
 
-# reference strings.py:24-41 (v2.5/v2 first; v1 models behind legacy flag)
+# reference strings.py:24-41: v2.5/v2 under their plain names; the timm
+# (v1) family is displayed with a ``-v1-`` infix (the reference renames
+# ``detikzify-ds-7b`` -> ``detikzify-v1-ds-7b`` in the dropdown, values
+# stay the hub ids)
 MODELS = {
     "detikzify-v2.5-8b": "nllg/detikzify-v2.5-8b",
     "detikzify-v2-8b": "nllg/detikzify-v2-8b",
-    "detikzify-ds-7b": "nllg/detikzify-ds-7b",
-    "detikzify-ds-1.3b": "nllg/detikzify-ds-1.3b",
-    "detikzify-tl-1.1b": "nllg/detikzify-tl-1.1b",
-    "detikzify-cl-7b": "nllg/detikzify-cl-7b",
+} | {
+    name.split("/")[1].replace("detikzify", "detikzify-v1"): name
+    for name in ("nllg/detikzify-ds-7b", "nllg/detikzify-cl-7b",
+                 "nllg/detikzify-ds-1.3b", "nllg/detikzify-tl-1.1b")
 }
 
 ALGORITHMS = {

@@ -94,8 +94,16 @@ def test_build_ui_layout_and_event_graph(gr):
     algorithm = _component(demo, "Radio")
     state = _component(demo, "State")
 
-    # registry + algorithm choices surface the reference model zoo
+    # registry + algorithm choices surface the reference model zoo, with
+    # the reference's display names: v2.x plain, timm family with the
+    # ``-v1-`` infix (reference strings.py:24-41 renames detikzify-ds-7b
+    # -> detikzify-v1-ds-7b in the dropdown; hub ids stay unchanged)
     assert model_dd.kwargs["choices"] == list(MODELS)
+    assert list(MODELS) == [
+        "detikzify-v2.5-8b", "detikzify-v2-8b", "detikzify-v1-ds-7b",
+        "detikzify-v1-cl-7b", "detikzify-v1-ds-1.3b",
+        "detikzify-v1-tl-1.1b"]
+    assert MODELS["detikzify-v1-ds-7b"] == "nllg/detikzify-ds-7b"
     assert model_dd.kwargs["interactive"] is False       # lock=True
     assert model_dd.kwargs["info"] == "space is locked"  # --lock_reason
     assert algorithm.kwargs["choices"] == list(ALGORITHMS)
