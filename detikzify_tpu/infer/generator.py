@@ -103,6 +103,7 @@ class DetikzifyGenerator:
         on_token=None,                  # per-token streaming callback
         adapter=None,                   # AdapterBundle for text conditioning
         sampling=None,                  # SamplingParams override (per-call)
+        on_tick=None,                   # per-iteration scheduler hook
     ):
         self.engine = engine
         self.processor = processor
@@ -119,6 +120,16 @@ class DetikzifyGenerator:
         self._own_compiler = compile_service is None
         self.on_token = on_token
         self.sampling = sampling        # None -> engine defaults
+        # host-side scheduler hook, called once per search-loop iteration:
+        # a serving layer interleaves queued one-shot sampling work into
+        # free engine slots between this search's engine.step() ticks
+        # (serve.InferenceServer). Exceptions are the hook owner's to
+        # contain -- an escape aborts the search.
+        self.on_tick = on_tick
+        # live concurrency target for _simulate_parallel: re-read EVERY
+        # loop iteration, so a scheduler sharing the engine between
+        # searches can grow/shrink each search's slot share mid-flight
+        self.parallelism = 1
         self.namespace = ("gen", next(_gen_counter))
 
         import jax.numpy as jnp
@@ -506,6 +517,8 @@ class DetikzifyGenerator:
         start = time.time()
         budget = expansions
         while budget is None or (budget := budget - 1) >= 0:
+            if self.on_tick is not None:
+                self.on_tick()
             self.montecarlo.simulate()
             if self.solution:
                 yield self.solution.pop()
@@ -756,7 +769,7 @@ class DetikzifyGenerator:
                                           None, None]:
         start = time.time()
         target = expansions
-        parallelism = max(1, min(parallelism, self.engine.num_slots))
+        self.parallelism = max(1, min(parallelism, self.engine.num_slots))
         launched = completed = 0
         decoding: List = []
         compiling: List = []
@@ -768,6 +781,11 @@ class DetikzifyGenerator:
 
         try:
             while target is None or completed < target:
+                if self.on_tick is not None:
+                    self.on_tick()
+                # live re-read: a scheduler may rebalance slot shares
+                parallelism = max(1, min(self.parallelism,
+                                         self.engine.num_slots))
                 t_ph = time.time()
                 wave: List = []
                 # ``parallelism`` bounds concurrent DECODING rollouts
@@ -784,6 +802,12 @@ class DetikzifyGenerator:
                        + len(wave) < 2 * parallelism
                        and self.engine.num_active + len(wave)
                        < self.engine.num_slots
+                       # free-slot guard: when a scheduler shares the
+                       # engine between searches/sampling, a PAUSED
+                       # sibling's finished-but-unreleased rollouts hold
+                       # slots while inactive -- launching past the free
+                       # count would raise in start_many
+                       and len(wave) < self.engine.num_free_slots
                        and not timed_out()
                        and not self.control.should_stop):
                     exp = self._prepare_expansion()
@@ -867,12 +891,15 @@ class DetikzifyGenerator:
                         and target is not None):
                     break
                 if not decoding and compiling:
-                    # nothing to decode; block briefly on the oldest compile
+                    # nothing to decode; block briefly until ANY pending
+                    # compile lands (waiting on the oldest alone can idle
+                    # a full poll interval past a younger one that already
+                    # finished -- real latexmk latencies are heterogeneous)
+                    import concurrent.futures as _cf
+
                     t_ph = time.time()
-                    try:
-                        compiling[0].future.result(timeout=0.05)
-                    except Exception:
-                        pass
+                    _cf.wait([e.future for e in compiling], timeout=0.05,
+                             return_when=_cf.FIRST_COMPLETED)
                     self.stats["t_wait"] += time.time() - t_ph
         finally:
             for exp in decoding:

@@ -127,6 +127,20 @@ class DetikzifyPipeline:
             **kw,
         )
 
+    def generator(
+        self,
+        image: Optional[Union[Image.Image, str]] = None,
+        text: Optional[str] = None,
+        preprocess: bool = True,
+        **kw,
+    ) -> DetikzifyGenerator:
+        """Build a ``DetikzifyGenerator`` bound to this pipeline's engine
+        without driving it -- for schedulers that own the search loop
+        (serve.InferenceServer timeslices several searches and adjusts
+        each generator's ``parallelism`` live). The caller must
+        ``close()`` the generator when done."""
+        return self._generator(image, text, preprocess, **kw)
+
     def sample(
         self,
         image: Optional[Union[Image.Image, str]] = None,
@@ -170,8 +184,9 @@ class DetikzifyPipeline:
 
         queue = list(range(len(pil)))
         rollouts: dict = {}
+        generated: dict = {}
         sampling = self._sampling_override(temperature, top_p, top_k)
-        while queue or any(not r.finished for r in rollouts.values()):
+        while queue or rollouts:
             n = min(self.engine.num_free_slots, len(queue))
             if n > 0:
                 # burst-start one figure wave as a single fused program
@@ -182,15 +197,23 @@ class DetikzifyPipeline:
                     max_new_tokens=max_new, sampling=sampling)
                 rollouts.update(dict(zip(wave, ros)))
             self.engine.step()
+            # release each rollout AS IT FINISHES: when the engine is
+            # shared (serving interleaves sampling into an MCTS search's
+            # slot remainder), waiting for the whole batch would pin every
+            # slot this wave ever held -- with one free slot and a larger
+            # queue that spins forever, since nothing else releases
+            for i, ro in list(rollouts.items()):
+                if ro.finished:
+                    generated[i] = list(ro.token_ids[ro.prompt_len:])
+                    self.engine.release(ro)
+                    del rollouts[i]
 
         docs = []
         for i in range(len(pil)):
-            ro = rollouts[i]
-            code = self.processor.decode(
-                ro.token_ids[ro.prompt_len:], skip_special_tokens=True)
+            code = self.processor.decode(generated[i],
+                                         skip_special_tokens=True)
             docs.append(TikzDocument(code, timeout=self.compile_timeout,
                                      backend=self.compiler.backend))
-            self.engine.release(ro)
         return docs
 
     def simulate(

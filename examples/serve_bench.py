@@ -112,14 +112,18 @@ def main():
     base = inference.metrics()
     errors, lock = [], threading.Lock()
     todo = list(range(args.requests))
+    lat_idle = []           # client-side sampling latencies, idle server
 
-    def client():
+    def client(lat=lat_idle):
         while True:
             with lock:
                 if not todo:
                     return
                 todo.pop()
+            t_req = time.perf_counter()
             status, data = post()
+            with lock:
+                lat.append(time.perf_counter() - t_req)
             if status != 200:
                 with lock:
                     errors.append((status, data[:200]))
@@ -147,14 +151,69 @@ def main():
     toks = (m["engine"]["decode_tokens"] - base["engine"]["decode_tokens"])
     assert not errors, errors[:3]
     assert served == args.requests + 1, (served, args.requests)
+
+    def pct(xs, q):
+        s = sorted(xs)
+        return s[min(len(s) - 1, int(round(q * (len(s) - 1))))]
+
     result = {
         "requests": served,
         "wall_s": round(wall, 2),
         "requests_per_min": round(60 * served / wall, 1),
         "decode_tok_s": round(toks / wall, 1),
         "fused_fraction": round(batched / served, 3),
+        "sample_p50_s": round(pct(lat_idle, 0.5), 3),
+        "sample_p95_s": round(pct(lat_idle, 0.95), 3),
         "failed": m["requests"]["failed"] - base["requests"]["failed"],
     }
+
+    # --- mixed workload: one MCTS search monopolizing its slot share
+    # while sampling clients keep arriving. Sampling latency must stay
+    # near its idle value (no head-of-line blocking: the search's on_tick
+    # hook interleaves the waves into reserved slots).
+    mcts_budget = 12 if args.tiny else 45
+    mcts_payload = json.dumps({
+        "image": b64, "algorithm": "mcts", "timeout": mcts_budget,
+        "temperature": 0.8}).encode()
+    mcts_out = {}
+
+    def mcts_client():
+        t_req = time.perf_counter()
+        status, data = post(body=mcts_payload)
+        mcts_out.update(
+            status=status, wall=time.perf_counter() - t_req,
+            candidates=len(json.loads(data).get("candidates", []))
+            if status == 200 else 0)
+
+    mt = threading.Thread(target=mcts_client)
+    mt.start()
+    while inference.metrics()["active_mcts"] == 0 and mt.is_alive():
+        time.sleep(0.02)
+    lat_mixed = []
+    todo.extend(range(max(4, args.requests // 2)))
+    mixed_clients = [
+        threading.Thread(target=client, args=(lat_mixed,))
+        for _ in range(max(2, args.clients // 4))]
+    t0 = time.perf_counter()
+    for t in mixed_clients:
+        t.start()
+    for t in mixed_clients:
+        t.join()
+    mixed_wall = time.perf_counter() - t0
+    mt.join()
+    assert not errors, errors[:3]
+    assert mcts_out["status"] == 200, mcts_out
+    result.update({
+        "mixed_requests": len(lat_mixed),
+        "mixed_wall_s": round(mixed_wall, 2),
+        "mixed_sample_p50_s": round(pct(lat_mixed, 0.5), 3),
+        "mixed_sample_p95_s": round(pct(lat_mixed, 0.95), 3),
+        "mixed_vs_idle_p95": round(pct(lat_mixed, 0.95)
+                                   / max(pct(lat_idle, 0.95), 1e-9), 2),
+        "mcts_budget_s": mcts_budget,
+        "mcts_candidates_during_mix": mcts_out["candidates"],
+        "server_latency_s": inference.metrics()["latency_s"],
+    })
     print(json.dumps(result))
     inference.stop()
     httpd.shutdown()

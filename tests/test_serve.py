@@ -233,6 +233,9 @@ def test_mcts_result_json_serializable_when_nothing_compiles():
     srv.pipeline = Pipe()
     srv.default_mcts_timeout = 1.0
     srv.mcts_parallelism = None
+    srv.sample_reserve = 0
+    srv._mcts_tasks = []
+    srv._lat = {"sample": [], "mcts": []}
     srv.requests = {"sample": 0, "mcts": 0, "failed": 0, "batched": 0}
     job = _Job(kind="mcts", image=SimpleNamespace(), expansions=2)
     srv._run_mcts(job)
@@ -241,7 +244,7 @@ def test_mcts_result_json_serializable_when_nothing_compiles():
     assert len(job.result["candidates"]) == 2
 
 
-def test_collect_wave_sweeps_deferred_jobs():
+def test_take_wave_sweeps_pending_jobs():
     import queue as queue_mod
     from types import SimpleNamespace
 
@@ -251,13 +254,14 @@ def test_collect_wave_sweeps_deferred_jobs():
     srv.pipeline = SimpleNamespace(engine=SimpleNamespace(num_slots=4))
     srv.batch_window_s = 0.0
     srv._queue = queue_mod.Queue()
+    srv._stopping = False
     mk = lambda i, t: _Job(kind="sample", image=i,  # noqa: E731
                            sampling={"temperature": t})
     b, c, d = mk(1, 0.5), mk(2, 0.5), mk(3, 0.9)
-    srv._deferred = [d, c]
-    wave = srv._collect_wave(b)
-    assert wave == [b, c], "same-key deferred job must fuse into the wave"
-    assert srv._deferred == [d]
+    srv._pending = [b, d, c]
+    wave = srv._take_wave(window=True)
+    assert wave == [b, c], "same-key pending job must fuse into the wave"
+    assert srv._pending == [d]
 
 
 def test_singleton_max_new_tokens_is_honored(server):
@@ -485,9 +489,96 @@ def test_mcts_runs_with_slot_parallelism():
     srv.pipeline = Pipe()
     srv.default_mcts_timeout = 1.0
     srv.mcts_parallelism = None
+    srv.sample_reserve = 2
+    srv._mcts_tasks = []
+    srv._lat = {"sample": [], "mcts": []}
     srv.requests = {"sample": 0, "mcts": 0, "failed": 0, "batched": 0}
     srv._run_mcts(_Job(kind="mcts", image=object(), expansions=1))
-    assert seen["parallelism"] == 8, "server MCTS must use every slot"
+    assert seen["parallelism"] == 6, \
+        "server MCTS must use every non-reserved slot"
     srv.mcts_parallelism = 2
     srv._run_mcts(_Job(kind="mcts", image=object(), expansions=1))
     assert seen["parallelism"] == 2
+
+
+def test_sampling_not_blocked_behind_mcts(server):
+    """Round-3 VERDICT directive #1: a one-shot sampling request queued
+    behind a long MCTS search must be served WHILE the search runs (the
+    on_tick hook interleaves it into reserved slots), not after the whole
+    MCTS budget -- and /metrics must expose per-kind latency percentiles
+    so the blocking would be operator-visible."""
+    import time as time_mod
+
+    base, inference = server
+    done = {}
+
+    def mcts():
+        done["resp"] = _post(base, {
+            "image": _b64(_figure()), "algorithm": "mcts",
+            "timeout": 10, "temperature": 0.7}, timeout=600)
+        done["t_end"] = time_mod.monotonic()
+
+    t = threading.Thread(target=mcts)
+    t.start()
+    deadline = time_mod.monotonic() + 60
+    while time_mod.monotonic() < deadline:          # search actually running
+        if _get(base, "/metrics")[1]["active_mcts"] > 0:
+            break
+        time_mod.sleep(0.02)
+    else:
+        raise AssertionError("MCTS search never became active")
+    status, body = _post(base, {"image": _b64(_figure(3)),
+                                "temperature": 0.0, "max_new_tokens": 8})
+    t_sample = time_mod.monotonic()
+    assert status == 200 and isinstance(body["code"], str)
+    t.join()
+    assert done["resp"][0] == 200
+    assert t_sample < done["t_end"], \
+        "sampling was head-of-line blocked behind the MCTS budget"
+    lat = _get(base, "/metrics")[1]["latency_s"]
+    assert lat["sample"]["count"] >= 1 and lat["sample"]["p50"] is not None
+    assert lat["sample"]["p95"] is not None
+    assert "mcts" in lat
+
+
+def _sse_candidate_times(base, payload, out):
+    """POST /v1/stream, recording the monotonic arrival time of every
+    candidate event."""
+    import http.client
+    import time as time_mod
+    from urllib.parse import urlparse
+
+    u = urlparse(base)
+    conn = http.client.HTTPConnection(u.hostname, u.port, timeout=600)
+    conn.request("POST", "/v1/stream", body=json.dumps(payload).encode(),
+                 headers={"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    assert resp.status == 200
+    for raw in resp:
+        line = raw.decode().rstrip("\n")
+        if line == "event: candidate":
+            out.append(time_mod.monotonic())
+    conn.close()
+
+
+def test_concurrent_mcts_searches_interleave(server):
+    """Two concurrent MCTS requests must make INTERLEAVED progress (the
+    scheduler timeslices searches one expansion at a time over a shared
+    slot split), not serialize: each search emits a candidate before the
+    other finishes."""
+    base, _ = server
+    times_a, times_b = [], []
+    payload = {"image": _b64(_figure()), "algorithm": "mcts",
+               "expansions": 6, "timeout": 120, "temperature": 0.7}
+    ta = threading.Thread(target=_sse_candidate_times,
+                          args=(base, payload, times_a))
+    tb = threading.Thread(
+        target=_sse_candidate_times,
+        args=(base, dict(payload, image=_b64(_figure(2))), times_b))
+    ta.start()
+    tb.start()
+    ta.join()
+    tb.join()
+    assert len(times_a) == 6 and len(times_b) == 6
+    assert min(times_b) < max(times_a), "search B serialized behind A"
+    assert min(times_a) < max(times_b), "search A serialized behind B"
