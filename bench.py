@@ -170,6 +170,73 @@ def main():
     del image_embeds_bf16, params_bf16, ro
     gc.collect()
 
+    # ---- TRAINING throughput (round-3 VERDICT directive #3): SURVEY L5
+    # is a first-class workload; measure it, don't just run it. DS-1.3b
+    # full fine-tune shape: bf16 params, micro-batch 4 at seq 640 (300
+    # image tokens + text), remat on, AdamW; grad-accum scaling 1/2/4.
+    # One jitted step per global batch -- the microbatch loop is a scan
+    # INSIDE the step (perf-contract-pinned,
+    # test_perf_contracts.test_train_step_is_one_device_program).
+    # est. MFU uses the standard 6*N*T fwd+bwd flop model against the
+    # v5e bf16 peak (197 TFLOP/s).
+    train_stats = {}
+    try:
+        from detikzify_tpu.train.step import (init_state, make_optimizer,
+                                              make_train_step,
+                                              trainable_mask)
+
+        micro, seq = 4, 640
+        ids_t = np.full((micro, seq), cfg.image_token_id, np.int32)
+        ids_t[:, cfg.image_seq_len] = cfg.bos_token_id
+        ids_t[:, cfg.image_seq_len + 1:] = 7
+        labels_t = np.where(ids_t == cfg.image_token_id, -100, ids_t)
+        pixels_t = np.zeros((micro, cfg.vision.image_size,
+                             cfg.vision.image_size, 3), np.float32)
+        n_params = sum(
+            np.prod(s.shape) for s in jax.tree.leaves(jax.eval_shape(
+                lambda: __import__(
+                    "detikzify_tpu.models.detikzify",
+                    fromlist=["init"]).init(
+                        jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16))))
+        for ga in (1, 2, 4):
+            params_t = zero_params(cfg, jnp.bfloat16)
+            optimizer = make_optimizer(
+                2e-5, total_steps=100,
+                trainable=trainable_mask(params_t, "all"))
+            state = init_state(params_t, optimizer)
+            del params_t
+            step = jax.jit(make_train_step(cfg, optimizer, grad_accum=ga,
+                                           remat=True), donate_argnums=0)
+            batch_t = {
+                "input_ids": jnp.asarray(np.tile(ids_t, (ga, 1))),
+                "labels": jnp.asarray(np.tile(labels_t, (ga, 1))),
+                "pixel_values": jnp.asarray(
+                    np.tile(pixels_t, (ga, 1, 1, 1))),
+            }
+            t0 = time.time()
+            state, metrics = step(state, batch_t)
+            jax.block_until_ready(metrics["loss"])
+            log(f"train ga={ga}: compile+first step "
+                f"{time.time() - t0:.1f}s")
+            reps = 3
+            t0 = time.time()
+            for _ in range(reps):
+                state, metrics = step(state, batch_t)
+            jax.block_until_ready(metrics["loss"])
+            sec = (time.time() - t0) / reps
+            toks = ga * micro * seq
+            mfu = 6 * float(n_params) * toks / sec / 197e12
+            train_stats[f"train_step_ms_ga{ga}"] = round(sec * 1e3, 1)
+            train_stats[f"train_tok_s_ga{ga}"] = round(toks / sec, 1)
+            train_stats[f"train_est_mfu_ga{ga}"] = round(mfu, 3)
+            log(f"train ds13b micro{micro} ga{ga}: {sec * 1e3:.0f} "
+                f"ms/step, {toks / sec:.0f} tok/s, est MFU {mfu:.1%}")
+            del state, step, batch_t, metrics
+            gc.collect()
+    except Exception as e:
+        log(f"training bench skipped: {type(e).__name__}: {e}")
+    gc.collect()
+
     engine = DecodeEngine(
         params, cfg, num_slots=SLOTS, max_len=640, decode_block=32,
         sampling=SamplingParams(temperature=0.8, top_p=0.95, top_k=0))
@@ -393,18 +460,36 @@ def main():
     # (last compile latency + last score pass, ~0.6 s) amortizes -- this
     # is the serving-shaped number (the eval protocol streams expansions
     # until compile success / score plateau rather than stopping at 16).
-    rollouts_min_scored_steady = 0.0
+    rollouts_min_scored_n32 = 0.0
     try:    # best-so-far survives a late-rep failure
-        for _ in range(3):   # rep 1 absorbs refill-shape compiles;
-                             # best-of-3 rides out tunnel-weather swings
+        for _ in range(2):   # rep 1 absorbs refill-shape compiles
             t0 = time.time()
             list(pipe_model.simulate(image=img, expansions=32,
                                      parallelism=16, max_length=365))
-            rollouts_min_scored_steady = max(rollouts_min_scored_steady,
-                                             32 / (time.time() - t0) * 60)
+            rollouts_min_scored_n32 = max(rollouts_min_scored_n32,
+                                          32 / (time.time() - t0) * 60)
     except Exception as e:
         log(f"selfsim steady bench degraded: {type(e).__name__}: {e}")
-    log(f"mcts rollouts/min (par16, SelfSim, steady-state over 32): "
+    log(f"mcts rollouts/min (par16, SelfSim, over 32): "
+        f"{rollouts_min_scored_n32:.0f}")
+    # STEADY-STATE estimator: 64 expansions through the same 16 slots.
+    # A serving search streams expansions continuously (the eval protocol
+    # runs until compile success / score plateau), so the one-time
+    # end-of-run drain (last compile latency + final score fetch, ~0.6 s)
+    # is amortized over the run length; 64 halves its share vs 32 (which
+    # itself halved it vs the 16-burst). Same workload per rollout --
+    # nothing else changes.
+    rollouts_min_scored_steady = rollouts_min_scored_n32
+    try:
+        for _ in range(2):
+            t0 = time.time()
+            list(pipe_model.simulate(image=img, expansions=64,
+                                     parallelism=16, max_length=365))
+            rollouts_min_scored_steady = max(rollouts_min_scored_steady,
+                                             64 / (time.time() - t0) * 60)
+    except Exception as e:
+        log(f"selfsim steady-64 bench degraded: {type(e).__name__}: {e}")
+    log(f"mcts rollouts/min (par16, SelfSim, steady-state over 64): "
         f"{rollouts_min_scored_steady:.0f}")
 
     # p50 time-to-first-compile (north-star metric #3): parallel
@@ -427,7 +512,7 @@ def main():
     # 8B-class serving config (BASELINE config #4): v2-8b int8 decode on
     # one chip. Free the 1.3b engine first -- both do not fit HBM together.
     tps_8b = hbm_gbps_8b = tps_8b_spec = mcts_8b = None
-    tikzero_ms = None
+    tikzero_ms = tikzero_mcts = None
     try:
         del pipe, pipe8, pipe_model, engine, params, root_prefix
         del image_embeds
@@ -559,7 +644,7 @@ def main():
             cfg8a = cfg8.replace(adapter=acfg)   # enables the adapter-
             # aware encode_image program on the engine
             eng_ad = DecodeEngine(
-                params8, cfg8a, num_slots=2, max_len=384, decode_block=32,
+                params8, cfg8a, num_slots=8, max_len=384, decode_block=32,
                 prefix_budget_bytes=16 << 20,
                 sampling=SamplingParams(temperature=0.0))
             caption = "a bar chart of quarterly revenue by region"
@@ -592,6 +677,35 @@ def main():
             eng_ad.release(ro)
             log(f"tikzero text-conditioned path: conditioning "
                 f"{tikzero_ms:.1f} ms, rollout ok ({ro.new_tokens} tok)")
+            # TikZero MCTS search throughput (tracked config #5's ACTUAL
+            # workload; round-3 VERDICT weak #2): text-conditioned search
+            # with SelfSim scoring. The caption-conditioned reference
+            # embedding is computed once (metric LRU) and every completion
+            # wave's renders score in ONE batched encoder pass -- the
+            # wave-scoring path now covers text-conditioned searches.
+            try:
+                set_backend(FakeBackend(latency=0.5))
+                pipe_tz = DetikzifyPipeline(
+                    params8, cfg8a, DetikzifyProcessor(tok8b, cfg8a),
+                    metric="model", engine=eng_ad, adapter=bundle,
+                    compile_workers=8)
+                list(pipe_tz.simulate(image=img, text=caption,
+                                      expansions=1, max_length=365))
+                best_tz = 0.0
+                for _ in range(2):
+                    t0 = time.time()
+                    list(pipe_tz.simulate(image=img, text=caption,
+                                          expansions=8, parallelism=8,
+                                          max_length=365))
+                    best_tz = max(best_tz, 8 / (time.time() - t0) * 60)
+                tikzero_mcts = best_tz
+                log(f"tikzero text-conditioned mcts rollouts/min "
+                    f"(parallelism=8, SelfSim): {tikzero_mcts:.0f}")
+                del pipe_tz
+                set_backend(None)
+            except Exception as e:
+                log(f"tikzero mcts bench skipped: "
+                    f"{type(e).__name__}: {e}")
         except Exception as e:
             tikzero_ms = None
             log(f"tikzero bench skipped: {type(e).__name__}: {e}")
@@ -602,6 +716,61 @@ def main():
         del params8
     except Exception as e:  # keep the primary metric robust to OOM etc.
         log(f"8B bench skipped: {type(e).__name__}: {e}")
+    gc.collect()
+
+    # BASELINE tracked config #3: DS-7b STREAMING inference -- int8
+    # 8-slot continuous-batched decode with a per-token streaming
+    # consumer attached to every rollout (the webui/SSE path; README has
+    # carried this number since round 3, the bench artifact now does too
+    # -- round-3 VERDICT weak #6).
+    tps_7b_stream = None
+    try:
+        cfg7 = get_config("detikzify-ds-7b").replace(model_max_length=640)
+        params7 = fuse_projections(quantize_params(
+            zero_params(cfg7, jnp.bfloat16)))
+        jax.block_until_ready(params7.text["embed_tokens"])
+        eng7 = DecodeEngine(
+            params7, cfg7, num_slots=SLOTS, max_len=640, decode_block=32,
+            prefix_budget_bytes=64 << 20,
+            sampling=SamplingParams(temperature=0.8, top_p=0.95, top_k=0))
+        p7 = ([cfg7.image_token_id] * cfg7.image_seq_len
+              + [cfg7.bos_token_id])
+        emb7 = jnp.zeros((1, cfg7.image_seq_len, cfg7.text.hidden_size),
+                         jnp.bfloat16)
+        streams = [[] for _ in range(2 * SLOTS)]
+
+        def run_streaming(n, max_new):
+            done_tokens, started, active = 0, 0, []
+            t0 = time.time()
+            while started < n or active:
+                while started < n and eng7.num_free_slots > 0:
+                    ro = eng7.start(
+                        list(p7), image_embeds=emb7, max_new_tokens=max_new,
+                        lazy=True, on_token=streams[started].append)
+                    active.append(ro)
+                    started += 1
+                eng7.step()
+                for ro in list(active):
+                    if ro.finished:
+                        done_tokens += ro.new_tokens
+                        eng7.release(ro)
+                        active.remove(ro)
+            jax.block_until_ready(eng7.cache.k)
+            return done_tokens, time.time() - t0
+
+        run_streaming(SLOTS, 16)                        # warmup
+        tps_7b_stream = 0.0
+        for _ in range(2):
+            for s in streams:
+                s.clear()
+            tok7, sec7 = run_streaming(2 * SLOTS, DECODE_TOKENS)
+            assert sum(len(s) for s in streams) == tok7  # consumers saw all
+            tps_7b_stream = max(tps_7b_stream, tok7 / sec7)
+        log(f"ds-7b int8 streaming decode (x{SLOTS} slots, per-token "
+            f"consumers): {tps_7b_stream:.1f} tok/s")
+        del eng7, params7, emb7
+    except Exception as e:
+        log(f"ds-7b streaming bench skipped: {type(e).__name__}: {e}")
     gc.collect()
 
     # BASELINE tracked config #1: TL-1.1b single-figure GREEDY sampling
@@ -653,6 +822,9 @@ def main():
             "mcts_rollouts_min_par16_selfsim":
             round(rollouts_min_scored, 1) if rollouts_min_scored
             else None,
+            "mcts_rollouts_min_par16_selfsim_n32":
+            round(rollouts_min_scored_n32, 1)
+            if rollouts_min_scored_n32 else None,
             "mcts_rollouts_min_par16_selfsim_steady":
             round(rollouts_min_scored_steady, 1)
             if rollouts_min_scored_steady else None,
@@ -668,10 +840,15 @@ def main():
             if mcts_8b else None,
             "v2_8b_est_hbm_gbps": round(hbm_gbps_8b, 1)
             if hbm_gbps_8b else None,
+            "ds7b_stream_tok_s": round(tps_7b_stream, 2)
+            if tps_7b_stream else None,
             "tl11b_greedy_batch1_tok_s": round(tps_tl, 2)
             if tps_tl else None,
             "tikzero_condition_ms": round(tikzero_ms, 1)
             if tikzero_ms else None,
+            "tikzero_mcts_rollouts_min_par8": round(tikzero_mcts, 1)
+            if tikzero_mcts else None,
+            **train_stats,
             **{k: v for k, v in spec_bpe.items()
                if k.startswith("spec_rate")},
         },
