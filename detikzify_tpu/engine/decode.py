@@ -1306,6 +1306,12 @@ class DecodeEngine:
                             int(counts[i, slot])
                     cls["win"][0] += 1
                     cls["win"][1] += int(counts[i, slot])
+                    if not cls["on"]:
+                        # ride-along slot-step while bailed out: the
+                        # recovery clock ticks on ANY slot-step, not just
+                        # plain dispatches (hinted traffic would otherwise
+                        # freeze a disabled plain class's cooldown forever)
+                        cls["cool"] += 1
                 elif cls is not None and not cls["on"]:
                     # plain slot-step while this class is bailed out:
                     # advance its recovery cooldown
@@ -1344,11 +1350,28 @@ class DecodeEngine:
             return
         for st in self._spec_cls.values():
             if not st["on"]:
+                steps, toks = st["win"]
+                if steps >= 1024:
+                    # ride-along window (this class's slots kept drafting
+                    # because ANOTHER class held _use_spec() true): judge
+                    # it like any window -- a clearing rate re-enables
+                    # with a clean slate (this is how a recovered class
+                    # re-enables without an explicit probe); a failing
+                    # one is DISCARDED so stale aggregates never decide a
+                    # later probe, and the class stays off.
+                    st["win"] = [0, 0]
+                    if toks / steps >= self.spec_min_rate:
+                        st["on"], st["cool"], st["bad"] = True, 0, 0
+                        st["backoff"], st["probe"] = 4096, False
+                        continue
                 if st["cool"] >= st["backoff"]:
                     # probe re-enable: bad=1 so a single failing window
-                    # re-disables (the class already has a losing record)
+                    # re-disables (the class already has a losing record);
+                    # the window starts EMPTY -- the probe must be judged
+                    # on fresh data, not whatever partial ride-along
+                    # counts accumulated while off
                     st["on"], st["cool"], st["bad"] = True, 0, 1
-                    st["probe"] = True
+                    st["probe"], st["win"] = True, [0, 0]
                 continue
             steps, toks = st["win"]
             if steps < 1024:

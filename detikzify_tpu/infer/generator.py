@@ -14,6 +14,7 @@ model is TPU-native:
 """
 from __future__ import annotations
 
+import concurrent.futures as _cf
 import dataclasses
 import itertools
 import time
@@ -31,6 +32,13 @@ from ..utils.functools import cache_cast
 from .tikz import CompileService, TikzDocument
 
 Numeric = float
+
+#: Yielded by ``simulate(..., shared_engine=True)`` when the search cannot
+#: make progress because OTHER users of the shared engine hold every slot
+#: (paused sibling searches in a timesliced scheduler). The scheduler must
+#: advance its other tasks -- their turns are what release the slots this
+#: search is waiting for. Never yielded from an exclusively-owned engine.
+STALLED = object()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -126,6 +134,21 @@ class DetikzifyGenerator:
         # (serve.InferenceServer). Exceptions are the hook owner's to
         # contain -- an escape aborts the search.
         self.on_tick = on_tick
+        # wave-scoring capability, computed ONCE (the metric object is
+        # fixed for this generator's lifetime; _dispatch_scores runs
+        # every completion wave on the 1-core host driving the engine):
+        # batched scoring needs score_against_async, and text-conditioned
+        # (TikZero) searches additionally need its `text` kwarg --
+        # duck-typed metrics without it keep the per-call score() path.
+        self._wave_scoring_ok = hasattr(metric, "score_against_async")
+        if self._wave_scoring_ok and text is not None:
+            import inspect
+
+            try:
+                sig = inspect.signature(metric.score_against_async)
+                self._wave_scoring_ok = "text" in sig.parameters
+            except (TypeError, ValueError):
+                self._wave_scoring_ok = False
         # live concurrency target for _simulate_parallel: re-read EVERY
         # loop iteration, so a scheduler sharing the engine between
         # searches can grow/shrink each search's slot share mid-flight
@@ -501,7 +524,7 @@ class DetikzifyGenerator:
     # ------------------------------------------------------------------
 
     def simulate(self, expansions: Optional[float] = 1,
-                 parallelism: int = 1
+                 parallelism: int = 1, *, shared_engine: bool = False
                  ) -> Generator[Tuple[Numeric, TikzDocument], None, None]:
         """Run MCTS expansions, yielding every rollout's (score, document).
 
@@ -510,9 +533,23 @@ class DetikzifyGenerator:
         overlap decode through the async pool) -- the TPU-native fast path
         for MCTS rollouts/min. ``parallelism=1`` preserves the reference's
         strictly sequential search order.
-        """
+
+        ``shared_engine=True`` (timesliced schedulers: serve.py) always
+        uses the staged parallel loop -- even at parallelism=1 -- because
+        it is the only path whose launch guards tolerate sibling searches
+        holding slots (the sequential path's ``engine.start`` raises on a
+        full engine) and the only one that re-reads ``self.parallelism``
+        live for rebalancing. It may also yield the ``STALLED`` sentinel
+        instead of a result when every slot is held by paused siblings;
+        the scheduler must then advance its other tasks."""
+        if shared_engine:
+            yield from self._simulate_parallel(expansions, parallelism,
+                                               shared=True)
+            return
         if parallelism > 1:
-            yield from self._simulate_parallel(expansions, parallelism)
+            for out in self._simulate_parallel(expansions, parallelism):
+                if out is not STALLED:  # impossible on an exclusive engine
+                    yield out
             return
         start = time.time()
         budget = expansions
@@ -715,22 +752,8 @@ class DetikzifyGenerator:
         and ``ImageSim.features`` LRU-caches it per (image, text) -- so
         wave scores are identical to the per-call path while paying one
         encoder dispatch per wave instead of per render."""
-        if self.metric is None or not exps:
+        if self.metric is None or not exps or not self._wave_scoring_ok:
             return None
-        if not hasattr(self.metric, "score_against_async"):
-            return None
-        if self.text is not None:
-            # duck-typed metrics may lack text support; their searches
-            # keep the per-call ``score()`` path (which has the same
-            # TypeError fallback)
-            import inspect
-
-            try:
-                sig = inspect.signature(self.metric.score_against_async)
-                if "text" not in sig.parameters:
-                    return None
-            except (TypeError, ValueError):
-                return None
         imgs, keys = [], []
         for exp in exps:
             doc = exp.future.result()
@@ -764,7 +787,7 @@ class DetikzifyGenerator:
         return {key: float(v) for key, v in zip(keys, vals)}
 
     def _simulate_parallel(self, expansions: Optional[float],
-                           parallelism: int
+                           parallelism: int, shared: bool = False
                            ) -> Generator[Tuple[Numeric, TikzDocument],
                                           None, None]:
         start = time.time()
@@ -890,13 +913,23 @@ class DetikzifyGenerator:
                         and launched >= (target or 0)
                         and target is not None):
                     break
+                if not decoding and not compiling and not scoring:
+                    # nothing in flight and the launch loop produced
+                    # nothing (and the search is not done): every slot is
+                    # held by OTHER users of a shared engine -- paused
+                    # sibling searches whose slots only free on THEIR
+                    # scheduler turns. Spinning here would wedge the
+                    # single scheduler thread forever (the siblings never
+                    # run); hand control back instead.
+                    time.sleep(0.001)
+                    if shared:
+                        yield STALLED
+                    continue
                 if not decoding and compiling:
                     # nothing to decode; block briefly until ANY pending
                     # compile lands (waiting on the oldest alone can idle
                     # a full poll interval past a younger one that already
                     # finished -- real latexmk latencies are heterogeneous)
-                    import concurrent.futures as _cf
-
                     t_ph = time.time()
                     _cf.wait([e.future for e in compiling], timeout=0.05,
                              return_when=_cf.FIRST_COMPLETED)

@@ -241,7 +241,11 @@ def _verify_kernel(starts_ref, tab_ref,       # scalar prefetch [B], [B, m]
     1-row decode kernel. Same double-buffered page stream."""
     b = pl.program_id(0)
     start = starts_ref[b]
-    length = start + k1                 # rows any query row may see
+    # rows any query row may see, CLAMPED to the table's m columns: a
+    # caller whose starts sit near the table edge (start + k1 > m*page)
+    # must not index tab_ref past [B, m] -- the XLA fallback attends only
+    # the m gathered pages, so the clamp keeps the two paths identical
+    length = jnp.minimum(start + k1, tab_ref.shape[1] * page)
     npages = pl.cdiv(length, page)
     hd = q_ref.shape[-1]
 

@@ -47,6 +47,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, List, Optional, Tuple
 
 from .infer import DetikzifyPipeline
+from .infer import generator as generator_mod
 from .infer.tikz import TikzDocument
 from .utils.generation import ExplicitAbort, IncrementalDecoder
 from .utils.image import load as load_image
@@ -214,7 +215,8 @@ class InferenceServer:
         self._mcts_tasks: List[_MctsTask] = []
         self._compiling: List[Tuple[_Job, Any]] = []
         self._rr = 0
-        self.requests = {"sample": 0, "mcts": 0, "failed": 0, "batched": 0}
+        self.requests = {"sample": 0, "mcts": 0, "failed": 0, "batched": 0,
+                         "mcts_stalls": 0}
         # per-kind end-to-end latencies (bounded ring) for /metrics p50/p95
         from collections import deque
         self._lat = {"sample": deque(maxlen=512), "mcts": deque(maxlen=512)}
@@ -332,8 +334,16 @@ class InferenceServer:
                 image=job.image, text=job.text, preprocess=job.preprocess,
                 metric=self.pipeline.metric, mcts_timeout=timeout,
                 strict=job.strict, on_tick=self._engine_tick, **kw)
+            # shared_engine: always the staged parallel loop (its launch
+            # guards tolerate sibling searches holding slots and it
+            # re-reads gen.parallelism live for _rebalance -- the
+            # sequential par=1 path would crash on a transiently full
+            # engine and never see rebalanced shares), and it may yield
+            # generator.STALLED when paused siblings hold every slot:
+            # _advance_mcts then moves on so THEIR turns can release them.
             task.it = task.gen.simulate(job.expansions or None,
-                                        parallelism=par)
+                                        parallelism=par,
+                                        shared_engine=True)
         else:
             # duck-typed pipelines (tests): no shared-engine scheduling
             task.it = self.pipeline.simulate(
@@ -419,6 +429,18 @@ class InferenceServer:
                 task.close()
                 self._complete(task.job, error=err)
             self._mcts_tasks = []
+            # jobs in _compiling DECODED successfully -- only their async
+            # LaTeX compile is outstanding. Grace-drain them (bounded)
+            # before failing the remainder: a graceful stop() must not
+            # 500 a client whose sample already finished on the device.
+            if self._compiling:
+                import concurrent.futures as _cf
+
+                try:
+                    _cf.wait([f for _, f in self._compiling], timeout=5.0)
+                    self._finish_compiled(block=False)
+                except Exception:
+                    pass
             for job, _ in self._compiling:
                 self._complete(job, error=err)
             self._compiling = []
@@ -492,7 +514,14 @@ class InferenceServer:
     def _advance_mcts(self, task: _MctsTask) -> bool:
         """Advance one search by one expansion; False once it finished."""
         try:
-            score, doc = next(task.it)
+            out = next(task.it)
+            if out is generator_mod.STALLED:
+                # every slot is held by paused sibling tasks: no progress
+                # possible on THIS task until their turns release slots.
+                # Count it so operators can see contention in /metrics.
+                self.requests["mcts_stalls"] += 1
+                return True
+            score, doc = out
         except StopIteration:
             self._finish_mcts(task)
             return False

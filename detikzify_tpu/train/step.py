@@ -56,6 +56,54 @@ def trainable_mask(params: Params, mode: str):
     raise ValueError(mode)
 
 
+def _scale_by_adam_lowmem(b1: float, b2: float, eps: float,
+                          dtype) -> optax.GradientTransformation:
+    """Adam moment tracking with BOTH moments stored in ``dtype``
+    (typically bfloat16). Arithmetic runs in fp32 each step; only the
+    persistent mu/nu trees are downcast, halving optimizer HBM versus
+    optax's fp32 default (optax.adamw exposes ``mu_dtype`` only). On a
+    single 16 GB chip this is the difference between a 1.3B-class full
+    fine-tune fitting or OOMing: fp32 m+v for 1.7B params is ~13.6 GB
+    alone. Convergence parity with fp32 moments is pinned by
+    tests/test_train.py (tiny-overfit loss curves match within tol)."""
+
+    def init(params):
+        zeros = lambda p: jnp.zeros_like(p, dtype=dtype)  # noqa: E731
+        return {"count": jnp.zeros((), jnp.int32),
+                "mu": jax.tree.map(zeros, params),
+                "nu": jax.tree.map(zeros, params)}
+
+    def update(grads, state, params=None):
+        del params
+        count = state["count"] + 1
+
+        def upd_mu(m, g):
+            g32 = g.astype(jnp.float32)
+            return (b1 * m.astype(jnp.float32)
+                    + (1.0 - b1) * g32).astype(dtype)
+
+        def upd_nu(v, g):
+            g32 = g.astype(jnp.float32)
+            return (b2 * v.astype(jnp.float32)
+                    + (1.0 - b2) * g32 * g32).astype(dtype)
+
+        mu = jax.tree.map(upd_mu, state["mu"], grads)
+        nu = jax.tree.map(upd_nu, state["nu"], grads)
+        c = count.astype(jnp.float32)
+        bc1 = 1.0 - b1 ** c
+        bc2 = 1.0 - b2 ** c
+
+        def adam(m, v):
+            mhat = m.astype(jnp.float32) / bc1
+            vhat = v.astype(jnp.float32) / bc2
+            return mhat / (jnp.sqrt(vhat) + eps)
+
+        updates = jax.tree.map(adam, mu, nu)
+        return updates, {"count": count, "mu": mu, "nu": nu}
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(
     learning_rate: float,
     *,
@@ -66,16 +114,31 @@ def make_optimizer(
     b2: float = 0.999,
     grad_clip: float = 1.0,
     trainable: Optional[object] = None,    # pytree of 'train'/'freeze'
+    moment_dtype=None,                     # e.g. jnp.bfloat16 (low-mem Adam)
 ) -> optax.GradientTransformation:
     """AdamW + cosine schedule with linear warmup (reference hyperparams:
-    cosine schedule, warmup_ratio 0.03 -- train/train.py:116-121)."""
+    cosine schedule, warmup_ratio 0.03 -- train/train.py:116-121).
+
+    ``moment_dtype=jnp.bfloat16`` stores both Adam moments in bf16
+    (memory-constrained single-chip fine-tunes); update math stays fp32."""
     schedule = optax.warmup_cosine_decay_schedule(
         init_value=0.0, peak_value=learning_rate,
         warmup_steps=max(int(total_steps * warmup_ratio), 1),
         decay_steps=total_steps, end_value=0.0)
+    if moment_dtype is None:
+        adamw = optax.adamw(schedule, b1=b1, b2=b2, eps=1e-8,
+                            weight_decay=weight_decay)
+    else:
+        # mirror optax.adamw's chain with low-mem moment storage
+        adamw = optax.chain(
+            _scale_by_adam_lowmem(b1, b2, 1e-8, moment_dtype),
+            optax.add_decayed_weights(weight_decay)
+            if weight_decay else optax.identity(),
+            optax.scale_by_learning_rate(schedule),
+        )
     opt = optax.chain(
         optax.clip_by_global_norm(grad_clip),
-        optax.adamw(schedule, b1=b1, b2=b2, weight_decay=weight_decay),
+        adamw,
     )
     if trainable is not None:
         opt = optax.multi_transform(

@@ -283,3 +283,48 @@ def test_paged_verify_attend_matches_reference(nh, nkv, hd):
                                                starts, interpret=True)
     np.testing.assert_allclose(np.asarray(got_pl), want,
                                atol=2e-5, rtol=1e-4)
+
+
+def test_paged_verify_attend_clamps_to_table_edge():
+    """starts near the table edge (start + k1 > m*page): the kernel must
+    clamp its page walk to the provided [B, m] table -- walking to
+    cdiv(start+k1, page) pages would read tab[b, m] out of bounds and
+    DMA an arbitrary pool page -- and stay identical to the XLA
+    fallback, which only ever attends the m gathered pages."""
+    from detikzify_tpu.ops.paged import (decode_verify_attend_paged,
+                                         decode_verify_attend_paged_pallas,
+                                         gather_pages)
+
+    rng = np.random.default_rng(11)
+    nh = nkv = 4
+    hd, b, k1, page, m, P = 64, 2, 5, 128, 3, 8
+    pool_k = jnp.asarray(rng.standard_normal((P, page, nkv, hd)),
+                         jnp.float32)
+    pool_v = jnp.asarray(rng.standard_normal((P, page, nkv, hd)),
+                         jnp.float32)
+    tab = jnp.asarray(
+        np.stack([rng.permutation(P)[:m] for _ in range(b)]), jnp.int32)
+    q = jnp.asarray(rng.standard_normal((b, k1, nh, hd)), jnp.float32)
+    starts = jnp.asarray([m * page - 1, m * page - k1 + 1], jnp.int32)
+
+    kg = np.asarray(gather_pages(pool_k, tab))
+    vg = np.asarray(gather_pages(pool_v, tab))
+    qn = np.asarray(q)
+    want = np.zeros_like(qn)
+    for i in range(b):
+        for j in range(k1):
+            lim = min(int(starts[i]) + j + 1, m * page)
+            logits = np.einsum("nh,pnh->np", qn[i, j],
+                               kg[i, :lim]) * hd ** -0.5
+            p = np.exp(logits - logits.max(-1, keepdims=True))
+            p /= p.sum(-1, keepdims=True)
+            want[i, j] = np.einsum("np,pnh->nh", p, vg[i, :lim])
+
+    got_xla = decode_verify_attend_paged(q, pool_k, pool_v, tab, starts,
+                                         implementation="xla")
+    np.testing.assert_allclose(np.asarray(got_xla), want,
+                               atol=1e-5, rtol=1e-4)
+    got_pl = decode_verify_attend_paged_pallas(q, pool_k, pool_v, tab,
+                                               starts, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_pl), want,
+                               atol=2e-5, rtol=1e-4)

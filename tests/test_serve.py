@@ -582,3 +582,80 @@ def test_concurrent_mcts_searches_interleave(server):
     assert len(times_a) == 6 and len(times_b) == 6
     assert min(times_b) < max(times_a), "search B serialized behind A"
     assert min(times_a) < max(times_b), "search A serialized behind B"
+
+
+def test_oversubscribed_mcts_searches_all_complete(server):
+    """FOUR concurrent MCTS requests on a 4-slot engine (mcts budget 3,
+    per-search share 1): the scheduler must complete ALL of them. This
+    over-subscription used to wedge -- a par=1 search took the strictly
+    sequential path whose engine.start raises on a transiently full
+    engine, and a fully slot-starved staged search busy-spun inside
+    next() on the scheduler thread, so paused siblings (whose turns are
+    what release slots) never ran. shared_engine=True + the STALLED
+    sentinel fix both."""
+    base, inference = server
+    results = [None] * 4
+
+    def call(i):
+        results[i] = _post(base, {
+            "image": _b64(_figure(i)), "algorithm": "mcts",
+            "expansions": 2, "timeout": 180, "temperature": 0.7})
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    for i, r in enumerate(results):
+        assert r is not None, f"search {i} never returned"
+        status, body = r
+        assert status == 200
+        assert len(body["candidates"]) == 2
+
+
+@pytest.mark.filterwarnings(
+    "ignore::pytest.PytestUnhandledThreadExceptionWarning")
+def test_stop_drains_inflight_compiles():
+    """A sampling job whose DECODE completed but whose async LaTeX
+    compile is still in flight at stop() must be delivered, not failed
+    with 'scheduler stopped' (graceful-shutdown grace drain)."""
+    import concurrent.futures as cf
+    import time as time_mod
+    from types import SimpleNamespace
+
+    from detikzify_tpu.serve import InferenceServer, _Job
+
+    class Doc:
+        code = "\\tikz{}"
+        is_rasterizable = True
+        errors = {}
+
+    fut = cf.Future()
+
+    class Compiler:
+        def submit_doc(self, doc):
+            return fut
+
+    class Pipe:
+        engine = SimpleNamespace(num_slots=4, num_free_slots=4)
+        compiler = Compiler()
+
+        def sample(self, **kw):
+            return Doc()
+
+    srv = InferenceServer(Pipe(), batch_window_s=0.01)
+    job = _Job(kind="sample", image=_figure(), sampling={})
+    srv.submit(job)
+    # wait until the scheduler has decoded and parked the job in
+    # _compiling (its compile future is ours and still pending)
+    deadline = time_mod.monotonic() + 10
+    while not srv._compiling and time_mod.monotonic() < deadline:
+        time_mod.sleep(0.01)
+    assert srv._compiling, "job never reached the compile stage"
+    # resolve the compile ~0.3s AFTER stop() begins: inside the old
+    # code's failure window, inside the new grace drain
+    threading.Timer(0.3, fut.set_result, args=(Doc(),)).start()
+    srv.stop()
+    assert job.done.wait(timeout=10)
+    assert job.error is None, f"graceful stop failed the job: {job.error}"
+    assert job.result["compiled"] is True

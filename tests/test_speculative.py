@@ -256,6 +256,36 @@ def test_spec_bailout_per_class_and_recoverable(model):
             and plain["backoff"] == 4096 and not plain["probe"])
 
 
+def test_spec_ridealong_window_reenables_and_probe_is_fresh(model):
+    """A disabled class riding along in spec dispatches is judged on its
+    OWN completed windows: a winning 1024-step window re-enables it with
+    a clean slate, a losing one is discarded (never left to poison a
+    later probe), and a probe re-enable always starts from an EMPTY
+    window so it is judged on fresh data."""
+    cfg, params = model
+    eng = DecodeEngine(params, cfg, num_slots=2, max_len=128, speculate=2)
+    plain = eng._spec_cls["plain"]
+    plain.update(on=False, bad=2, cool=0, backoff=4096, probe=False)
+    # stale ride-along aggregate at a LOSING rate: discarded, stays off,
+    # backoff NOT doubled (it was not a probe)
+    plain["win"] = [50000, 57500]                  # 1.15 tok/step
+    eng._update_spec_gating()
+    assert not plain["on"] and plain["win"] == [0, 0]
+    assert plain["backoff"] == 4096
+    # ride-along window at a WINNING rate: re-enables with a clean slate
+    plain["win"] = [1024, 2048]                    # 2.0 tok/step
+    eng._update_spec_gating()
+    assert plain["on"] and plain["bad"] == 0 and plain["backoff"] == 4096
+    assert not plain["probe"] and plain["win"] == [0, 0]
+    # probe re-enable: partial stale ride-along counts are dropped so the
+    # probe window starts empty
+    plain.update(on=False, bad=2, cool=4096, backoff=4096)
+    plain["win"] = [900, 990]
+    eng._update_spec_gating()
+    assert plain["on"] and plain["probe"] and plain["win"] == [0, 0]
+    assert plain["bad"] == 1
+
+
 def test_spec_dispatch_follows_active_classes(model):
     """The dispatch decision is per-batch: with the unhinted class bailed
     out, unhinted-only traffic runs the PLAIN scan (no verify overhead);
@@ -287,6 +317,9 @@ def test_spec_dispatch_follows_active_classes(model):
     assert eng.counters["spec_steps_hint"] > 0
     # the bailed-out unhinted slot rode along: its window accumulated
     assert eng._spec_cls["plain"]["win"][0] > 0
+    # ...and its recovery clock ticked (hinted traffic keeping the spec
+    # scan engaged must not freeze a disabled class's cooldown forever)
+    assert eng._spec_cls["plain"]["cool"] > 0
     assert eng.counters["decode_tokens"] > before
     eng.release(ro1)
     eng.release(ro2)

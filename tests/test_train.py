@@ -171,3 +171,44 @@ def test_checkpoint_restore_across_mesh_shapes(setup, tmp_path):
     # and the restored shardings follow the NEW mesh
     leaf = restored.text["embed_tokens"]
     assert leaf.sharding.mesh.shape == dict(mesh_b.shape)
+
+
+def test_lowmem_adam_matches_fp32_moments(setup):
+    """make_optimizer(moment_dtype=bf16) stores both Adam moments in
+    bf16 (halves optimizer HBM; what lets the DS-1.3b full fine-tune fit
+    one 16 GB chip -- bench.py train_bench). Convergence gate: on a tiny
+    overfit run its loss curve tracks fp32-moment AdamW step for step."""
+    import jax.numpy as jnp
+
+    cfg, params, _ = setup
+    ids = np.full((2, cfg.image_seq_len + 8), 65, np.int32)
+    ids[:, :cfg.image_seq_len] = cfg.image_token_id
+    ids[:, cfg.image_seq_len:] = (
+        np.arange(8, dtype=np.int32)[None] % 7 + 60)
+    batch = {
+        "input_ids": ids,
+        "labels": np.where(ids == cfg.image_token_id, -100, ids),
+        "pixel_values": np.zeros(
+            (2, cfg.vision.image_size, cfg.vision.image_size, 3),
+            np.float32),
+    }
+
+    def run(moment_dtype):
+        opt = make_optimizer(5e-3, total_steps=10, warmup_ratio=0.0,
+                             trainable=trainable_mask(params, "all"),
+                             moment_dtype=moment_dtype)
+        state = init_state(params, opt)
+        step = jax.jit(make_train_step(cfg, opt, grad_accum=1,
+                                       attn_impl="xla"))
+        losses = []
+        for _ in range(8):
+            state, metrics = step(state, batch)
+            losses.append(float(metrics["loss"]))
+        return losses
+
+    ref = run(None)
+    lowmem = run(jnp.bfloat16)
+    assert ref[-1] < ref[0]           # both actually learn
+    assert lowmem[-1] < lowmem[0]
+    for a, b in zip(ref, lowmem):     # step-for-step agreement
+        assert abs(a - b) < 0.05 * max(1.0, abs(a)), (ref, lowmem)

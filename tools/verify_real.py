@@ -313,6 +313,8 @@ def verify_checkpoint(name: str, path: str, args) -> dict:
 
     @step("bench")
     def _():
+        import bench as bench_mod    # repo-root bench.py (REPO on sys.path)
+
         from detikzify_tpu.evaluate.harness import (
             generate_until_compilable, p50_time_to_first_compile)
         from detikzify_tpu.infer import DetikzifyPipeline
@@ -328,17 +330,12 @@ def verify_checkpoint(name: str, path: str, args) -> dict:
             prompt = [cfg.image_token_id] * cfg.image_seq_len
             pixels = proc(images=img).pixel_values
             embeds = eng.encode_image(jnp.asarray(pixels))
-            # batched decode tok/s
-            for reps in (8, 16):          # first loop doubles as warmup
-                ros = [eng.start(list(prompt), image_embeds=embeds,
-                                 max_new_tokens=args.bench_tokens,
-                                 lazy=True) for _ in range(8)]
-                t0 = time.time()
-                eng.run()
-                secs = time.time() - t0
-                toks = sum(r.new_tokens for r in ros)
-                for r in ros:
-                    eng.release(r)
+            # batched decode tok/s: an 8-slot warmup burst (compiles),
+            # then the measured 16-rollout run (two full waves)
+            for n_rollouts in (8, 16):
+                toks, secs, _ = bench_mod.run_rollouts(
+                    eng, prompt, embeds, n_rollouts,
+                    args.bench_tokens)
             # prefix-hit start latency
             ro = eng.start(list(prompt), image_embeds=embeds,
                            max_new_tokens=2)
