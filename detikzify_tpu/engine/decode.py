@@ -52,6 +52,14 @@ def _bucket(n: int, max_len: int) -> int:
     return max_len
 
 
+@jax.jit
+def _buf_write(buf, idx, rows):
+    """Scatter full token-history rows into the device buffer (plain->
+    speculative resync; duplicate indices carry identical rows). The
+    buffer is small (slots x max_len int32), so no donation needed."""
+    return buf.at[idx].set(rows)
+
+
 @dataclasses.dataclass
 class StoredPrefix:
     """Page-table prefix: KV lives in the engine's shared page pool.
@@ -258,6 +266,11 @@ class DecodeEngine:
         # pipelined stepping: the in-flight scan dispatched last step
         # (device tokens, k, {slot: rollout} snapshot)
         self._inflight = None
+        # whether the LAST dispatched scan was speculative (pipelined
+        # _kv_limit slack) and which slots' device token histories went
+        # stale through plain scans (resynced before the next spec scan)
+        self._last_dispatch_spec = False
+        self._buf_stale = np.zeros((num_slots,), bool)
 
         # observability + perf-regression pinning (SURVEY §5): device
         # program dispatches and token accounting
@@ -273,7 +286,10 @@ class DecodeEngine:
                          # start (copy-on-write boundary + tail scatter --
                          # independent of prefix length and max_len) and
                          # boundary rows copied on store
-                         "restore_cow_rows": 0, "prefix_copy_rows": 0}
+                         "restore_cow_rows": 0, "prefix_copy_rows": 0,
+                         # plain->speculative history re-uploads (per-class
+                         # gating transitions; see _resync_buf)
+                         "buf_resyncs": 0}
 
         self._build_jit()
 
@@ -974,6 +990,8 @@ class DecodeEngine:
                 *args, self._buf_dev, dev(full_ids), self._hint_dev,
                 dev(hint_rows), samp,
                 banned=self._banned(), suppress=self._suppress())
+            # the start wave rewrote these slots' history rows in full
+            self._buf_stale[np.asarray(slots)] = False
         else:
             (self.cache, self._tok_dev, self._pos_dev, self._tab_dev,
              self.rng, firsts) = self._start_wave(
@@ -1188,14 +1206,19 @@ class DecodeEngine:
     def _kv_limit(self, k: int, speculative: bool) -> int:
         """Smallest bucket covering every live slot's rows after k more
         steps (+ slack for pipelined dispatch: the in-flight scan advances
-        up to decode_block tokens -- times spec+1 when speculating --
-        beyond the host's stale lengths before this limit is applied)."""
+        up to decode_block tokens -- times spec+1 when IT speculated --
+        beyond the host's stale lengths before this limit is applied;
+        the slack therefore follows the PREVIOUS dispatch's mode too, not
+        just this one's: per-class gating can flip spec->plain between
+        dispatches while a speculative scan is still in flight)."""
         live = [len(ro.token_ids) for slot, ro in self._rollouts.items()
                 if self._active[slot]]
         if not live:
             return self.max_len
         per_step = 1 + (self.spec if speculative else 0)
-        need = max(live) + k + (self.decode_block * per_step
+        slack = 1 + (self.spec if (speculative or self._last_dispatch_spec)
+                     else 0)
+        need = max(live) + k + (self.decode_block * slack
                                 if self.pipelined else 0)
         for b in BUCKETS:
             if need <= b <= self.max_len:
@@ -1231,12 +1254,43 @@ class DecodeEngine:
                    for slot, ro in self._rollouts.items()
                    if self._active[slot])
 
+    def _resync_buf(self) -> None:
+        """Re-upload the device token-history rows of slots whose history
+        went stale: plain scans (dispatched while every class was bailed
+        out) advance positions without writing ``_buf_dev``, so a later
+        speculative scan would draft against holes. The host's accepted
+        ``token_ids`` are the truth for live slots; one scatter per
+        transition (bucketed batch width, so the jit cache stays bounded).
+        Under ``pipelined=True`` the host lags the in-flight scan by up to
+        one block, so rows the in-flight PLAIN scan advanced past stay -1
+        until the next resync -- a bounded acceptance dent, never a
+        correctness issue (the n-gram search simply finds no match)."""
+        stale = [s for s in np.flatnonzero(self._buf_stale)
+                 if self._active[s] and s in self._rollouts]
+        if not stale:
+            return
+        width = self._buf_dev.shape[1]
+        n = 1 << (len(stale) - 1).bit_length()
+        rows = np.full((n, width), -1, np.int32)
+        idx = np.full((n,), stale[0], np.int32)   # pad = rewrite stale[0]
+        for i, s in enumerate(stale):
+            idx[i] = s
+            ids = self._rollouts[s].token_ids[:width]
+            rows[i, :len(ids)] = ids
+        rows[len(stale):] = rows[0]               # duplicate writes are no-ops
+        self._buf_dev = _buf_write(self._buf_dev, self._put(idx),
+                                   self._put(rows))
+        self._buf_stale[np.asarray(stale)] = False
+        self.counters["buf_resyncs"] += 1
+
     def _dispatch(self, k: int) -> None:
         """Launch one decode scan asynchronously and record the snapshot of
         which rollout owned each slot at dispatch time."""
         self.counters["decode_dispatches"] += 1
         self.counters["decode_steps"] += k
-        if self._use_spec():
+        use_spec = self._use_spec()
+        if use_spec:
+            self._resync_buf()
             (toks_dev, counts_dev, self.cache, self._tok_dev,
              self._pos_dev, self._buf_dev, self.rng) = \
                 self._decode_many_spec(
@@ -1253,6 +1307,11 @@ class DecodeEngine:
                     self._tab_dev, self._put(self._active), self.rng,
                     self._put(self._samp_host), k, self._kv_pages(k, False),
                     self._banned(), self._suppress())
+            if self.spec > 0:
+                # positions advanced without history writes: these rows
+                # must be resynced before the next speculative scan
+                self._buf_stale[self._active] = True
+        self._last_dispatch_spec = use_spec
         owners = {slot: ro for slot, ro in self._rollouts.items()
                   if self._active[slot]}
         self._inflight = (toks_dev, counts_dev, k, owners)

@@ -134,16 +134,16 @@ def _split_qkv(y, cfg: TextConfig):
 
 
 def _qkv(lp, x, cfg: TextConfig, cos, sin):
-    b, s, _ = x.shape
+    lead = x.shape[:-1]            # [B, S] full-seq / [B] decode / [B, K1]
     hd, nh, nkv = cfg.head_dim, cfg.num_attention_heads, cfg.num_key_value_heads
     if "qkv" in lp["attn"]:
         # packed projection (fuse_projections): one fat matmul instead of
         # three -- shortens the per-layer op-latency chain in decode
         q, k, v = _split_qkv(linear(lp["attn"]["qkv"], x), cfg)
     else:
-        q = linear(lp["attn"]["q"], x).reshape(b, s, nh, hd)
-        k = linear(lp["attn"]["k"], x).reshape(b, s, nkv, hd)
-        v = linear(lp["attn"]["v"], x).reshape(b, s, nkv, hd)
+        q = linear(lp["attn"]["q"], x).reshape(*lead, nh, hd)
+        k = linear(lp["attn"]["k"], x).reshape(*lead, nkv, hd)
+        v = linear(lp["attn"]["v"], x).reshape(*lead, nkv, hd)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     return q, k, v
@@ -575,6 +575,58 @@ def decode_step_paged(
                                                                   new_v)
 
 
+def _route_pool_writes(tab: jnp.ndarray, positions: jnp.ndarray, page: int,
+                       trash_row: Optional[int], trash_page,
+                       dead: Optional[jnp.ndarray] = None
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Resolve each write position to a pool (page, row) through the
+    slot's page table, DIVERTING rows at/beyond ``trash_row`` -- and
+    ``dead`` slots entirely -- to the shared trash page. Diverted writes
+    must never go through a (possibly stale) released slot's table: do
+    not simplify this routing (see engine/decode.py pool invariants).
+    ``positions`` may be [B] (1-row decode) or [B, K1] (verify window)."""
+    m_cap = tab.shape[1]
+    pos2 = positions if positions.ndim == 2 else positions[:, None]
+    entry = jnp.clip(pos2 // page, 0, m_cap - 1)
+    pid = jnp.take_along_axis(tab, entry, axis=1)
+    divert = None
+    if trash_row is not None:
+        divert = pos2 >= trash_row
+    if dead is not None:
+        divert = (dead[:, None] if divert is None
+                  else divert | dead[:, None])
+    if divert is not None:
+        pid = jnp.where(
+            divert, trash_page if trash_page is not None else tab[:, -1:],
+            pid)
+    if positions.ndim == 1:
+        pid = pid[:, 0]
+    return pid, positions % page
+
+
+def _paged_block(cfg: TextConfig, act, pid, rid, cos, sin, attend):
+    """Per-layer body shared by the zero-copy paged paths (1-row decode
+    and K+1-row speculative verify): qkv+rope, K/V rows written straight
+    into the pool through the pre-routed ``pid``/``rid``, attention via
+    ``attend(q, pk, pv)``, o-proj, SwiGLU -- the two paths differ only
+    in their attention window."""
+    def block(x, scanned):
+        lp, pk, pv = scanned
+        residual = x
+        h = rms_norm(lp["input_ln"], x, cfg.rms_norm_eps)
+        q, k, v = _qkv(lp, h, cfg, cos, sin)
+        pk = pk.at[pid, rid].set(k.astype(pk.dtype))
+        pv = pv.at[pid, rid].set(v.astype(pv.dtype))
+        h = attend(q, pk, pv)
+        h = linear(lp["attn"]["o"], h.reshape(*x.shape[:-1], -1))
+        x = residual + h
+        residual = x
+        h = rms_norm(lp["post_ln"], x, cfg.rms_norm_eps)
+        return residual + _mlp(lp, h, act), (pk, pv)
+
+    return block
+
+
 def _decode_step_paged_zerocopy(
     params: dict,
     cfg: TextConfig,
@@ -593,10 +645,7 @@ def _decode_step_paged_zerocopy(
     row writes scatter through the table."""
     from ..ops.paged import decode_attend_paged
 
-    b, d = inputs_embeds.shape
     act = ACTIVATIONS[cfg.hidden_act]
-    hd, nh, nkv = cfg.head_dim, cfg.num_attention_heads, \
-        cfg.num_key_value_heads
     page = pool.page
     m_cap = tab.shape[1]
     m = min(kv_pages or m_cap, m_cap)
@@ -604,35 +653,14 @@ def _decode_step_paged_zerocopy(
     inv_freq = rope_inv_freq(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
     cos, sin = rope_cos_sin(positions, inv_freq)
     lengths = jnp.minimum(positions + 1, m * page)
-    entry = jnp.clip(positions // page, 0, m_cap - 1)
-    pid = jnp.take_along_axis(tab, entry[:, None], axis=1)[:, 0]
-    rid = positions % page
-    if trash_row is not None:
-        # frozen/overflow writes bypass the table (see _scatter_rows)
-        pid = jnp.where(positions >= trash_row, trash_page, pid)
+    pid, rid = _route_pool_writes(tab, positions, page, trash_row,
+                                  trash_page)
 
-    def block(x, scanned):
-        lp, pk, pv = scanned
-        residual = x
-        h = rms_norm(lp["input_ln"], x, cfg.rms_norm_eps)
-        if "qkv" in lp["attn"]:
-            q, k, v = _split_qkv(linear(lp["attn"]["qkv"], h), cfg)
-        else:
-            q = linear(lp["attn"]["q"], h).reshape(b, nh, hd)
-            k = linear(lp["attn"]["k"], h).reshape(b, nkv, hd)
-            v = linear(lp["attn"]["v"], h).reshape(b, nkv, hd)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
-        pk = pk.at[pid, rid].set(k.astype(pk.dtype))
-        pv = pv.at[pid, rid].set(v.astype(pv.dtype))
-        h = decode_attend_paged(q, pk, pv, tab[:, :m], lengths,
-                                implementation=attn_impl)
-        h = linear(lp["attn"]["o"], h.reshape(b, -1))
-        x = residual + h
-        residual = x
-        h = rms_norm(lp["post_ln"], x, cfg.rms_norm_eps)
-        return residual + _mlp(lp, h, act), (pk, pv)
-
+    block = _paged_block(
+        cfg, act, pid, rid, cos, sin,
+        lambda q, pk, pv: decode_attend_paged(q, pk, pv, tab[:, :m],
+                                              lengths,
+                                              implementation=attn_impl))
     x, (new_k, new_v) = jax.lax.scan(
         block, inputs_embeds, (params["layers"], pool.k, pool.v))
     return rms_norm(params["norm"], x, cfg.rms_norm_eps), PagedKV(new_k,
@@ -664,7 +692,7 @@ def verify_step_paged_zerocopy(
     stay invisible via position bounds)."""
     from ..ops.paged import decode_verify_attend_paged
 
-    b, k1, d = inputs_embeds.shape
+    _, k1, _ = inputs_embeds.shape
     act = ACTIVATIONS[cfg.hidden_act]
     page = pool.page
     m_cap = tab.shape[1]
@@ -673,31 +701,15 @@ def verify_step_paged_zerocopy(
     positions = start[:, None] + jnp.arange(k1)[None, :]      # [B, K1]
     inv_freq = rope_inv_freq(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
     cos, sin = rope_cos_sin(positions, inv_freq)
-    entry = jnp.clip(positions // page, 0, m_cap - 1)
-    pid = jnp.take_along_axis(tab, entry, axis=1)
-    rid = positions % page
-    divert = positions >= (trash_row if trash_row is not None
-                           else m_cap * page)
-    if dead is not None:
-        divert = divert | dead[:, None]
-    pid = jnp.where(divert, trash_page if trash_page is not None
-                    else tab[:, -1:], pid)
+    pid, rid = _route_pool_writes(
+        tab, positions, page,
+        trash_row if trash_row is not None else m_cap * page,
+        trash_page, dead=dead)
 
-    def block(x, scanned):
-        lp, pk, pv = scanned
-        residual = x
-        h = rms_norm(lp["input_ln"], x, cfg.rms_norm_eps)
-        q, k, v = _qkv(lp, h, cfg, cos, sin)
-        pk = pk.at[pid, rid].set(k.astype(pk.dtype))
-        pv = pv.at[pid, rid].set(v.astype(pv.dtype))
-        h = decode_verify_attend_paged(q, pk, pv, tab[:, :m], start,
-                                       implementation=attn_impl)
-        h = linear(lp["attn"]["o"], h.reshape(b, k1, -1))
-        x = residual + h
-        residual = x
-        h = rms_norm(lp["post_ln"], x, cfg.rms_norm_eps)
-        return residual + _mlp(lp, h, act), (pk, pv)
-
+    block = _paged_block(
+        cfg, act, pid, rid, cos, sin,
+        lambda q, pk, pv: decode_verify_attend_paged(
+            q, pk, pv, tab[:, :m], start, implementation=attn_impl))
     x, (new_k, new_v) = jax.lax.scan(
         block, inputs_embeds, (params["layers"], pool.k, pool.v))
     return rms_norm(params["norm"], x, cfg.rms_norm_eps), PagedKV(new_k,

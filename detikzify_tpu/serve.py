@@ -182,7 +182,8 @@ class InferenceServer:
                  mcts_parallelism: Optional[int] = None,
                  sample_reserve: Optional[int] = None,
                  max_body_bytes: int = 32 << 20,
-                 max_image_pixels: int = 32_000_000):
+                 max_image_pixels: int = 32_000_000,
+                 max_active_mcts: int = 4):
         self.pipeline = pipeline
         self.batch_window_s = batch_window_s
         self.default_mcts_timeout = default_mcts_timeout
@@ -202,6 +203,17 @@ class InferenceServer:
         # (decompression-bomb / OOM hardening on a 1-core host)
         self.max_body_bytes = max_body_bytes
         self.max_image_pixels = max_image_pixels
+        # admission caps: the scheduler drains the bounded queue eagerly
+        # (so _engine_tick can interleave arrivals), which would otherwise
+        # defeat queue.Queue(max_pending) as the overload guard -- submit()
+        # therefore re-checks the COMBINED depth (queue + drained pending +
+        # waiting searches) and 503s past max_pending.  max_active_mcts
+        # bounds how many searches are timesliced concurrently (each gets
+        # 1/N of the MCTS slot budget; beyond that they'd all crawl against
+        # their wall-clock timeouts) -- excess searches wait their turn and
+        # only start their budget clock when admitted.
+        self.max_pending = max_pending
+        self.max_active_mcts = max(1, max_active_mcts)
         self._closed = False
         self._stopping = False
         # serializes the shutdown drain: submit() threads racing the
@@ -213,13 +225,18 @@ class InferenceServer:
         # (job, future) pairs whose LaTeX compile runs in the async pool
         self._pending: List[_Job] = []
         self._mcts_tasks: List[_MctsTask] = []
+        self._mcts_waiting: List[_Job] = []
         self._compiling: List[Tuple[_Job, Any]] = []
         self._rr = 0
         self.requests = {"sample": 0, "mcts": 0, "failed": 0, "batched": 0,
                          "mcts_stalls": 0}
-        # per-kind end-to-end latencies (bounded ring) for /metrics p50/p95
+        # per-kind end-to-end latencies (bounded ring) for /metrics p50/p95;
+        # appended on the scheduler thread, snapshotted by /metrics HTTP
+        # threads -- iterating a deque during a racing append raises
+        # RuntimeError, hence the lock
         from collections import deque
         self._lat = {"sample": deque(maxlen=512), "mcts": deque(maxlen=512)}
+        self._lat_lock = threading.Lock()
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="detikzify-scheduler")
         self._thread.start()
@@ -228,6 +245,13 @@ class InferenceServer:
     def submit(self, job: _Job) -> _Job:
         if self._closed:
             raise OverloadedError("scheduler stopped")
+        # combined-depth overload guard: the scheduler eagerly drains the
+        # bounded queue into its internal lists, so the queue's own maxsize
+        # alone cannot provide backpressure (approximate under races --
+        # a bound, not an exact count)
+        if self.queue_depth >= self.max_pending:
+            raise OverloadedError(
+                f"request queue full ({self.max_pending} pending)")
         job.t_submit = time.monotonic()
         try:
             self._queue.put_nowait(job)
@@ -252,7 +276,8 @@ class InferenceServer:
 
     @property
     def queue_depth(self) -> int:
-        return self._queue.qsize() + len(self._pending)
+        return (self._queue.qsize() + len(self._pending)
+                + len(self._mcts_waiting))
 
     # -- job completion (scheduler thread) ---------------------------------
     def _complete(self, job: _Job, result=None, error=None) -> bool:
@@ -262,7 +287,8 @@ class InferenceServer:
         if error is not None:
             self.requests["failed"] += 1
         if job.t_submit:
-            self._lat[job.kind].append(time.monotonic() - job.t_submit)
+            with self._lat_lock:
+                self._lat[job.kind].append(time.monotonic() - job.t_submit)
         return True
 
     def _client_gone(self, job: _Job) -> bool:
@@ -294,6 +320,15 @@ class InferenceServer:
         if job.kind != "mcts":
             self._pending.append(job)
             return
+        if len(self._mcts_tasks) >= self.max_active_mcts:
+            # timeslicing beyond the cap just makes every search crawl
+            # against its wall-clock budget; excess searches wait here and
+            # start their generator (and budget clock) when admitted
+            self._mcts_waiting.append(job)
+            return
+        self._start_mcts(job)
+
+    def _start_mcts(self, job: _Job) -> None:
         if self._client_gone(job):
             return
         try:
@@ -302,6 +337,11 @@ class InferenceServer:
             self._complete(job, error=e)
             if not isinstance(e, Exception):
                 raise
+
+    def _admit_waiting_mcts(self) -> None:
+        while self._mcts_waiting and \
+                len(self._mcts_tasks) < self.max_active_mcts:
+            self._start_mcts(self._mcts_waiting.pop(0))
 
     def _mcts_par(self, n_tasks: int) -> int:
         """Decode-slot share per concurrent MCTS search."""
@@ -398,12 +438,13 @@ class InferenceServer:
     def _loop(self) -> None:
         try:
             while True:
-                busy = bool(self._mcts_tasks or self._pending
-                            or self._compiling)
+                busy = bool(self._mcts_tasks or self._mcts_waiting
+                            or self._pending or self._compiling)
                 self._drain(block=not busy)
                 if self._stopping:
                     return
                 self._finish_compiled(block=False)
+                self._admit_waiting_mcts()
                 if self._mcts_tasks:
                     # one expansion for the next search (round-robin);
                     # its on_tick hook interleaves any sampling arrivals
@@ -449,6 +490,8 @@ class InferenceServer:
     def _fail_pending(self, err: BaseException) -> None:
         with self._fail_lock:
             pending, self._pending = list(self._pending), []
+            pending += self._mcts_waiting
+            self._mcts_waiting = []
             while True:
                 try:
                     pending.append(self._queue.get_nowait())
@@ -576,15 +619,21 @@ class InferenceServer:
             "requests": dict(self.requests),
             "queue_depth": self.queue_depth,
             "active_mcts": len(self._mcts_tasks),
+            "waiting_mcts": len(self._mcts_waiting),
             "compiling": len(self._compiling),
             # per-kind end-to-end request latency percentiles: the
             # operator-visible proof that sampling is not head-of-line
-            # blocked behind MCTS budgets
-            "latency_s": {
-                kind: {"p50": _pctl(v, 0.50), "p95": _pctl(v, 0.95),
-                       "count": len(v)}
-                for kind, v in self._lat.items()},
+            # blocked behind MCTS budgets (snapshot under the lock: the
+            # scheduler thread appends concurrently)
+            "latency_s": self._latency_snapshot(),
         }
+
+    def _latency_snapshot(self) -> Dict[str, Dict[str, Any]]:
+        with self._lat_lock:
+            snap = {kind: list(v) for kind, v in self._lat.items()}
+        return {kind: {"p50": _pctl(v, 0.50), "p95": _pctl(v, 0.95),
+                       "count": len(v)}
+                for kind, v in snap.items()}
 
 
 class OverloadedError(RuntimeError):
@@ -793,6 +842,10 @@ def main(argv: Optional[List[str]] = None) -> None:
     parser.add_argument("--speculate", type=int, default=0)
     parser.add_argument("--max-pending", type=int, default=64)
     parser.add_argument("--mcts-timeout", type=float, default=60.0)
+    parser.add_argument("--max-active-mcts", type=int, default=4,
+                        help="searches timesliced concurrently; excess "
+                             "searches queue (budget clock starts when "
+                             "admitted)")
     parser.add_argument("--mcts-parallelism", type=int, default=0,
                         help="total concurrent MCTS expansions, split "
                              "across active searches (0 = every "
@@ -813,6 +866,7 @@ def main(argv: Optional[List[str]] = None) -> None:
     httpd, inference = make_server(
         pipeline, args.host, args.port, max_pending=args.max_pending,
         default_mcts_timeout=args.mcts_timeout,
+        max_active_mcts=args.max_active_mcts,
         mcts_parallelism=args.mcts_parallelism or None,
         sample_reserve=(None if args.sample_reserve < 0
                         else args.sample_reserve),

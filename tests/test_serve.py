@@ -659,3 +659,69 @@ def test_stop_drains_inflight_compiles():
     assert job.done.wait(timeout=10)
     assert job.error is None, f"graceful stop failed the job: {job.error}"
     assert job.result["compiled"] is True
+
+
+def test_submit_backpressure_counts_drained_jobs():
+    """The scheduler eagerly drains the bounded queue into its internal
+    lists (so _engine_tick can interleave arrivals); submit() must still
+    503 past max_pending by counting the COMBINED depth, or overload
+    protection silently disappears (round-4 review finding)."""
+    from types import SimpleNamespace
+
+    from detikzify_tpu.serve import InferenceServer, OverloadedError, _Job
+
+    class Pipe:
+        engine = SimpleNamespace(num_slots=4)
+
+    srv = InferenceServer(Pipe(), max_pending=2, batch_window_s=0.0)
+    try:
+        # scheduler thread is idle-blocked on queue.get; simulate its
+        # earlier eager drain having parked two jobs internally
+        srv._pending = [_Job(kind="sample", image=object()),
+                        _Job(kind="sample", image=object())]
+        with pytest.raises(OverloadedError):
+            srv.submit(_Job(kind="sample", image=object()))
+        srv._pending = []
+    finally:
+        srv.stop()
+
+
+def test_mcts_admission_cap_queues_excess_searches():
+    """Past max_active_mcts, searches wait (budget clock unstarted)
+    instead of being timesliced ever thinner; a finished search admits
+    the next waiting one."""
+    from types import SimpleNamespace
+
+    from detikzify_tpu.serve import InferenceServer, _Job
+
+    class Doc:
+        code, is_rasterizable, errors = "x", False, {}
+
+    class Pipe:
+        engine = SimpleNamespace(num_slots=4)
+
+        def simulate(self, **kw):
+            yield (-1.0, Doc())
+
+    srv = InferenceServer.__new__(InferenceServer)   # no scheduler thread
+    srv.pipeline = Pipe()
+    srv.default_mcts_timeout = 1.0
+    srv.mcts_parallelism = None
+    srv.sample_reserve = 0
+    srv.max_active_mcts = 1
+    srv._mcts_tasks = []
+    srv._mcts_waiting = []
+    srv._pending = []
+    srv._lat = {"sample": [], "mcts": []}
+    srv.requests = {"sample": 0, "mcts": 0, "failed": 0, "batched": 0}
+    j1 = _Job(kind="mcts", image=SimpleNamespace(), expansions=1)
+    j2 = _Job(kind="mcts", image=SimpleNamespace(), expansions=1)
+    srv._admit(j1)
+    srv._admit(j2)
+    assert len(srv._mcts_tasks) == 1
+    assert srv._mcts_waiting == [j2]
+    # first search finishes -> its slot admits the waiting one
+    srv._mcts_tasks.clear()
+    srv._admit_waiting_mcts()
+    assert len(srv._mcts_tasks) == 1 and not srv._mcts_waiting
+    assert srv._mcts_tasks[0].job is j2

@@ -325,6 +325,49 @@ def test_spec_dispatch_follows_active_classes(model):
     eng.release(ro2)
 
 
+def test_plain_to_spec_transition_resyncs_history(model):
+    """A rollout alive across a plain->spec transition must draft from a
+    FRESH device history: plain scans advance positions without writing
+    ``_buf_dev``, so the engine re-uploads the host-accepted tokens before
+    the next speculative scan (otherwise every probe/ride-along window --
+    the whole recoverable-gating mechanism -- would measure drafts against
+    stale rows and systematically fail)."""
+    cfg, params = model
+    prompt = [cfg.image_token_id] * cfg.image_seq_len + [cfg.bos_token_id]
+    embeds = jnp.zeros((1, cfg.image_seq_len, cfg.text.hidden_size),
+                       jnp.float32)
+    plain_eng = DecodeEngine(params, cfg, num_slots=2, max_len=128,
+                             decode_block=4,
+                             sampling=SamplingParams(temperature=0.0))
+    want = _greedy_rollout(plain_eng, prompt, embeds, 32)
+
+    eng = DecodeEngine(params, cfg, num_slots=2, max_len=128,
+                       decode_block=4, speculate=2,
+                       sampling=SamplingParams(temperature=0.0))
+    eng._spec_cls["plain"]["on"] = False
+    eng._spec_cls["hint"]["on"] = False
+    ro = eng.start(list(prompt), image_embeds=embeds, max_new_tokens=32)
+    for _ in range(3):
+        if not ro.finished:
+            eng.step()                       # plain scans: no buf writes
+    assert not ro.finished, "shorten the plain phase"
+    assert eng.counters["spec_steps"] == 0
+    assert eng._buf_stale[ro.slot]
+    mid = list(ro.token_ids)
+    assert len(mid) > len(prompt)
+
+    eng._spec_cls["plain"]["on"] = True      # probe re-enable
+    eng.step()                               # spec scan: must resync first
+    assert eng.counters["buf_resyncs"] == 1
+    assert not eng._buf_stale[ro.slot]
+    buf_row = np.asarray(eng._buf_dev)[ro.slot]
+    assert list(buf_row[:len(mid)]) == mid   # history healed, not -1/stale
+    while not ro.finished:
+        eng.step()
+    assert list(ro.token_ids) == want        # stream still plain-greedy
+    eng.release(ro)
+
+
 def test_hint_drafts_full_acceptance_and_parity(model):
     """A hint equal to the true greedy continuation drives near-full
     acceptance; a wrong hint costs nothing (rejections) -- both emit the
