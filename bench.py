@@ -192,20 +192,116 @@ def train_bench():
     print(json.dumps(train_stats), flush=True)
 
 
-def run_train_bench_subprocess() -> dict:
-    """Dispatch ``bench.py --train-bench`` as a child process and parse
-    its JSON line. Must run BEFORE the parent initializes the TPU client
-    (the tunneled chip is exclusive; the child needs it to itself)."""
+def seven_bench():
+    """BASELINE tracked config #3: DS-7b STREAMING inference -- int8
+    continuous-batched decode with a per-token streaming consumer
+    attached to every rollout (the webui/SSE path). Isolated subprocess:
+    the 7B tree needs a clean chip.
+
+    HBM audit: the int8 tree must be built DIRECTLY from shapes (like
+    the 8B section) -- materializing the 6.7B bf16 tree first (13.4 GB)
+    before quantizing transiently needs ~20 GB and ResourceExhausts the
+    15.75 GB chip. The KV pool itself is cheap (MHA 30-layer page =
+    2*30*128*32*128*2B = 63 MB; 51 pages = 3.2 GB at 8 slots x 640)."""
+    from detikzify_tpu.config import get_config
+    from detikzify_tpu.engine import DecodeEngine
+    from detikzify_tpu.models import detikzify as _dtk
+    from detikzify_tpu.ops.quant import fuse_projections, quantize_params
+    from detikzify_tpu.ops.sampling import SamplingParams
+
+    slots7 = SLOTS
+    cfg7 = get_config("detikzify-ds-7b").replace(model_max_length=640)
+    shapes7 = jax.eval_shape(lambda: fuse_projections(quantize_params(
+        _dtk.init(jax.random.PRNGKey(0), cfg7, dtype=jnp.bfloat16))))
+    params7 = jax.jit(lambda: jax.tree.map(
+        lambda s: jnp.zeros(s.shape, s.dtype), shapes7))()
+    jax.block_until_ready(params7.text["embed_tokens"])
+    eng7 = DecodeEngine(
+        params7, cfg7, num_slots=slots7, max_len=640, decode_block=32,
+        prefix_budget_bytes=64 << 20,
+        sampling=SamplingParams(temperature=0.8, top_p=0.95, top_k=0))
+    p7 = ([cfg7.image_token_id] * cfg7.image_seq_len
+          + [cfg7.bos_token_id])
+    emb7 = jnp.zeros((1, cfg7.image_seq_len, cfg7.text.hidden_size),
+                     jnp.bfloat16)
+    streams = [[] for _ in range(2 * slots7)]
+
+    def run_streaming(n, max_new):
+        done_tokens, started, active = 0, 0, []
+        t0 = time.time()
+        while started < n or active:
+            while started < n and eng7.num_free_slots > 0:
+                ro = eng7.start(
+                    list(p7), image_embeds=emb7, max_new_tokens=max_new,
+                    lazy=True, on_token=streams[started].append)
+                active.append(ro)
+                started += 1
+            eng7.step()
+            for ro in list(active):
+                if ro.finished:
+                    done_tokens += ro.new_tokens
+                    eng7.release(ro)
+                    active.remove(ro)
+        jax.block_until_ready(eng7.cache.k)
+        return done_tokens, time.time() - t0
+
+    run_streaming(slots7, 16)                       # warmup (compiles)
+    tps = 0.0
+    for _ in range(2):
+        for s in streams:
+            s.clear()
+        tok7, sec7 = run_streaming(2 * slots7, DECODE_TOKENS)
+        assert sum(len(s) for s in streams) == tok7  # consumers saw all
+        tps = max(tps, tok7 / sec7)
+    log(f"ds-7b int8 streaming decode (x{slots7} slots, per-token "
+        f"consumers): {tps:.1f} tok/s")
+    print(json.dumps({"ds7b_stream_tok_s": round(tps, 2)}), flush=True)
+
+
+def tl_bench():
+    """BASELINE tracked config #1: TL-1.1b single-figure GREEDY sampling
+    (the v1 legacy model family) -- batch-1 greedy decode tok/s.
+    Isolated subprocess for the same clean-chip reason as seven_bench."""
+    from detikzify_tpu.config import get_config
+    from detikzify_tpu.engine import DecodeEngine
+    from detikzify_tpu.ops.quant import fuse_projections, quantize_params
+    from detikzify_tpu.ops.sampling import SamplingParams
+
+    cfg_tl = get_config("detikzify-tl-1.1b").replace(model_max_length=640)
+    params_tl = fuse_projections(quantize_params(
+        zero_params(cfg_tl, jnp.bfloat16)))
+    eng_tl = DecodeEngine(
+        params_tl, cfg_tl, num_slots=2, max_len=640, decode_block=32,
+        prefix_budget_bytes=16 << 20,
+        sampling=SamplingParams(temperature=0.0))
+    p_tl = ([cfg_tl.image_token_id] * cfg_tl.image_seq_len
+            + [cfg_tl.bos_token_id])
+    emb_tl = jnp.zeros(
+        (1, cfg_tl.image_seq_len, cfg_tl.text.hidden_size), jnp.bfloat16)
+    run_rollouts(eng_tl, p_tl, emb_tl, n=1, max_new=8)     # warmup
+    tps = 0.0
+    for _ in range(2):
+        tok_tl, sec_tl, _ = run_rollouts(eng_tl, p_tl, emb_tl, n=1,
+                                         max_new=DECODE_TOKENS)
+        tps = max(tps, tok_tl / sec_tl)
+    log(f"tl-1.1b greedy batch-1 decode: {tps:.1f} tok/s")
+    print(json.dumps({"tl11b_greedy_batch1_tok_s": round(tps, 2)}),
+          flush=True)
+
+
+def run_bench_subprocess(flag: str, timeout: float = 1800) -> dict:
+    """Dispatch ``bench.py <flag>`` as a child process and parse its JSON
+    line. Must run BEFORE the parent initializes the TPU client (the
+    tunneled chip is exclusive; the child needs it to itself)."""
     import subprocess
 
     try:
         proc = subprocess.run(
-            [sys.executable, __file__, "--train-bench"],
-            capture_output=True, text=True, timeout=1800)
+            [sys.executable, __file__, flag],
+            capture_output=True, text=True, timeout=timeout)
         sys.stderr.write(proc.stderr)
         if proc.returncode != 0:
-            log(f"training bench subprocess failed (exit "
-                f"{proc.returncode})")
+            log(f"{flag} bench subprocess failed (exit {proc.returncode})")
             return {}
         for line in reversed(proc.stdout.splitlines()):
             line = line.strip()
@@ -213,7 +309,7 @@ def run_train_bench_subprocess() -> dict:
                 return json.loads(line)
         return {}
     except Exception as e:
-        log(f"training bench subprocess skipped: {type(e).__name__}: {e}")
+        log(f"{flag} bench subprocess skipped: {type(e).__name__}: {e}")
         return {}
 
 
@@ -222,9 +318,14 @@ def main():
     from detikzify_tpu.engine import DecodeEngine
     from detikzify_tpu.ops.sampling import SamplingParams
 
-    # training bench first, in an isolated child process, BEFORE this
-    # process claims the (exclusive) chip -- see train_bench docstring.
-    train_stats = run_train_bench_subprocess()
+    # isolated-subprocess benches first, BEFORE this process claims the
+    # (exclusive) chip: training (near-fills HBM; an OOM must not poison
+    # the serving benches) and tracked configs #3/#1 (the 7B/1.1B trees
+    # need a clean chip -- measured RESOURCE_EXHAUSTED when run after the
+    # 8B+TikZero sections in-process).
+    train_stats = run_bench_subprocess("--train-bench")
+    seven_stats = run_bench_subprocess("--seven-bench")
+    tl_stats = run_bench_subprocess("--tl-bench")
 
     log(f"devices: {jax.devices()}")
     cfg = get_config("detikzify-ds-1.3b").replace(model_max_length=640)
@@ -796,92 +897,11 @@ def main():
         log(f"8B bench skipped: {type(e).__name__}: {e}")
     gc.collect()
 
-    # BASELINE tracked config #3: DS-7b STREAMING inference -- int8
-    # 8-slot continuous-batched decode with a per-token streaming
-    # consumer attached to every rollout (the webui/SSE path; README has
-    # carried this number since round 3, the bench artifact now does too
-    # -- round-3 VERDICT weak #6).
-    tps_7b_stream = None
-    try:
-        cfg7 = get_config("detikzify-ds-7b").replace(model_max_length=640)
-        params7 = fuse_projections(quantize_params(
-            zero_params(cfg7, jnp.bfloat16)))
-        jax.block_until_ready(params7.text["embed_tokens"])
-        eng7 = DecodeEngine(
-            params7, cfg7, num_slots=SLOTS, max_len=640, decode_block=32,
-            prefix_budget_bytes=64 << 20,
-            sampling=SamplingParams(temperature=0.8, top_p=0.95, top_k=0))
-        p7 = ([cfg7.image_token_id] * cfg7.image_seq_len
-              + [cfg7.bos_token_id])
-        emb7 = jnp.zeros((1, cfg7.image_seq_len, cfg7.text.hidden_size),
-                         jnp.bfloat16)
-        streams = [[] for _ in range(2 * SLOTS)]
-
-        def run_streaming(n, max_new):
-            done_tokens, started, active = 0, 0, []
-            t0 = time.time()
-            while started < n or active:
-                while started < n and eng7.num_free_slots > 0:
-                    ro = eng7.start(
-                        list(p7), image_embeds=emb7, max_new_tokens=max_new,
-                        lazy=True, on_token=streams[started].append)
-                    active.append(ro)
-                    started += 1
-                eng7.step()
-                for ro in list(active):
-                    if ro.finished:
-                        done_tokens += ro.new_tokens
-                        eng7.release(ro)
-                        active.remove(ro)
-            jax.block_until_ready(eng7.cache.k)
-            return done_tokens, time.time() - t0
-
-        run_streaming(SLOTS, 16)                        # warmup
-        tps_7b_stream = 0.0
-        for _ in range(2):
-            for s in streams:
-                s.clear()
-            tok7, sec7 = run_streaming(2 * SLOTS, DECODE_TOKENS)
-            assert sum(len(s) for s in streams) == tok7  # consumers saw all
-            tps_7b_stream = max(tps_7b_stream, tok7 / sec7)
-        log(f"ds-7b int8 streaming decode (x{SLOTS} slots, per-token "
-            f"consumers): {tps_7b_stream:.1f} tok/s")
-        del eng7, params7, emb7
-    except Exception as e:
-        log(f"ds-7b streaming bench skipped: {type(e).__name__}: {e}")
-    gc.collect()
-
-    # BASELINE tracked config #1: TL-1.1b single-figure GREEDY sampling
-    # (the v1 legacy model family) -- batch-1 greedy decode tok/s. Runs
-    # LAST: everything else is freed, so the 1.1B tree has HBM to itself.
-    tps_tl = None
-    eng_tl = params_tl = emb_tl = None
-    try:
-        cfg_tl = get_config("detikzify-tl-1.1b").replace(
-            model_max_length=640)
-        params_tl = fuse_projections(quantize_params(
-            zero_params(cfg_tl, jnp.bfloat16)))
-        eng_tl = DecodeEngine(
-            params_tl, cfg_tl, num_slots=2, max_len=640, decode_block=32,
-            prefix_budget_bytes=16 << 20,
-            sampling=SamplingParams(temperature=0.0))
-        p_tl = ([cfg_tl.image_token_id] * cfg_tl.image_seq_len
-                + [cfg_tl.bos_token_id])
-        emb_tl = jnp.zeros(
-            (1, cfg_tl.image_seq_len, cfg_tl.text.hidden_size),
-            jnp.bfloat16)
-        run_rollouts(eng_tl, p_tl, emb_tl, n=1, max_new=8)     # warmup
-        tps_tl = 0.0
-        for _ in range(2):
-            tok_tl, sec_tl, _ = run_rollouts(eng_tl, p_tl, emb_tl, n=1,
-                                             max_new=DECODE_TOKENS)
-            tps_tl = max(tps_tl, tok_tl / sec_tl)
-        log(f"tl-1.1b greedy batch-1 decode: {tps_tl:.1f} tok/s")
-    except Exception as e:
-        log(f"tl-1.1b bench skipped: {type(e).__name__}: {e}")
-    finally:
-        eng_tl = params_tl = emb_tl = None
-        gc.collect()
+    # tracked configs #3 (DS-7b streaming) and #1 (TL-1.1b greedy) were
+    # measured in isolated subprocesses before this process attached to
+    # the chip (see seven_bench/tl_bench docstrings)
+    tps_7b_stream = seven_stats.get("ds7b_stream_tok_s")
+    tps_tl = tl_stats.get("tl11b_greedy_batch1_tok_s")
 
     result = {
         "metric": "tikz_decode_tokens_per_sec_per_chip_ds13b",
@@ -937,5 +957,9 @@ def main():
 if __name__ == "__main__":
     if "--train-bench" in sys.argv:
         train_bench()
+    elif "--seven-bench" in sys.argv:
+        seven_bench()
+    elif "--tl-bench" in sys.argv:
+        tl_bench()
     else:
         main()
