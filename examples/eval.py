@@ -34,6 +34,10 @@ def parse_args():
     p.add_argument("--parallelism", type=int, default=8,
                    help="concurrent MCTS expansions per item (engine slots)")
     p.add_argument("--output", default="scores.json")
+    p.add_argument("--quantize", action="store_true",
+                   help="weight-only int8 model load (host import, int8 "
+                        "device placement) -- the single-chip path for "
+                        "8B-class checkpoints that do not fit HBM at bf16")
     p.add_argument("--clip", default=None,
                    help="SigLIP two-tower checkpoint dir for ClipScore "
                         "(requires a 'caption' column in the testset)")
@@ -46,7 +50,8 @@ def parse_args():
     return p.parse_args()
 
 
-def predict(name, ckpt, testset, cache_dir, timeout, parallelism=8):
+def predict(name, ckpt, testset, cache_dir, timeout, parallelism=8,
+            quantize=False):
     """Striped across processes (multi-host) AND across this host's chips:
     one model replica per local device, as the reference places one replica
     per torchrun rank (reference examples/eval.py:110-133)."""
@@ -54,7 +59,7 @@ def predict(name, ckpt, testset, cache_dir, timeout, parallelism=8):
 
     from detikzify_tpu.parallel.replicas import ReplicaPool
 
-    params, cfg, processor = load(ckpt)
+    params, cfg, processor = load(ckpt, quantize=quantize)
     metric = "model" if timeout else "fast"
     pool = ReplicaPool(params, cfg, processor, metric=metric,
                        devices=jax.local_devices())
@@ -191,7 +196,7 @@ def main():
         name, ckpt = pair.split("=", 1)
         rows, params, cfg, processor = predict(
             name, ckpt, testset, args.cache_dir, args.timeout,
-            parallelism=args.parallelism)
+            parallelism=args.parallelism, quantize=args.quantize)
         scores[name] = score(name, rows, testset, params, cfg, processor,
                              clip_metric=clip_metric,
                              dreamsim_metric=dreamsim_metric)

@@ -32,6 +32,14 @@ For each checkpoint directory it runs, recording a per-step verdict:
                             small testset (synthetic unless --testset):
                             every reported metric finite.
 
+Device placement: the fp32 parity tree (steps 1-4) is loaded and COMMITTED
+to host memory -- a real 7B/8B checkpoint at fp32 is 28-32 GB and must
+never touch a 16 GB chip -- and the parity forwards/greedy run there, next
+to the torch CPU reference. The serving-side steps (5-7) get a separate
+device-side load: fp32 on-device for small checkpoints, or the production
+weight-only int8 path (``load(quantize=True)``: host import, int8
+placement) for >3B-param checkpoints / ``--quantize``.
+
 LaTeX: steps 6-7 use the hermetic FakeBackend unless ``--tex`` is given
 (then the real latexmk toolchain must be on PATH). The reference package
 is imported from --reference (default /root/reference) with the same
@@ -165,15 +173,23 @@ def verify_checkpoint(name: str, path: str, args) -> dict:
         return deco
 
     state: dict = {}
+    cpu_dev = jax.devices("cpu")[0]
 
     @step("import")
     def _():
-        params, cfg, proc = our_load(
-            path, dtype=jnp.float32,
-            vision_tower=args.vision_tower or None)
-        state.update(params=params, cfg=cfg, proc=proc)
+        # Parity runs against a torch CPU reference, so the fp32 tree is
+        # loaded AND COMMITTED to host memory: a real 7B/8B checkpoint at
+        # fp32 (28-32 GB) must never be placed on a 16 GB chip. Serving
+        # steps (spec/bench) get their own device-side load below.
+        with jax.default_device(cpu_dev):
+            params, cfg, proc = our_load(
+                path, dtype=jnp.float32,
+                vision_tower=args.vision_tower or None)
+        params = jax.device_put(params, cpu_dev)
         n = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
-        return {"n_params": n}
+        quant = bool(args.quantize) or (n > 3_000_000_000 and not args.cpu)
+        state.update(params=params, cfg=cfg, proc=proc, use_quant=quant)
+        return {"n_params": n, "serve_quantized": quant}
 
     if not out["import"]["ok"]:
         return out
@@ -194,9 +210,11 @@ def verify_checkpoint(name: str, path: str, args) -> dict:
     cfg, params, proc = state["cfg"], state["params"], state["proc"]
 
     def our_greedy(prompt_ids, pixels, max_new):
+        # Parity greedy decodes on the HOST (same device as the committed
+        # fp32 tree); the chip-side engine is benchmarked separately below.
         eng = DecodeEngine(params, cfg, num_slots=2,
                            max_len=min(cfg.model_max_length, 512),
-                           cache_dtype=jnp.float32,
+                           cache_dtype=jnp.float32, device=cpu_dev,
                            sampling=SamplingParams(temperature=0.0))
         embeds = eng.encode_image(jnp.asarray(pixels))
         ro = eng.start(list(prompt_ids), image_embeds=embeds,
@@ -279,11 +297,34 @@ def verify_checkpoint(name: str, path: str, args) -> dict:
                 f"reference disagrees with our export by {d}"
             return {"roundtrip_logit_max_diff": d}
 
+    @step("serve_load")
+    def _():
+        # Device-side params for the serving-shaped steps. >3B checkpoints
+        # (or --quantize) use the production single-chip path: host import
+        # + weight-only int8 before placement (models/load.py ``quantize``)
+        # so neither the bf16 nor the fp32 tree ever touches the chip.
+        nonlocal params
+        state.pop("ref_model", None)    # free the torch fp32 tree first
+        state.pop("ref_proc", None)
+        if state["use_quant"]:
+            state["params"] = params = None   # drop the 32 GB fp32 tree
+                                              # before the bf16 import
+            sp, _, _ = our_load(path, dtype=jnp.bfloat16, quantize=True,
+                                vision_tower=args.vision_tower or None)
+            state.update(serve_params=sp, serve_cache=jnp.bfloat16)
+            return {"mode": "int8", "cache_dtype": "bfloat16"}
+        state.update(serve_params=jax.device_put(params, jax.devices()[0]),
+                     serve_cache=jnp.float32)
+        return {"mode": "fp32", "cache_dtype": "float32"}
+
+    if not out["serve_load"]["ok"]:
+        return out
+
     @step("spec_acceptance")
     def _():
-        eng = DecodeEngine(params, cfg, num_slots=4,
+        eng = DecodeEngine(state["serve_params"], cfg, num_slots=4,
                            max_len=min(cfg.model_max_length, 512),
-                           cache_dtype=jnp.float32, speculate=4,
+                           cache_dtype=state["serve_cache"], speculate=4,
                            spec_min_rate=0.0,
                            sampling=SamplingParams(temperature=0.8,
                                                    top_p=0.95))
@@ -324,8 +365,9 @@ def verify_checkpoint(name: str, path: str, args) -> dict:
             set_backend(FakeBackend(latency=0.25))
         try:
             eng = DecodeEngine(
-                params, cfg, num_slots=8,
+                state["serve_params"], cfg, num_slots=8,
                 max_len=min(cfg.model_max_length, 512), decode_block=32,
+                cache_dtype=state["serve_cache"],
                 sampling=SamplingParams(temperature=0.8, top_p=0.95))
             prompt = [cfg.image_token_id] * cfg.image_seq_len
             pixels = proc(images=img).pixel_values
@@ -351,8 +393,8 @@ def verify_checkpoint(name: str, path: str, args) -> dict:
             eng.release(ro)
             eng.run()
             # MCTS rollouts/min + p50 TTFC
-            pipe = DetikzifyPipeline(params, cfg, proc, engine=eng,
-                                     metric="fast")
+            pipe = DetikzifyPipeline(state["serve_params"], cfg, proc,
+                                     engine=eng, metric="fast")
             list(pipe.simulate(image=img, expansions=1))     # warmup
             t0 = time.time()
             list(pipe.simulate(image=img, expansions=8, parallelism=8))
@@ -408,6 +450,8 @@ def verify_checkpoint(name: str, path: str, args) -> dict:
                         "--output", scores_path]
             if args.clip:
                 sys.argv += ["--clip", args.clip]
+            if state["use_quant"]:
+                sys.argv += ["--quantize"]
             sys.path.insert(0, os.path.join(REPO, "examples"))
             try:
                 import importlib
@@ -448,6 +492,11 @@ def main(argv=None):
     p.add_argument("--tex", action="store_true",
                    help="use the real latexmk toolchain (default: "
                         "hermetic FakeBackend)")
+    p.add_argument("--quantize", action="store_true",
+                   help="run the serving-side steps (spec_acceptance, "
+                        "bench, eval_smoke) on the weight-only int8 "
+                        "single-chip path; auto-enabled for >3B-param "
+                        "checkpoints unless --cpu")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (hermetic validation)")
     p.add_argument("--atol", type=float, default=3e-4,
