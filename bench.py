@@ -863,6 +863,9 @@ def main():
             # wave's renders score in ONE batched encoder pass -- the
             # wave-scoring path now covers text-conditioned searches.
             try:
+                # finally-restored: an exception mid-bench must not leave
+                # the process-global fake compile backend installed for
+                # any later-appended section
                 set_backend(FakeBackend(latency=0.5))
                 pipe_tz = DetikzifyPipeline(
                     params8, cfg8a, DetikzifyProcessor(tok8b, cfg8a),
@@ -881,10 +884,11 @@ def main():
                 log(f"tikzero text-conditioned mcts rollouts/min "
                     f"(parallelism=8, SelfSim): {tikzero_mcts:.0f}")
                 del pipe_tz
-                set_backend(None)
             except Exception as e:
                 log(f"tikzero mcts bench skipped: "
                     f"{type(e).__name__}: {e}")
+            finally:
+                set_backend(None)
         except Exception as e:
             tikzero_ms = None
             log(f"tikzero bench skipped: {type(e).__name__}: {e}")

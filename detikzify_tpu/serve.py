@@ -133,7 +133,7 @@ class _MctsTask:
     behind each other."""
 
     __slots__ = ("job", "gen", "it", "decoder", "candidates", "best",
-                 "closed")
+                 "closed", "stall_t0")
 
     def __init__(self, job: _Job):
         self.job = job
@@ -143,6 +143,7 @@ class _MctsTask:
         self.candidates: List[Dict] = []
         self.best: Optional[Tuple[float, TikzDocument]] = None
         self.closed = False
+        self.stall_t0: Optional[float] = None   # first of a stall streak
 
     def close(self) -> None:
         if self.closed:
@@ -467,6 +468,18 @@ class InferenceServer:
                     task.it.close()    # generator finally: aborts + releases
                 except Exception:
                     pass
+                # graceful stop(): a mid-flight search that already produced
+                # candidates completes with its best-so-far (same shape as
+                # the timeout endgame) -- the pre-timeslicing scheduler ran
+                # the active search to completion, so a client active at
+                # stop() must not get a 500 for work that succeeded. Fatal
+                # scheduler exits (not _stopping) still fail everything.
+                if self._stopping and task.candidates:
+                    try:
+                        self._finish_mcts(task)
+                        continue
+                    except Exception:
+                        pass
                 task.close()
                 self._complete(task.job, error=err)
             self._mcts_tasks = []
@@ -563,7 +576,10 @@ class InferenceServer:
                 # possible on THIS task until their turns release slots.
                 # Count it so operators can see contention in /metrics.
                 self.requests["mcts_stalls"] += 1
+                if task.stall_t0 is None:
+                    task.stall_t0 = time.monotonic()
                 return True
+            task.stall_t0 = None
             score, doc = out
         except StopIteration:
             self._finish_mcts(task)
@@ -597,15 +613,35 @@ class InferenceServer:
         result["candidates"] = task.candidates
         self._complete(task.job, result=result)
 
-    def _run_mcts(self, job: _Job) -> None:
+    def _run_mcts(self, job: _Job, stall_limit_s: float = 10.0) -> None:
         """Run one MCTS job to completion (synchronous compatibility
         surface; the scheduler loop itself timeslices via
-        ``_advance_mcts``)."""
+        ``_advance_mcts``).
+
+        Unlike the scheduler loop there are no sibling turns here to
+        release engine slots, so an uninterrupted ``STALLED`` streak can
+        never resolve (an unlimited-budget job would busy-spin forever):
+        bail out after ``stall_limit_s`` of continuous stall with zero
+        progress, returning best-so-far if anything completed."""
         if self._client_gone(job):
             return
         task = self._make_mcts_task(job)
         while self._advance_mcts(task):
-            pass
+            if (task.stall_t0 is not None
+                    and time.monotonic() - task.stall_t0 > stall_limit_s):
+                try:
+                    task.it.close()   # generator finally: aborts + releases
+                except Exception:
+                    pass
+                if task.candidates:
+                    self._finish_mcts(task)
+                else:
+                    task.close()
+                    self._complete(task.job, error=RuntimeError(
+                        f"engine slots unavailable for "
+                        f"{stall_limit_s:.0f}s (held by another engine "
+                        f"user); search made no progress"))
+                return
 
     # -- introspection ------------------------------------------------------
     def metrics(self) -> Dict[str, Any]:

@@ -725,3 +725,98 @@ def test_mcts_admission_cap_queues_excess_searches():
     srv._admit_waiting_mcts()
     assert len(srv._mcts_tasks) == 1 and not srv._mcts_waiting
     assert srv._mcts_tasks[0].job is j2
+
+
+def test_graceful_stop_completes_inflight_mcts_with_best_so_far():
+    """A search mid-flight at graceful stop() that already produced
+    candidates must complete with its best-so-far (timeout-endgame
+    shape), not a 500 -- the pre-timeslicing scheduler ran the active
+    search to completion before honoring the sentinel (round-4 review
+    finding)."""
+    from types import SimpleNamespace
+
+    from detikzify_tpu.serve import InferenceServer, _Job
+
+    class Doc:
+        code, is_rasterizable, errors = "\\tikz{}", True, {}
+
+    resume = threading.Event()
+
+    class Pipe:
+        engine = SimpleNamespace(num_slots=4, num_free_slots=4)
+
+        def simulate(self, **kw):
+            yield (0.5, Doc())
+            while True:               # unbounded search: never finishes
+                resume.wait()
+                yield (0.25, Doc())
+
+    srv = InferenceServer(Pipe(), batch_window_s=0.01)
+    job = _Job(kind="mcts", image=_figure(), expansions=None)
+    srv.submit(job)
+    # wait until the first candidate accumulated on the in-flight task
+    import time as time_mod
+    deadline = time_mod.monotonic() + 10
+    while time_mod.monotonic() < deadline:
+        tasks = srv._mcts_tasks
+        if tasks and tasks[0].candidates:
+            break
+        time_mod.sleep(0.01)
+    assert srv._mcts_tasks and srv._mcts_tasks[0].candidates
+    resume.set()
+    srv.stop()
+    assert job.done.wait(timeout=10)
+    assert job.error is None, f"graceful stop failed the search: {job.error}"
+    assert job.result["candidates"], "best-so-far candidates were dropped"
+    assert job.result["score"] == 0.5
+
+
+def test_run_mcts_stall_bailout_instead_of_busy_spin():
+    """The synchronous _run_mcts surface has no sibling turns to release
+    engine slots: an uninterrupted STALLED streak must bail out after the
+    stall limit (error with no progress; best-so-far once anything
+    completed) instead of spinning until an unlimited budget never ends
+    (round-4 review finding)."""
+    from types import SimpleNamespace
+
+    from detikzify_tpu.infer import generator as generator_mod
+    from detikzify_tpu.serve import InferenceServer, _Job
+
+    class Doc:
+        code, is_rasterizable, errors = "\\tikz{}", True, {}
+
+    class StalledPipe:
+        engine = SimpleNamespace(num_slots=4, num_free_slots=0)
+
+        def simulate(self, **kw):
+            while True:
+                yield generator_mod.STALLED
+
+    srv = InferenceServer(StalledPipe(), batch_window_s=0.01)
+    try:
+        job = _Job(kind="mcts", image=_figure(), expansions=None)
+        srv._run_mcts(job, stall_limit_s=0.2)
+        assert job.done.is_set()
+        assert job.error is not None
+        assert "slots unavailable" in str(job.error)
+    finally:
+        srv.stop()
+
+    class OneThenStalledPipe:
+        engine = SimpleNamespace(num_slots=4, num_free_slots=0)
+
+        def simulate(self, **kw):
+            yield (0.75, Doc())
+            while True:
+                yield generator_mod.STALLED
+
+    srv2 = InferenceServer(OneThenStalledPipe(), batch_window_s=0.01)
+    try:
+        job2 = _Job(kind="mcts", image=_figure(), expansions=None)
+        srv2._run_mcts(job2, stall_limit_s=0.2)
+        assert job2.done.is_set()
+        assert job2.error is None
+        assert job2.result["score"] == 0.75
+        assert job2.result["candidates"]
+    finally:
+        srv2.stop()

@@ -515,6 +515,25 @@ def main(argv=None):
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # the host-side fp32 parity legs run on jax.devices("cpu") next to
+        # the chip's serving steps -- when a sitecustomize force-sets an
+        # EXCLUSIVE platform list (JAX_PLATFORMS=axon on this box, which
+        # overrides the env var), the CPU backend would be unavailable and
+        # verify_checkpoint would die before any step runs; extend the
+        # list so both backends are live
+        plats = os.environ.get("JAX_PLATFORMS", "")
+        if plats and "cpu" not in plats.split(","):
+            jax.config.update("jax_platforms", plats + ",cpu")
+    # persistent compile cache (CLAUDE.md convention for chip-driving
+    # scripts): without it every rerun re-pays 30-100 s per program for
+    # the parity/spec/engine compiles that precede the bench step
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+    except Exception:
+        pass
     os.makedirs(args.workdir, exist_ok=True)
 
     if args.make_tiny:
