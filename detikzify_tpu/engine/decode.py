@@ -115,6 +115,7 @@ class DecodeEngine:
         speculate: int = 0,
         spec_min_rate: float = 1.3,
         device=None,
+        attn_impl: str = "auto",
     ):
         """``device``: commit all engine state (KV cache, page pool, RNG,
         per-slot token/position vectors) to one jax device, so multiple
@@ -186,6 +187,18 @@ class DecodeEngine:
         import contextlib
 
         self.device = device
+        if (attn_impl == "auto" and device is not None
+                and getattr(device, "platform", None)
+                != jax.default_backend()):
+            # Engine state committed to a NON-default backend (e.g. the
+            # host-side fp32 parity engine living on jax.devices("cpu")
+            # next to a chip): trace-time kernel dispatch
+            # (ops.flash/decode_flash ``supported()``) keys off
+            # jax.default_backend(), which would pick the TPU Pallas
+            # kernels for a CPU-lowered program and fail to compile --
+            # pin the portable XLA attention instead.
+            attn_impl = "xla"
+        self.attn_impl = attn_impl
         # --- paged KV: ONE page pool; slots and stored prefixes both hold
         # pool pages through page tables. Restoring a tree prefix is a
         # table splice (+ <= 1 copy-on-write boundary page); storing one
@@ -303,6 +316,7 @@ class DecodeEngine:
         eos = self.eos_token_id
         page = self.page
         m_cap = self._m_cap
+        attn_impl = self.attn_impl
 
         trash_row = self._trash_start
         trash_page = self._trash_page
@@ -321,7 +335,8 @@ class DecodeEngine:
             logits, pool = detikzify.prefill_paged(
                 params, cfg, ids, image_embeds, starts, seq_lens, pool,
                 read_tab, write_tab, cow, image_offsets=img_offsets,
-                trash_row=trash_row, trash_page=trash_page)
+                trash_row=trash_row, trash_page=trash_page,
+                attn_impl=attn_impl)
             rng, sub = jax.random.split(rng)
             firsts = sample(logits, sub,
                             temperature=samp[:, 0], top_p=samp[:, 1],
@@ -423,10 +438,12 @@ class DecodeEngine:
                         jnp.where(done, max_len - 1,
                                   jnp.minimum(positions, max_len - 1)),
                         view, tab_dev, kv_pages=kv_pages,
-                        trash_row=trash_row, trash_page=trash_page)
+                        trash_row=trash_row, trash_page=trash_page,
+                        attn_impl=attn_impl)
                 else:
                     logits, view = detikzify.decode_step(
-                        params, cfg, tokens, write_pos, view)
+                        params, cfg, tokens, write_pos, view,
+                        attn_impl=attn_impl)
                 rng, sub = jax.random.split(rng)
                 nxt = sample(logits, sub,
                              temperature=samp[:, 0], top_p=samp[:, 1],
@@ -589,7 +606,8 @@ class DecodeEngine:
                         w = jnp.where(done, vtrash,
                                       jnp.minimum(positions, vtrash))
                         logits, view = detikzify.decode_verify_step(
-                            params, cfg, block, w, view)
+                            params, cfg, block, w, view,
+                            attn_impl=attn_impl)
                     rng, sub = jax.random.split(rng)
                     emitted, counts = speculative_accept(
                         logits, drafts, sub,
@@ -652,7 +670,8 @@ class DecodeEngine:
 
         @jax.jit
         def encode_image(params, pixel_values):
-            return detikzify.encode_image(params, cfg, pixel_values)
+            return detikzify.encode_image(params, cfg, pixel_values,
+                                          attn_impl=attn_impl)
 
         if cfg.adapter is not None:
             from ..models.siglip import AdapterInputs
@@ -663,7 +682,8 @@ class DecodeEngine:
                 ai = AdapterInputs(adapter_layers, cfg.adapter,
                                    cross_states, cross_mask)
                 return detikzify.encode_image(params, cfg, pixel_values,
-                                              adapter=ai)
+                                              adapter=ai,
+                                              attn_impl=attn_impl)
 
             self._encode_image_adapter = encode_image_adapter
 

@@ -214,11 +214,13 @@ def decode_step(
     positions: jnp.ndarray,          # [B]
     cache: KVCache,
     kv_limit=None,                   # static attended-prefix bound
+    attn_impl: str = "auto",
 ) -> Tuple[jnp.ndarray, KVCache]:
     """One decode step; returns (logits [B, V] fp32, new cache)."""
     embeds = llama.embed(params.text, token_ids)
     hidden, cache = llama.decode_step(params.text, cfg.text, embeds,
-                                      positions, cache, kv_limit=kv_limit)
+                                      positions, cache, kv_limit=kv_limit,
+                                      attn_impl=attn_impl)
     return llama.unembed(params.text, hidden), cache
 
 
@@ -228,6 +230,7 @@ def decode_verify_step(
     token_block: jnp.ndarray,        # [B, K+1]: [last_token, drafts...]
     start: jnp.ndarray,              # [B] cache row of token_block[:, 0]
     cache: KVCache,
+    attn_impl: str = "auto",
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Speculative-decoding verify forward: process K+1 tokens per slot in
     one step and return logits at EVERY position ([B, K+1, V] fp32) --
@@ -240,7 +243,7 @@ def decode_verify_step(
     embeds = llama.embed(params.text, token_block)
     hidden, cache = llama.prefill(
         params.text, cfg.text, embeds, start,
-        jnp.full((b,), k1, jnp.int32), cache)
+        jnp.full((b,), k1, jnp.int32), cache, attn_impl=attn_impl)
     return llama.unembed(params.text, hidden), cache
 
 
@@ -291,6 +294,7 @@ def decode_step_paged(
     kv_pages=None,                   # static attended-pages bound
     trash_row=None,
     trash_page=None,
+    attn_impl: str = "auto",
 ):
     """One paged decode step; returns (logits [B, V] fp32, pool)."""
     embeds = llama.embed(params.text, token_ids)
@@ -298,7 +302,8 @@ def decode_step_paged(
                                            positions, pool, tab,
                                            kv_pages=kv_pages,
                                            trash_row=trash_row,
-                                           trash_page=trash_page)
+                                           trash_page=trash_page,
+                                           attn_impl=attn_impl)
     return llama.unembed(params.text, hidden), pool
 
 
@@ -312,6 +317,7 @@ def decode_verify_step_paged(
     write_tab: jnp.ndarray,          # [B, m_cap]
     trash_row=None,
     trash_page=None,
+    attn_impl: str = "auto",
 ):
     """Paged speculative verify: K+1 logits per slot
     ([B, K+1, V] fp32) + pool with the draft rows written. Semantics match
@@ -322,7 +328,8 @@ def decode_verify_step_paged(
     hidden, pool = llama.prefill_paged(
         params.text, cfg.text, embeds, start,
         jnp.full((b,), k1, jnp.int32), pool, read_tab, write_tab,
-        cow_begin=start, trash_row=trash_row, trash_page=trash_page)
+        cow_begin=start, trash_row=trash_row, trash_page=trash_page,
+        attn_impl=attn_impl)
     return llama.unembed(params.text, hidden), pool
 
 

@@ -278,6 +278,7 @@ def decode_step(
     positions: jnp.ndarray,       # [B] int32 -- position of the new token
     cache: KVCache,
     kv_limit: Optional[int] = None,   # static: attend to rows [0, kv_limit)
+    attn_impl: str = "auto",
 ) -> Tuple[jnp.ndarray, KVCache]:
     """One decode step for all slots; returns (hidden [B,D], new cache).
 
@@ -317,9 +318,10 @@ def decode_step(
             # static slice fuses into the attention reads: traffic follows
             # the live max length, not the allocation
             h = decode_attend(q, kc[:, :kv_limit], vc[:, :kv_limit],
-                              jnp.minimum(lengths, kv_limit))
+                              jnp.minimum(lengths, kv_limit),
+                              implementation=attn_impl)
         else:
-            h = decode_attend(q, kc, vc, lengths)
+            h = decode_attend(q, kc, vc, lengths, implementation=attn_impl)
         h = linear(lp["attn"]["o"], h.reshape(b, -1))
         x = residual + h
         residual = x

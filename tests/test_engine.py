@@ -345,3 +345,35 @@ def test_start_many_heterogeneous_prefixes(setup):
         eng.run()
         assert list(r.token_ids) == got
         eng.release(r)
+
+
+def test_cpu_pinned_engine_forces_xla_attention(setup, monkeypatch):
+    """An engine committed to a device on a NON-default backend (the
+    verify_real host-side fp32 parity engine next to a chip) must pin
+    attn_impl="xla": trace-time kernel dispatch keys off
+    jax.default_backend(), which would select the TPU Pallas kernels for
+    a CPU-lowered program and fail to compile (round-4 review finding).
+    Simulated hermetically by faking the default backend."""
+    cfg, params = setup
+    from detikzify_tpu.engine import decode as decode_mod
+
+    monkeypatch.setattr(decode_mod.jax, "default_backend", lambda: "tpu")
+    cpu = jax.devices("cpu")[0]
+    eng = DecodeEngine(params, cfg, num_slots=2, max_len=96,
+                       device=cpu,
+                       sampling=SamplingParams(temperature=0.0))
+    assert eng.attn_impl == "xla"
+    monkeypatch.undo()
+    # the forced-xla engine still decodes correctly on its device
+    prompt = [cfg.bos_token_id, 5, 6, 7, 8]
+    ro = eng.start(prompt, max_new_tokens=8)
+    eng.run()
+    got = ro.token_ids[len(prompt):]
+    want = greedy_reference(params, cfg, prompt, len(got),
+                            banned=(cfg.image_token_id,),
+                            eos=eng.eos_token_id)
+    assert got == want
+    # same-platform pinning keeps automatic kernel dispatch
+    eng2 = DecodeEngine(params, cfg, num_slots=2, max_len=96, device=cpu,
+                        sampling=SamplingParams(temperature=0.0))
+    assert eng2.attn_impl == "auto"

@@ -251,9 +251,14 @@ def verify_checkpoint(name: str, path: str, args) -> dict:
                     input_ids=ref_in["input_ids"],
                     pixel_values=ref_in["pixel_values"]).logits.numpy()
             our_in = proc(images=img, text="")
+            # attn_impl="xla": this forward runs on the CPU-committed fp32
+            # tree; trace-time kernel dispatch keys off the DEFAULT backend
+            # (the chip), which would pick the TPU Pallas attention for a
+            # CPU-lowered program and fail -- and the parity comparison
+            # wants the reference XLA math anyway
             logits, _ = dtk.forward(
                 params, cfg, jnp.asarray(our_in.input_ids),
-                jnp.asarray(our_in.pixel_values))
+                jnp.asarray(our_in.pixel_values), attn_impl="xla")
             d = float(np.abs(np.asarray(logits, np.float32)
                              - ref_logits).max())
             assert d <= args.atol, f"logit max diff {d} > atol {args.atol}"
