@@ -538,6 +538,15 @@ def main():
     except Exception as e:
         log(f"2048 prefix bench skipped: {type(e).__name__}: {e}")
 
+    # free the batched/spec engines BEFORE the MCTS engines exist: their
+    # pools (~3 GB) left the 16 GB chip so close to full that the MCTS
+    # sections' b=16 restore-gather transients (~1.6 GB work cache)
+    # could ResourceExhaust (observed with the start-bucket warmup)
+    del eng16
+    eng16 = None
+    eng_spec = None
+    gc.collect()
+
     # MCTS rollouts/min (secondary north-star metric, BASELINE.md): full
     # rollouts from the root with compile feedback, sequential (reference
     # execution order) vs parallel expansions. Hermetic compile backend
@@ -623,8 +632,11 @@ def main():
         log(f"start-bucket warmup ({eng.num_slots} slots, waves "
             f"{list(wave_sizes)}) took {time.time() - t0:.1f}s")
 
-    warm_start_buckets(eng_mcts, (16, 8, 4, 2, 1))
-    warm_start_buckets(engine, (1,))
+    try:   # warmup is best-effort: a failure must not cost the sections
+        warm_start_buckets(eng_mcts, (1, 2, 4, 8, 16))
+        warm_start_buckets(engine, (1,))
+    except Exception as e:
+        log(f"start-bucket warmup degraded: {type(e).__name__}: {e}")
     list(pipe.simulate(image=img, expansions=1, max_length=365))  # warmup
     list(pipe8.simulate(image=img, expansions=1, max_length=365))
     rollout_rates = {}
@@ -701,16 +713,23 @@ def main():
     n_fill, n_meas = 16, 64
     try:
         for _ in range(2):
-            it = pipe_model.simulate(image=img, expansions=None,
-                                     parallelism=16, max_length=365)
+            gen = pipe_model.generator(image=img, metric=pipe_model.metric,
+                                       mcts_timeout=None, max_length=365)
+            it = gen.simulate(None, parallelism=16)
             stamps = []
             t0 = time.time()
             for _out in it:
                 stamps.append(time.time() - t0)
                 if len(stamps) >= n_fill + n_meas:
                     break
+            n_roll = gen.stats["rollouts"]   # vs terminal (compile-only)
             it.close()          # aborts in-flight work; none of it counted
+            gen.close()
             rate = n_meas / (stamps[-1] - stamps[n_fill - 1]) * 60
+            log(f"  steady window rep: {rate:.0f}/min "
+                f"({n_roll}/{len(stamps)} expansions decoded a rollout; "
+                f"the rest were terminal compile-only leaves, which the "
+                f"search legitimately streams too)")
             rollouts_min_scored_steady = max(rollouts_min_scored_steady,
                                              rate)
     except Exception as e:
@@ -743,9 +762,7 @@ def main():
     try:
         del pipe, pipe8, pipe_model, engine, params, root_prefix
         del image_embeds
-        del eng16, eng_mcts            # zombie 1.3b state crowds 8B HBM
-        if eng_spec is not None:
-            del eng_spec
+        del eng_mcts                   # zombie 1.3b state crowds 8B HBM
         gc.collect()
         cfg8 = get_config("detikzify-v2-8b").replace(model_max_length=640)
         # build the int8 tree DIRECTLY from shapes: materializing the full
