@@ -1235,7 +1235,6 @@ class DecodeEngine:
                 if self._active[slot]]
         if not live:
             return self.max_len
-        per_step = 1 + (self.spec if speculative else 0)
         slack = 1 + (self.spec if (speculative or self._last_dispatch_spec)
                      else 0)
         need = max(live) + k + (self.decode_block * slack
@@ -1283,8 +1282,10 @@ class DecodeEngine:
         transition (bucketed batch width, so the jit cache stays bounded).
         Under ``pipelined=True`` the host lags the in-flight scan by up to
         one block, so rows the in-flight PLAIN scan advanced past stay -1
-        until the next resync -- a bounded acceptance dent, never a
-        correctness issue (the n-gram search simply finds no match)."""
+        for this dispatch -- a bounded acceptance dent, never a correctness
+        issue (the n-gram search simply finds no match). ``_consume``
+        re-marks those slots stale when that plain scan's tokens land, so
+        the NEXT resync heals the hole from the then-complete host ids."""
         stale = [s for s in np.flatnonzero(self._buf_stale)
                  if self._active[s] and s in self._rollouts]
         if not stale:
@@ -1403,6 +1404,18 @@ class DecodeEngine:
                         break
                 if ro.finished:
                     break
+        if inflight is not None and not spec_run and self.spec > 0:
+            # a PLAIN scan's tokens just landed in host token_ids, but the
+            # device history buffer never saw them (plain scans don't write
+            # it). Re-mark the scan's slots stale: under ``pipelined=True``
+            # a speculative dispatch may have resynced-and-cleared staleness
+            # from the host's INCOMPLETE ids while this scan was still in
+            # flight, which would otherwise leave a permanent -1 hole in
+            # the draft-history rows this scan advanced past. Synchronous
+            # stepping already marked these slots at dispatch time, so this
+            # is a no-op there.
+            for slot in owners:
+                self._buf_stale[slot] = True
         self._update_spec_gating()
         return finished
 

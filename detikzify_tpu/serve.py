@@ -627,6 +627,11 @@ class InferenceServer:
             return
         task = self._make_mcts_task(job)
         while self._advance_mcts(task):
+            if task.stall_t0 is not None:
+                # STALLED streak: don't busy-spin a full core on this
+                # 1-core host (HTTP threads and whoever holds the slots
+                # need it); a few ms between re-polls costs nothing
+                time.sleep(0.01)
             if (task.stall_t0 is not None
                     and time.monotonic() - task.stall_t0 > stall_limit_s):
                 try:

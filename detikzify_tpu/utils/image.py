@@ -3,7 +3,9 @@
 Behavioral equivalents of reference ``detikzify/util/image.py:11-71``:
 load from many sources, alpha removal onto white, content-bbox trim,
 pad-to-square expansion, and PDF text redaction for leakage-controlled eval.
-Device-side normalization lives in ``detikzify_tpu.ops.image``.
+Resize+normalize (the hot preprocessing op) lives in
+``detikzify_tpu.native.resize_normalize`` (C++ with a numpy fallback) and is
+driven by ``detikzify_tpu.processing``.
 """
 from __future__ import annotations
 
