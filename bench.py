@@ -139,9 +139,10 @@ def train_bench():
     """TRAINING throughput (round-3 VERDICT directive #3): SURVEY L5 is a
     first-class workload; measure it, don't just run it. DS-1.3b full
     fine-tune shape: bf16 params, micro-batch 4 at seq 640 (300 image
-    tokens + text), remat on, AdamW with bf16 moment storage
-    (train/step.py make_optimizer(moment_dtype=bf16): fp32 m+v for the
-    1.7B params would be ~13.6 GB alone and OOM this 16 GB chip);
+    tokens + text), remat on, AdamW with blockwise-quantized 8-bit moment
+    storage (train/step.py make_optimizer(moment_dtype="quant8"): fp32
+    m+v for the 1.7B params would be ~13.6 GB alone and OOM this 16 GB
+    chip; even bf16 moments left no room for a grad-accum carry);
     grad-accum scaling 1/2/4. One jitted step per global batch -- the
     microbatch loop is a scan INSIDE the step (perf-contract-pinned,
     test_perf_contracts.test_train_step_is_one_device_program).
@@ -174,25 +175,37 @@ def train_bench():
                 "detikzify_tpu.models.detikzify",
                 fromlist=["init"]).init(
                     jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16))))
-    def measure_ga(ga: int, mode: str) -> None:
+    def measure_ga(ga: int, mode: str, mb: int = None, remat=True,
+                   suffix: str = "") -> None:
         """mode 'all' = full fine-tune (reference train/train.py);
         'projector' = stage-1 connector pretrain (reference
         train/pretrain.py: every tower frozen, only the connector
-        trains -- grads still flow through the whole text tower)."""
+        trains -- grads still flow through the whole text tower).
+        ``mb`` overrides the micro-batch; ``remat`` is the policy
+        (True = full, "dots" = save matmul outputs); ``suffix`` tags
+        the emitted stat keys for variant legs."""
+        mb = mb or micro
+        reps_mb = -(-mb // micro)
+        ids_m = np.tile(ids_t, (reps_mb, 1))[:mb]
+        labels_m = np.tile(labels_t, (reps_mb, 1))[:mb]
+        pixels_m = np.tile(pixels_t, (reps_mb, 1, 1, 1))[:mb]
         params_t = zero_params(cfg, jnp.bfloat16)
+        # quant8 (blockwise 8-bit) Adam moments for the full fine-tune:
+        # 1.7 GB for m+v instead of 6.8 GB bf16 / 13.6 GB fp32 -- the
+        # HBM that lets ga>=2 carry a grad-accumulation tree on chip
         optimizer = make_optimizer(
             2e-5, total_steps=100,
             trainable=trainable_mask(params_t, mode),
-            moment_dtype=jnp.bfloat16 if mode == "all" else None)
+            moment_dtype="quant8" if mode == "all" else None)
         state = init_state(params_t, optimizer)
         del params_t
         step = jax.jit(make_train_step(cfg, optimizer, grad_accum=ga,
-                                       remat=True), donate_argnums=0)
+                                       remat=remat), donate_argnums=0)
         batch_t = {
-            "input_ids": jnp.asarray(np.tile(ids_t, (ga, 1))),
-            "labels": jnp.asarray(np.tile(labels_t, (ga, 1))),
+            "input_ids": jnp.asarray(np.tile(ids_m, (ga, 1))),
+            "labels": jnp.asarray(np.tile(labels_m, (ga, 1))),
             "pixel_values": jnp.asarray(
-                np.tile(pixels_t, (ga, 1, 1, 1))),
+                np.tile(pixels_m, (ga, 1, 1, 1))),
         }
         t0 = time.time()
         state, metrics = step(state, batch_t)
@@ -201,7 +214,7 @@ def train_bench():
         # (measured 1 ms/"step" = pure dispatch), a host copy is the
         # only reliable barrier
         float(metrics["loss"])
-        log(f"train[{mode}] ga={ga}: compile+first step "
+        log(f"train[{mode}{suffix}] ga={ga}: compile+first step "
             f"{time.time() - t0:.1f}s")
         reps = 3
         t0 = time.time()
@@ -209,35 +222,44 @@ def train_bench():
             state, metrics = step(state, batch_t)
         float(metrics["loss"])
         sec = (time.time() - t0) / reps
-        toks = ga * micro * seq
+        toks = ga * mb * seq
         # flop model: full FT fwd+bwd = 6*N*T; projector pretrain skips
         # the frozen towers' WEIGHT-grad matmuls but still runs fwd +
         # full activation backward = ~4*N*T
         flops_per_tok = (6 if mode == "all" else 4) * float(n_params)
         mfu = flops_per_tok * toks / sec / 197e12
-        key = "train" if mode == "all" else "pretrain"
+        key = ("train" if mode == "all" else "pretrain") + suffix
         train_stats[f"{key}_step_ms_ga{ga}"] = round(sec * 1e3, 1)
         train_stats[f"{key}_tok_s_ga{ga}"] = round(toks / sec, 1)
         train_stats[f"{key}_est_mfu_ga{ga}"] = round(mfu, 3)
-        log(f"train[{mode}] ds13b micro{micro} ga{ga}: {sec * 1e3:.0f} "
-            f"ms/step, {toks / sec:.0f} tok/s, est MFU {mfu:.1%}")
+        log(f"train[{mode}{suffix}] ds13b micro{mb} ga{ga}: "
+            f"{sec * 1e3:.0f} ms/step, {toks / sec:.0f} tok/s, "
+            f"est MFU {mfu:.1%}")
 
-    # Full fine-tune fits one 16 GB chip only at ga=1: bf16 params
-    # (3.4G) + bf16 m+v (6.8G) + grads (3.4G) leave no room for a second
-    # grad-accumulator tree (measured: ga=2 OOMs at 18.07G/15.75G with
-    # 4.2G fragmentation). The grad-accum ladder is measured on the
-    # stage-1 projector pretrain instead (reference pretrain.py -- same
-    # fwd + activation-backward cost, connector-only optimizer/grad
-    # state); multi-chip full-FT grad accum is the FSDP path
-    # (__graft_entry__.dryrun_multichip).
-    for ga, mode in ((1, "all"), (1, "projector"), (2, "projector"),
-                     (4, "projector")):
+    # Full fine-tune grad-accum ladder ON CHIP (round-4 VERDICT directive
+    # #4): quant8 Adam moments free ~5 GB vs the bf16-moment config that
+    # OOM'd at ga=2 (18.07G/15.75G), so the full-FT ladder now runs
+    # directly. Variant legs probe the MFU headroom: remat="dots" trades
+    # dot-output memory for ~25% less backward recompute; micro8 doubles
+    # the per-program batch.
+    legs = (
+        dict(ga=1, mode="all"),
+        dict(ga=2, mode="all"),
+        dict(ga=4, mode="all"),
+        dict(ga=1, mode="all", remat="dots", suffix="_dots"),
+        dict(ga=1, mode="all", mb=8, suffix="_micro8"),
+        dict(ga=1, mode="all", mb=8, remat="dots", suffix="_micro8_dots"),
+        dict(ga=1, mode="projector"),
+        dict(ga=2, mode="projector"),
+        dict(ga=4, mode="projector"),
+    )
+    for leg in legs:
         for attempt in (0, 1):
             try:
-                measure_ga(ga, mode)
+                measure_ga(**leg)
                 break
             except Exception as e:
-                log(f"train[{mode}] ga={ga} attempt {attempt} failed: "
+                log(f"train leg {leg} attempt {attempt} failed: "
                     f"{type(e).__name__}: {e}")
                 # the axon remote_compile helper 500s transiently; one
                 # retry, then move on (a genuine OOM fails both tries)

@@ -120,7 +120,9 @@ def vit_apply(params: dict, cfg: ViTConfig, pixels: jnp.ndarray
     cls = jnp.broadcast_to(params["cls_token"], (b, 1, cfg.hidden_size))
     x = jnp.concatenate([cls, x], axis=1) + params["position"]
 
-    if cfg.variant == "clip":
+    if cfg.variant == "clip" or "ln_pre" in params:
+        # explicit for the clip variant; optional for timm-layout towers
+        # (dreamsim's clip-as-dino keeps CLIP's ln_pre as timm norm_pre)
         x = _ln(params["ln_pre"], x, cfg.layer_norm_eps)
 
     def body(x, lp):
@@ -133,7 +135,12 @@ def vit_apply(params: dict, cfg: ViTConfig, pixels: jnp.ndarray
         if "proj" in params:
             out = out @ params["proj"]
         return out
-    return _ln(params["post_ln"], x, cfg.layer_norm_eps)[:, 0]
+    out = _ln(params["post_ln"], x, cfg.layer_norm_eps)[:, 0]
+    if "proj" in params:
+        # dreamsim's clip-as-dino towers: a timm-layout ViT whose CLS
+        # feature is sent through the retained CLIP visual projection
+        out = out @ params["proj"]
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -233,7 +240,7 @@ def import_vit_timm(state: dict, cfg: ViTConfig) -> dict:
             "mlp": {"fc1": _lin_np(state, f"{b}.mlp.fc1"),
                     "fc2": _lin_np(state, f"{b}.mlp.fc2")},
         })
-    return {
+    params = {
         "patch": {
             "kernel": _conv_to_linear(state["patch_embed.proj.weight"]),
             "bias": jnp.asarray(_np(state["patch_embed.proj.bias"]),
@@ -244,6 +251,11 @@ def import_vit_timm(state: dict, cfg: ViTConfig) -> dict:
         "layers": _stack(layers),
         "post_ln": _ln_np(state, "norm"),
     }
+    if "norm_pre.weight" in state:   # clip-as-dino keeps CLIP's ln_pre
+        params["ln_pre"] = _ln_np(state, "norm_pre")
+    if "proj" in state:              # retained CLIP visual projection
+        params["proj"] = jnp.asarray(_np(state["proj"]), jnp.float32)
+    return params
 
 
 def import_clip_hf(state: dict, cfg: ViTConfig) -> dict:
@@ -432,4 +444,147 @@ def from_checkpoints(dino_path: Optional[str] = None,
                                         CLIP_MEAN, CLIP_STD))
     if not extractors:
         raise ValueError("at least one backbone checkpoint required")
+    return DreamSimJAX(extractors)
+
+
+# ---------------------------------------------------------------------------
+# dreamsim-package merged checkpoints (the published LoRA-merged weights)
+# ---------------------------------------------------------------------------
+
+#: branch name -> (file keyword, per-branch input normalization). The
+#: published ensemble (reference detikzify/evaluate/dreamsim.py:40-66 via
+#: the ``dreamsim`` package) is DINO + CLIP + OpenCLIP ViT-B/16 towers,
+#: all stored in timm/DINO naming after the package's *_as_dino wrapping;
+#: the two CLIP towers carry a retained visual projection.
+ENSEMBLE_BRANCHES = (
+    ("dino_vitb16", (IMAGENET_MEAN, IMAGENET_STD)),
+    ("clip_vitb16", (CLIP_MEAN, CLIP_STD)),
+    ("open_clip_vitb16", (CLIP_MEAN, CLIP_STD)),
+)
+
+
+def import_dreamsim_merged(obj, cfg: Optional[ViTConfig] = None
+                           ) -> Tuple[dict, ViTConfig]:
+    """One LoRA-merged dreamsim tower (torch state dict, timm naming;
+    either the raw state dict or ``{"model": sd, "proj": tensor}``) ->
+    (``vit_apply`` params, inferred config). ``cfg`` defaults to the
+    shapes read off the checkpoint (ViT-B/16 at 224 for the published
+    ensemble)."""
+    if isinstance(obj, dict) and "model" in obj and any(
+            k.startswith("blocks.") for k in obj["model"]):
+        state = dict(obj["model"])
+        if "proj" in obj and obj["proj"] is not None:
+            state["proj"] = obj["proj"]
+    else:
+        state = obj
+    if cfg is None:
+        n_layers = 1 + max(int(k.split(".")[1]) for k in state
+                           if k.startswith("blocks."))
+        hidden = _np(state["cls_token"]).shape[-1]
+        heads = max(hidden // 64, 1)
+        inter = _np(state["blocks.0.mlp.fc1.weight"]).shape[0]
+        n_patches = _np(state["pos_embed"]).shape[1] - 1
+        patch = _np(state["patch_embed.proj.weight"]).shape[-1]
+        side = int(round(n_patches ** 0.5)) * patch
+        cfg = ViTConfig(hidden_size=hidden, num_hidden_layers=n_layers,
+                        num_attention_heads=heads,
+                        intermediate_size=inter, patch_size=patch,
+                        image_size=side, variant="vit",
+                        layer_norm_eps=1e-6,
+                        proj_dim=_np(state["proj"]).shape[-1]
+                        if "proj" in state else None)
+    return import_vit_timm(state, cfg), cfg
+
+
+def from_dreamsim_checkpoint(paths: dict) -> "DreamSimJAX":
+    """Build the ensemble straight from dreamsim-package merged ``.pth``
+    files: ``paths`` maps branch name (see ENSEMBLE_BRANCHES) to a torch
+    checkpoint path. Requires torch to deserialize; use
+    ``tools/convert_dreamsim.py`` once + ``load_ensemble`` for the
+    torch-free path."""
+    import torch
+
+    norm = dict(ENSEMBLE_BRANCHES)
+    extractors = []
+    for branch, path in paths.items():
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+        params, cfg = import_dreamsim_merged(obj)
+        mean, std = norm.get(branch, (IMAGENET_MEAN, IMAGENET_STD))
+        extractors.append(Extractor(params, cfg, mean, std))
+    return DreamSimJAX(extractors)
+
+
+def _flatten(tree, prefix=""):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from _flatten(v, f"{prefix}{k}/")
+    else:
+        yield prefix[:-1], np.asarray(tree)
+
+
+def _unflatten(flat: dict) -> dict:
+    out: dict = {}
+    for key, value in flat.items():
+        node = out
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(value)
+    return out
+
+
+def save_ensemble(path: str, ds: "DreamSimJAX") -> dict:
+    """Persist a converted ensemble torch-free: one ``.npz`` per branch +
+    ``manifest.json`` (config, normalization, array sha256 per branch).
+    Returns the manifest."""
+    import hashlib
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    manifest = {"format": "detikzify_tpu.dreamsim.v1", "branches": []}
+    for i, ex in enumerate(ds.extractors):
+        flat = dict(_flatten(ex.params))
+        fname = f"branch{i}.npz"
+        np.savez(os.path.join(path, fname), **flat)
+        digest = hashlib.sha256()
+        for key in sorted(flat):
+            digest.update(key.encode())
+            digest.update(np.ascontiguousarray(flat[key]).tobytes())
+        manifest["branches"].append({
+            "file": fname,
+            "sha256": digest.hexdigest(),
+            "n_params": int(sum(v.size for v in flat.values())),
+            "config": dataclasses.asdict(ex.cfg),
+            "mean": list(ex.mean), "std": list(ex.std),
+        })
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+def load_ensemble(path: str) -> "DreamSimJAX":
+    """Load a ``save_ensemble`` directory (no torch), verifying each
+    branch's sha256 against the manifest."""
+    import hashlib
+    import json
+    import os
+
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    extractors = []
+    for spec in manifest["branches"]:
+        flat = dict(np.load(os.path.join(path, spec["file"])))
+        digest = hashlib.sha256()
+        for key in sorted(flat):
+            digest.update(key.encode())
+            digest.update(np.ascontiguousarray(flat[key]).tobytes())
+        if digest.hexdigest() != spec["sha256"]:
+            raise ValueError(
+                f"{spec['file']}: sha256 mismatch vs manifest "
+                f"(corrupted or tampered conversion)")
+        cfg = ViTConfig(**spec["config"])
+        extractors.append(Extractor(_unflatten(flat), cfg,
+                                    tuple(spec["mean"]),
+                                    tuple(spec["std"])))
     return DreamSimJAX(extractors)

@@ -12,6 +12,22 @@ import jax
 import jax.numpy as jnp
 
 
+def apply_remat(block, remat):
+    """Wrap a layer-scan body per the remat policy: ``True`` = full
+    rematerialization (save only layer boundaries -- O(1)-layer activation
+    memory, one extra forward of compute in the backward); ``"dots"`` =
+    save matmul outputs (``dots_with_no_batch_dims_saveable``: backward
+    re-runs only cheap elementwise ops, costing ~per-layer dot-output
+    memory for up to ~25% fewer training FLOPs than full remat)."""
+    if not remat:
+        return block
+    if remat == "dots":
+        return jax.checkpoint(
+            block,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    return jax.checkpoint(block)
+
+
 def linear(p, x: jnp.ndarray) -> jnp.ndarray:
     """Dense layer. ``p = {'kernel': [in, out], 'bias'?: [out]}`` or an
     int8-quantized ``{'kernel_q': {'q', 'scale'}}`` (see ``ops.quant``)."""

@@ -33,8 +33,9 @@ from ..ops.attention import attend, decode_attend
 #: floors (remote tunnels) unrolling lets XLA fuse across layer bodies;
 #: measured on-chip before adoption (1 = plain scan)
 LAYER_UNROLL = int(os.environ.get("DETIKZIFY_TPU_LAYER_UNROLL", "1"))
-from .layers import (ACTIVATIONS, apply_rope, dense_init, linear, rms_init,
-                     rms_norm, rope_cos_sin, rope_inv_freq)
+from .layers import (ACTIVATIONS, apply_remat, apply_rope, dense_init,
+                     linear, rms_init, rms_norm, rope_cos_sin,
+                     rope_inv_freq)
 
 
 class KVCache(NamedTuple):
@@ -170,13 +171,14 @@ def forward(
     positions: Optional[jnp.ndarray] = None,   # [B, S]
     attention_mask: Optional[jnp.ndarray] = None,  # [B, S] bool, True=valid
     attn_impl: str = "auto",
-    remat: bool = False,
+    remat=False,
 ) -> jnp.ndarray:
     """Causal full-sequence pass; returns final-norm'd hidden [B, S, D].
 
-    ``remat`` rematerializes each layer in the backward pass
-    (``jax.checkpoint`` on the scan body): activation memory drops from
-    O(layers) to O(1) layers -- required for 8B-class training."""
+    ``remat`` (False | True | "dots") rematerializes each layer in the
+    backward pass (``jax.checkpoint`` on the scan body, see
+    ``apply_remat``): activation memory drops from O(layers) to O(1)
+    layers -- required for 8B-class training."""
     b, s, _ = inputs_embeds.shape
     act = ACTIVATIONS[cfg.hidden_act]
     if positions is None:
@@ -200,8 +202,7 @@ def forward(
         h = rms_norm(lp["post_ln"], x, cfg.rms_norm_eps)
         return residual + _mlp(lp, h, act), None
 
-    if remat:
-        block = jax.checkpoint(block)
+    block = apply_remat(block, remat)
     x, _ = jax.lax.scan(block, inputs_embeds, params["layers"])
     return rms_norm(params["norm"], x, cfg.rms_norm_eps)
 

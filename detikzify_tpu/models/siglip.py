@@ -19,7 +19,8 @@ import jax.numpy as jnp
 
 from ..config import AdapterConfig, VisionConfig
 from ..ops.attention import attend
-from .layers import ACTIVATIONS, dense_init, layer_norm, linear, ln_init
+from .layers import (ACTIVATIONS, apply_remat, dense_init, layer_norm,
+                     linear, ln_init)
 
 
 class AdapterInputs(NamedTuple):
@@ -196,8 +197,7 @@ def apply(
         layers["adapter_active"] = jnp.array(
             [(idx + 1) % every == 0 for idx in range(nlayers)])
     layer_ids = jnp.arange(cfg.num_hidden_layers)
-    if remat:
-        block = jax.checkpoint(block)
+    block = apply_remat(block, remat)
     x, hidden_states = jax.lax.scan(block, x, (layers, layer_ids))
 
     x = layer_norm(params["post_ln"], x, eps)

@@ -159,3 +159,124 @@ def test_dreamsim_ensemble_metric():
     diff = metric.compute()
     assert same == pytest.approx(1.0, abs=1e-5)
     assert diff < same
+
+
+# ---------------------------------------------------------------------------
+# published-checkpoint conversion dry-run (round-4 VERDICT directive #7):
+# synthesize a LoRA-merged ensemble AT THE REAL SHAPE (ViT-B/16 @ 224,
+# dreamsim-package naming: timm state dicts, clip towers wrapped as-dino
+# with retained visual projection) and push it through the FULL import
+# path -- tools/convert_dreamsim.py -> manifest -> torch-free
+# load_ensemble -- so the only networked step left is the download.
+# ---------------------------------------------------------------------------
+
+def _timm_b16_state(seed, *, norm_pre=False):
+    g = torch.Generator().manual_seed(seed)
+
+    def t(*shape, scale=0.02):
+        return torch.randn(*shape, generator=g) * scale
+
+    d, inter, layers, patch, npatch = 768, 3072, 12, 16, 196
+    sd = {
+        "cls_token": t(1, 1, d),
+        "pos_embed": t(1, npatch + 1, d),
+        "patch_embed.proj.weight": t(d, 3, patch, patch),
+        "patch_embed.proj.bias": t(d),
+        "norm.weight": torch.ones(d) + t(d),
+        "norm.bias": t(d),
+    }
+    if norm_pre:
+        sd["norm_pre.weight"] = torch.ones(d) + t(d)
+        sd["norm_pre.bias"] = t(d)
+    for i in range(layers):
+        b = f"blocks.{i}"
+        sd.update({
+            f"{b}.norm1.weight": torch.ones(d) + t(d),
+            f"{b}.norm1.bias": t(d),
+            f"{b}.attn.qkv.weight": t(3 * d, d),
+            f"{b}.attn.qkv.bias": t(3 * d),
+            f"{b}.attn.proj.weight": t(d, d),
+            f"{b}.attn.proj.bias": t(d),
+            f"{b}.norm2.weight": torch.ones(d) + t(d),
+            f"{b}.norm2.bias": t(d),
+            f"{b}.mlp.fc1.weight": t(inter, d),
+            f"{b}.mlp.fc1.bias": t(inter),
+            f"{b}.mlp.fc2.weight": t(d, inter),
+            f"{b}.mlp.fc2.bias": t(d),
+        })
+    return sd
+
+
+def test_convert_dreamsim_checkpoint_dry_run(tmp_path):
+    import json
+    import subprocess
+    import sys
+    import os
+
+    from detikzify_tpu.evaluate.dreamsim_jax import (
+        import_dreamsim_merged, load_ensemble, vit_apply)
+
+    src = tmp_path / "dreamsim_ck"
+    src.mkdir()
+    # the published ensemble's three branches, real shapes + naming
+    torch.save(_timm_b16_state(0),
+               src / "dino_vitb16_pretrain_lora_merged.pth")
+    clip_sd = _timm_b16_state(1, norm_pre=True)
+    torch.save({"model": clip_sd,
+                "proj": torch.randn(768, 512,
+                                    generator=torch.Generator()
+                                    .manual_seed(2)) * 0.02},
+               src / "clip_vitb16_pretrain_lora_merged.pth")
+    oclip_sd = _timm_b16_state(3, norm_pre=True)
+    oclip_sd["proj"] = torch.randn(
+        768, 512, generator=torch.Generator().manual_seed(4)) * 0.02
+    torch.save(oclip_sd,
+               src / "open_clip_vitb16_pretrain_lora_merged.pth")
+
+    out = tmp_path / "converted"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "convert_dreamsim.py"),
+         "--input", str(src), "--output", str(out)],
+        capture_output=True, text=True, timeout=900, cwd=repo,
+        env=dict(os.environ, JAX_PLATFORMS="cpu"))
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert [b["branch"] for b in summary["branches"]] == [
+        "dino_vitb16", "clip_vitb16", "open_clip_vitb16"]
+    for b in summary["branches"]:
+        assert b["n_params"] > 80_000_000       # really ViT-B-sized
+        assert len(b["source_sha256"]) == 64
+
+    ds = load_ensemble(str(out))                # torch-free path
+    assert len(ds.extractors) == 3
+    # the two clip-as-dino towers kept ln_pre + visual projection
+    assert "ln_pre" in ds.extractors[1].params
+    assert ds.extractors[1].params["proj"].shape == (768, 512)
+    assert ds.extractors[2].cfg.proj_dim == 512
+
+    img1 = Image.new("RGB", (96, 96), "white")
+    ImageDraw.Draw(img1).ellipse([10, 10, 80, 80], outline="black")
+    img2 = Image.new("RGB", (96, 96), "white")
+    ImageDraw.Draw(img2).rectangle([20, 20, 70, 70], outline="red")
+    emb = ds.embed(img1)
+    assert emb.shape == (768 + 512 + 512,)
+    assert np.isfinite(emb).all()
+    assert ds.similarity(img1, img1) == pytest.approx(1.0, abs=1e-5)
+    assert ds.similarity(img1, img2) < 1.0
+
+    # converted params match the direct in-memory import bit-for-bit
+    direct, cfg = import_dreamsim_merged(_timm_b16_state(0))
+    pix = np.zeros((1, 224, 224, 3), np.float32)
+    a = np.asarray(vit_apply(direct, cfg, jnp.asarray(pix)))
+    b = np.asarray(vit_apply(ds.extractors[0].params,
+                             ds.extractors[0].cfg, jnp.asarray(pix)))
+    np.testing.assert_array_equal(a, b)
+
+    # manifest sha256 really guards the artifacts
+    target = out / "branch0.npz"
+    blob = bytearray(target.read_bytes())
+    blob[len(blob) // 2] ^= 0xFF
+    target.write_bytes(bytes(blob))
+    with pytest.raises(Exception):
+        load_ensemble(str(out))

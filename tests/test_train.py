@@ -212,3 +212,133 @@ def test_lowmem_adam_matches_fp32_moments(setup):
     assert lowmem[-1] < lowmem[0]
     for a, b in zip(ref, lowmem):     # step-for-step agreement
         assert abs(a - b) < 0.05 * max(1.0, abs(a)), (ref, lowmem)
+
+
+def test_quant8_adam_matches_fp32_moments(setup):
+    """make_optimizer(moment_dtype='quant8') stores both Adam moments in
+    block-scaled 8-bit float (quarter of fp32 optimizer HBM -- what lets
+    the DS-1.3b full fine-tune GRAD-ACCUMULATE on one 16 GB chip,
+    bench.py train_bench ga 1/2/4). Convergence gate: on a tiny overfit
+    run its loss curve tracks fp32-moment AdamW closely (8-bit moments
+    carry ~2^-3 relative quantization noise, so the tolerance is looser
+    than the bf16 gate above)."""
+    import jax.numpy as jnp
+
+    cfg, params, _ = setup
+    ids = np.full((2, cfg.image_seq_len + 8), 65, np.int32)
+    ids[:, :cfg.image_seq_len] = cfg.image_token_id
+    ids[:, cfg.image_seq_len:] = (
+        np.arange(8, dtype=np.int32)[None] % 7 + 60)
+    batch = {
+        "input_ids": ids,
+        "labels": np.where(ids == cfg.image_token_id, -100, ids),
+        "pixel_values": np.zeros(
+            (2, cfg.vision.image_size, cfg.vision.image_size, 3),
+            np.float32),
+    }
+
+    def run(moment_dtype):
+        opt = make_optimizer(5e-3, total_steps=10, warmup_ratio=0.0,
+                             trainable=trainable_mask(params, "all"),
+                             moment_dtype=moment_dtype)
+        state = init_state(params, opt)
+        step = jax.jit(make_train_step(cfg, opt, grad_accum=1,
+                                       attn_impl="xla"))
+        losses = []
+        for _ in range(8):
+            state, metrics = step(state, batch)
+            losses.append(float(metrics["loss"]))
+        return losses, state
+
+    ref, _ = run(None)
+    q8, qstate = run("quant8")
+    assert ref[-1] < ref[0]           # both actually learn
+    assert q8[-1] < q8[0]
+    for a, b in zip(ref, q8):         # step-for-step agreement, 8-bit tol
+        assert abs(a - b) < 0.15 * max(1.0, abs(a)), (ref, q8)
+    # the moment trees really are 1-byte storage (plus fp32 block scales)
+    def find_quant_state(node):
+        if isinstance(node, dict):
+            if "m" in node and "count" in node:
+                return node
+            children = node.values()
+        elif isinstance(node, (tuple, list)) or hasattr(node, "_fields"):
+            children = tuple(node)
+        else:
+            return None
+        for child in children:
+            got = find_quant_state(child)
+            if got is not None:
+                return got
+        return None
+
+    inner = find_quant_state(qstate.opt_state)
+    assert inner is not None
+    leaf = jax.tree.leaves(
+        inner["m"], is_leaf=lambda x: isinstance(x, dict) and "mq" in x)[0]
+    assert leaf["mq"].dtype.itemsize == 1
+    assert leaf["vq"].dtype.itemsize == 1
+
+
+def test_grad_accum_quant8_fits_and_matches(setup):
+    """grad_accum=2 with quant8 moments + explicit accum_dtype produces
+    the same loss as grad_accum=1 over the concatenated batch (averaging
+    identity), and the microbatch loop stays a single-jaxpr lax.scan."""
+    import jax.numpy as jnp
+
+    cfg, params, _ = setup
+    ids = np.full((4, cfg.image_seq_len + 6), 65, np.int32)
+    ids[:, :cfg.image_seq_len] = cfg.image_token_id
+    ids[:, cfg.image_seq_len:] = (
+        np.arange(6, dtype=np.int32)[None] % 5 + 60)
+    batch = {
+        "input_ids": ids,
+        "labels": np.where(ids == cfg.image_token_id, -100, ids),
+        "pixel_values": np.zeros(
+            (4, cfg.vision.image_size, cfg.vision.image_size, 3),
+            np.float32),
+    }
+    opt = make_optimizer(1e-3, total_steps=4, warmup_ratio=0.0,
+                         trainable=trainable_mask(params, "all"),
+                         moment_dtype="quant8")
+    losses = {}
+    for ga, accum in ((1, None), (2, None), (2, jax.numpy.float32)):
+        state = init_state(params, opt)
+        step = jax.jit(make_train_step(cfg, opt, grad_accum=ga,
+                                       attn_impl="xla",
+                                       accum_dtype=accum))
+        state, metrics = step(state, batch)
+        losses[(ga, accum)] = float(metrics["loss"])
+    base = losses[(1, None)]
+    for key, val in losses.items():
+        assert abs(val - base) < 5e-3 * max(1.0, abs(base)), losses
+
+
+def test_remat_dots_policy_matches_full_remat(setup):
+    """remat='dots' (save matmul outputs, skip recomputing dots in the
+    backward) must be numerically equivalent to full remat -- same loss,
+    same grads -- it only changes what the backward rematerializes."""
+    cfg, params, _ = setup
+    ids = np.full((2, cfg.image_seq_len + 5), 65, np.int32)
+    ids[:, :cfg.image_seq_len] = cfg.image_token_id
+    batch = {
+        "input_ids": jax.numpy.asarray(ids),
+        "labels": jax.numpy.asarray(
+            np.where(ids == cfg.image_token_id, -100, ids)),
+        "pixel_values": jax.numpy.zeros(
+            (2, cfg.vision.image_size, cfg.vision.image_size, 3),
+            np.float32),
+    }
+    from detikzify_tpu.train.step import label_smoothing_free_loss
+
+    def grads_with(remat):
+        return jax.jit(jax.value_and_grad(
+            lambda p: label_smoothing_free_loss(
+                p, cfg, batch, attn_impl="xla", remat=remat)))(params)
+
+    loss_full, g_full = grads_with(True)
+    loss_dots, g_dots = grads_with("dots")
+    assert abs(float(loss_full) - float(loss_dots)) < 1e-5
+    for a, b in zip(jax.tree.leaves(g_full), jax.tree.leaves(g_dots)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
