@@ -1106,8 +1106,8 @@ def main():
     set_backend(None)
     p50_ttfc = p50_time_to_first_compile(ttfc) if ttfc else float("nan")
     if ttfc:
-        log(f"p50 time-to-first-compile (parallelism=8): "
-            f"{p50_ttfc:.2f}s (n={len(ttfc)})")
+        log(f"p50 time-to-first-compile (parallelism=8, FakeBackend, "
+            f"metric=fast, 8 slots): {p50_ttfc:.2f}s (n={len(ttfc)})")
 
     # tracked configs #3 (DS-7b streaming), #1 (TL-1.1b greedy), #4
     # (v2-8b incl. speculative) and #5 (TikZero), plus the serving load

@@ -112,6 +112,9 @@ class DetikzifyGenerator:
         adapter=None,                   # AdapterBundle for text conditioning
         sampling=None,                  # SamplingParams override (per-call)
         on_tick=None,                   # per-iteration scheduler hook
+        image_embeds=None,              # precomputed [1, N, D] projected
+        # image tokens (fused sampling waves batch ONE vision pass for the
+        # whole wave and hand each generator its slice)
     ):
         self.engine = engine
         self.processor = processor
@@ -193,8 +196,8 @@ class DetikzifyGenerator:
             self.max_length = min(self.max_length,
                                   len(root_ids) + max_new_tokens)
 
-        self.image_embeds = None
-        if pixel_values is not None:
+        self.image_embeds = image_embeds
+        if self.image_embeds is None and pixel_values is not None:
             self.image_embeds = engine.encode_image(
                 jnp.asarray(pixel_values), adapter_inputs=adapter_inputs)
 
@@ -379,11 +382,58 @@ class DetikzifyGenerator:
 
     def sample(self) -> TikzDocument:
         """One-shot sampling (no tree search)."""
-        last = self.root.token_ids
-        lines = 0
-        for prefix_ids, lines in self.rollout(self.root.state):
-            last = prefix_ids
-        doc = self.decode(last)
+        it = self.sample_iter()
+        while True:
+            try:
+                next(it)
+            except StopIteration as stop:
+                return stop.value
+
+    def sample_iter(self) -> Generator[None, None, TikzDocument]:
+        """Incremental ``sample()``: yields after every engine decode
+        dispatch (one ``decode_block``-bounded chunk of host work per
+        ``next()``) and returns the finished TikzDocument as the
+        generator's StopIteration value. The serving scheduler drives
+        this in bounded chunks so a long sampling wave cannot starve
+        concurrent MCTS searches' host loops (serve._SampleWave);
+        ``close()``-ing mid-decode aborts the rollout like the MCTS
+        rollout path does."""
+        ids = list(self.root.token_ids)
+        eos = self.engine.eos_token_id
+        if ((ids and ids[-1] == eos) or len(ids) >= self.max_length
+                or self.control.should_stop):
+            return self.decode(tuple(ids))      # nothing to extend
+
+        t0 = time.time()
+        found = self.engine.best_prefix(ids, namespace=self.namespace)
+        prefix = found[1] if found else None
+        if prefix is not None:
+            self.stats["prefix_hits"] += 1
+            self.stats["prefix_tokens_saved"] += prefix.length
+        ro = self.engine.start(
+            ids, image_embeds=self.image_embeds,
+            max_new_tokens=self.max_length - len(ids),
+            prefix=prefix, on_token=self.on_token, lazy=True,
+            sampling=self.sampling)
+        self._pending_rollout = ro
+        try:
+            while not ro.finished:
+                if self.control.should_stop:
+                    self.engine.abort(ro)
+                self.engine.step()
+                yield
+        except GeneratorExit:
+            self.control.abort()
+            self.engine.abort(ro)
+            while not ro.finished:
+                self.engine.step()
+            self._finish_rollout([])     # release the aborted slot
+            raise
+        finally:
+            self.stats["rollouts"] += 1
+            self.stats["rollout_tokens"] += ro.new_tokens
+            self.stats["rollout_time"] += time.time() - t0
+        doc = self.decode(tuple(ro.token_ids))
         self._finish_rollout([])
         return doc
 

@@ -5,12 +5,15 @@ The reference ships no server (its closest analogue is the gradio webui,
 docs/SERVING.md: one shared ``DetikzifyPipeline`` (and therefore ONE decode
 engine / KV page pool / set of compiled programs) behind a scheduler thread
 that merges concurrently queued one-shot requests into fused engine waves
-(``pipeline.sample_batch`` -- continuous-batched decode over the slot pool),
-and runs MCTS refinement requests with slot-level parallelism. MCTS never
-head-of-line-blocks the queue: searches use ``num_slots - sample_reserve``
-slots and yield to queued sampling waves between engine steps (generator
-``on_tick`` hook), concurrent searches are timesliced one expansion at a
-time, and ``/metrics`` exports per-kind latency percentiles.
+(``_SampleWave`` -- one batched vision pass, continuous-batched decode over
+the slot pool, advanced in decode-dispatch-bounded chunks), and runs MCTS
+refinement requests with slot-level parallelism. Neither kind starves the
+other: searches use ``num_slots - sample_reserve`` slots and yield to
+queued sampling waves between engine steps (generator ``on_tick`` hook);
+sampling waves decode INCREMENTALLY, so a long wave returns control to the
+scheduler (and the searches it timeslices) every chunk. Concurrent
+searches are timesliced one expansion at a time, and ``/metrics`` exports
+per-kind latency percentiles.
 
 Endpoints (JSON over stdlib http.server, no extra dependencies):
 
@@ -160,6 +163,111 @@ def _pctl(xs, q: float) -> Optional[float]:
     return s[min(len(s) - 1, int(round(q * (len(s) - 1))))]
 
 
+class _SampleWave:
+    """One fused sampling wave decoded INCREMENTALLY (round-4 VERDICT
+    directive #6): per-job ``DetikzifyGenerator.sample_iter()`` coroutines
+    are round-robined in decode-dispatch-bounded chunks, so the scheduler (and the
+    MCTS searches it timeslices) keeps making host-loop progress while a
+    long wave decodes -- the engine continuous-batches the wave's rollouts
+    alongside any search rollouts either way. Fused image-only jobs share
+    ONE batched vision pass (each generator gets its embeds slice).
+
+    ``on_done(job, doc)`` fires as each job's decode finishes (the serving
+    layer submits the async LaTeX compile there); jobs that raise are
+    failed individually without sinking the rest of the wave."""
+
+    def __init__(self, pipeline, jobs: List[_Job], on_done, on_error):
+        self.pipeline = pipeline
+        self.on_done = on_done
+        self.on_error = on_error
+        self.entries: List[list] = []   # [job, gen, iter, started]
+        self.fused = len(jobs) > 1
+        embeds = None
+        if self.fused:
+            import jax.numpy as jnp
+
+            # one vision pass for the whole wave (jobs fused by batch_key
+            # are image-only with identical preprocess flags)
+            pil = [pipeline.load(j.image, j.preprocess) for j in jobs]
+            out = pipeline.processor(images=pil)
+            embeds = pipeline.engine.encode_image(
+                jnp.asarray(out.pixel_values))
+        for i, job in enumerate(jobs):
+            try:
+                kw = dict(job.sampling)
+                if job.stream is not None:
+                    kw.update(on_token=_TokenEmitter(pipeline.processor,
+                                                     job.stream),
+                              control=job.control)
+                if embeds is not None:
+                    gen = pipeline.generator(
+                        image=pil[i], preprocess=False,
+                        image_embeds=embeds[i:i + 1], **kw)
+                else:
+                    gen = pipeline.generator(
+                        image=job.image, text=job.text,
+                        preprocess=job.preprocess, **kw)
+                # started=False: the iterator's FIRST next() claims an
+                # engine slot, so it is deferred until one is free (an
+                # active search may transiently hold all but the reserve)
+                self.entries.append([job, gen, gen.sample_iter(), False])
+            except BaseException as e:  # noqa: BLE001 -- per-job failure
+                self.on_error(job, e)
+                if not isinstance(e, Exception):
+                    raise
+
+    def advance(self, rounds: int = 1) -> bool:
+        """Drive every live job up to ``rounds`` decode dispatches;
+        returns True while decode work remains. Each round is bounded
+        host work (one engine decode block per job), so callers can
+        interleave other progress between calls. Unstarted jobs wait for
+        a free engine slot (earlier wave members or search rollouts
+        release them)."""
+        still = []
+        for entry in self.entries:
+            job, gen, it, started = entry
+            if not started:
+                if self.pipeline.engine.num_free_slots <= 0:
+                    still.append(entry)      # wait for a slot
+                    continue
+                entry[3] = True
+            alive = True
+            try:
+                for _ in range(max(1, rounds)):
+                    try:
+                        next(it)
+                    except StopIteration as stop:
+                        alive = False
+                        gen.close()
+                        self.on_done(job, stop.value)
+                        break
+            except BaseException as e:  # noqa: BLE001 -- report per job
+                alive = False
+                try:
+                    gen.close()
+                except Exception:
+                    pass
+                self.on_error(job, e)
+                if not isinstance(e, Exception):
+                    raise
+            if alive:
+                still.append(entry)
+        self.entries = still
+        return bool(self.entries)
+
+    def close(self, error: Optional[BaseException] = None) -> None:
+        """Abort remaining jobs (scheduler shutdown)."""
+        for job, gen, it, _started in self.entries:
+            try:
+                it.close()
+                gen.close()
+            except Exception:
+                pass
+            if error is not None:
+                self.on_error(job, error)
+        self.entries = []
+
+
 class InferenceServer:
     """Scheduler owning the pipeline: all device work happens on ONE thread
     (the engine is not re-entrant); HTTP threads only enqueue and wait.
@@ -228,6 +336,7 @@ class InferenceServer:
         self._mcts_tasks: List[_MctsTask] = []
         self._mcts_waiting: List[_Job] = []
         self._compiling: List[Tuple[_Job, Any]] = []
+        self._wave: Optional[_SampleWave] = None
         self._rr = 0
         self.requests = {"sample": 0, "mcts": 0, "failed": 0, "batched": 0,
                          "mcts_stalls": 0}
@@ -401,8 +510,13 @@ class InferenceServer:
         sampling rollouts alongside its rollouts."""
         self._drain(block=False)
         self._finish_compiled(block=False)
-        if self._pending and self.pipeline.engine.num_free_slots > 0:
-            self._run_samples(self._take_wave(window=False))
+        if (self._wave is None and self._pending
+                and self.pipeline.engine.num_free_slots > 0):
+            self._start_wave(self._take_wave(window=False))
+        # bounded chunk only: the hook runs INSIDE a search's loop
+        # iteration, so a long wave must not freeze that search's host
+        # loop (its engine.step() calls advance the wave's rollouts too)
+        self._advance_wave(rounds=1)
 
     def _take_wave(self, window: bool) -> List[_Job]:
         """Pop the oldest pending sampling job plus every same-key pending
@@ -440,12 +554,17 @@ class InferenceServer:
         try:
             while True:
                 busy = bool(self._mcts_tasks or self._mcts_waiting
-                            or self._pending or self._compiling)
+                            or self._pending or self._compiling
+                            or self._wave)
                 self._drain(block=not busy)
                 if self._stopping:
                     return
                 self._finish_compiled(block=False)
                 self._admit_waiting_mcts()
+                # an in-flight sampling wave advances a bounded chunk per
+                # scheduler turn, interleaved with one MCTS expansion per
+                # turn -- neither kind starves the other's host loop
+                self._advance_wave(rounds=2)
                 if self._mcts_tasks:
                     # one expansion for the next search (round-robin);
                     # its on_tick hook interleaves any sampling arrivals
@@ -454,9 +573,9 @@ class InferenceServer:
                     task = self._mcts_tasks[self._rr % len(self._mcts_tasks)]
                     if not self._advance_mcts(task):
                         self._mcts_tasks.remove(task)
-                elif self._pending:
-                    self._run_samples(self._take_wave(window=True))
-                elif self._compiling:
+                elif self._wave is None and self._pending:
+                    self._start_wave(self._take_wave(window=True))
+                elif self._wave is None and self._compiling:
                     self._finish_compiled(block=True)
         finally:
             # scheduler exiting (shutdown or fatal BaseException): fail every
@@ -483,6 +602,22 @@ class InferenceServer:
                 task.close()
                 self._complete(task.job, error=err)
             self._mcts_tasks = []
+            if self._wave is not None and self._stopping:
+                # graceful stop(): jobs mid-decode finish their bounded
+                # remaining tokens (same philosophy as the MCTS
+                # best-so-far completion above); fatal exits skip this
+                deadline = time.monotonic() + 10.0
+                try:
+                    while (self._wave is not None
+                           and time.monotonic() < deadline):
+                        self._advance_wave(rounds=4)
+                except Exception:
+                    pass
+            if self._wave is not None:
+                # abort + fail whatever remains (their engine slots
+                # release through the iterators' GeneratorExit path)
+                self._wave.close(error=err)
+                self._wave = None
             # jobs in _compiling DECODED successfully -- only their async
             # LaTeX compile is outstanding. Grace-drain them (bounded)
             # before failing the remainder: a graceful stop() must not
@@ -515,37 +650,53 @@ class InferenceServer:
                     self._complete(j, error=err)
 
     # -- sampling ----------------------------------------------------------
-    def _run_samples(self, wave: List[_Job]) -> None:
-        """Decode one fused sampling wave; compiles go to the async pool
-        (``_finish_compiled`` completes the jobs), so a slow LaTeX run
-        never stalls the scheduler."""
-        try:
-            if len(wave) > 1:
-                docs = self.pipeline.sample_batch(
-                    [j.image for j in wave], preprocess=wave[0].preprocess,
-                    **wave[0].sampling)
-                self.requests["batched"] += len(wave)
-            else:
-                j = wave[0]
-                if self._client_gone(j):
-                    return
-                kw = dict(j.sampling)
-                if j.stream is not None:
-                    kw.update(on_token=_TokenEmitter(
-                        self.pipeline.processor, j.stream),
-                        control=j.control)
-                docs = [self.pipeline.sample(image=j.image, text=j.text,
-                                             preprocess=j.preprocess, **kw)]
-        except BaseException as e:  # noqa: BLE001 -- report to client
-            for j in wave:
-                self._complete(j, error=e)
-            if not isinstance(e, Exception):
-                raise
+    def _start_wave(self, wave: List[_Job]) -> None:
+        """Begin one fused sampling wave. Decode is INCREMENTAL: the wave
+        is advanced in bounded chunks by the scheduler loop and by active
+        searches' on_tick hooks (``_advance_wave``); as each job's decode
+        finishes, its LaTeX compile goes to the async pool
+        (``_finish_compiled`` completes the jobs), so neither a long wave
+        nor a slow compile ever stalls the scheduler."""
+        wave = [j for j in wave if not self._client_gone(j)]
+        if not wave:
             return
-        self.requests["sample"] += len(wave)
-        for j, doc in zip(wave, docs):
-            self._compiling.append(
-                (j, self.pipeline.compiler.submit_doc(doc)))
+        # duck-typed pipelines (tests) have no generator(): fall back to
+        # the blocking one-shot path
+        if not hasattr(self.pipeline, "generator"):
+            try:
+                docs = [self.pipeline.sample(
+                    image=j.image, text=j.text, preprocess=j.preprocess,
+                    **j.sampling) for j in wave]
+            except BaseException as e:  # noqa: BLE001 -- report to client
+                for j in wave:
+                    self._complete(j, error=e)
+                if not isinstance(e, Exception):
+                    raise
+                return
+            for j, doc in zip(wave, docs):
+                self._on_sample_decoded(j, doc)
+            return
+        if len(wave) > 1:
+            self.requests["batched"] += len(wave)
+        self._wave = _SampleWave(self.pipeline, wave,
+                                 self._on_sample_decoded,
+                                 self._on_sample_error)
+        if not self._wave.entries:
+            self._wave = None
+
+    def _advance_wave(self, rounds: int) -> None:
+        if self._wave is None:
+            return
+        if not self._wave.advance(rounds):
+            self._wave = None
+
+    def _on_sample_decoded(self, job: _Job, doc) -> None:
+        self.requests["sample"] += 1
+        self._compiling.append(
+            (job, self.pipeline.compiler.submit_doc(doc)))
+
+    def _on_sample_error(self, job: _Job, error: BaseException) -> None:
+        self._complete(job, error=error)
 
     def _finish_compiled(self, block: bool) -> None:
         """Complete sampling jobs whose async compile resolved; with
