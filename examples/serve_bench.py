@@ -23,8 +23,14 @@ import base64
 import http.client
 import io
 import json
+import os
+import sys
 import threading
 import time
+
+# runnable as a bare subprocess (bench.py serve_bench_leg): the script's
+# own dir -- not the repo root -- is what python puts on sys.path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
@@ -40,7 +46,6 @@ def main():
 
     if args.tiny:
         jax.config.update("jax_platforms", "cpu")
-    import os
     jax.config.update("jax_compilation_cache_dir", os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".jax_cache"))
@@ -62,14 +67,18 @@ def main():
         params = detikzify.init(jax.random.PRNGKey(0), cfg)
         engine_kw = dict(num_slots=4, max_len=96)
     else:
+        from detikzify_tpu.ops.quant import (fuse_projections,
+                                             quantize_params)
+
         cfg = get_config("detikzify-ds-1.3b").replace(model_max_length=640)
         params = jax.tree_util.tree_map(
             lambda s: jax.numpy.zeros(s.shape, s.dtype),
             jax.eval_shape(lambda: detikzify.init(jax.random.PRNGKey(0),
                                                   cfg, dtype="bfloat16")))
-        # measured-best throughput shape (docs/SERVING.md)
-        engine_kw = dict(num_slots=16, max_len=640, decode_block=128,
-                         quantize=True)
+        # int8 serving tree + fused qkv/gate-up, same as bench.py's
+        # headline engine; measured-best throughput shape (docs/SERVING.md)
+        params = fuse_projections(quantize_params(params))
+        engine_kw = dict(num_slots=16, max_len=640, decode_block=128)
     tok = ByteTokenizer(vocab_size=cfg.text.vocab_size,
                         image_token_id=cfg.image_token_id,
                         bos_token_id=cfg.bos_token_id,
