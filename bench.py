@@ -147,7 +147,18 @@ def train_bench():
     microbatch loop is a scan INSIDE the step (perf-contract-pinned,
     test_perf_contracts.test_train_step_is_one_device_program).
     est. MFU uses the standard 6*N*T fwd+bwd flop model against the
-    v5e bf16 peak (197 TFLOP/s).
+    v5e bf16 peak (197 TFLOP/s); *_mfu_vs_peak re-anchors it on the
+    MEASURED achievable rate (matmul_peak_tflops, a pure bf16 4096^3
+    dot chain: 132-137 TF/s through this tunnel = ~68% of nominal).
+    Measured MFU levers (r5): remat recompute is nearly free (the
+    "dots" save-matmul-outputs policy recovers only ~1.5%: cost
+    analysis shows it trims just 11% of flops -- attention einsums
+    carry batch dims and the flash custom-VJP is opaque to policies),
+    attn_impl="xla" beats the Pallas flash kernel by ~1.5% on the
+    training shape, no-remat grad OOMs, and the barrier fetch is
+    already amortized (reps 3 vs 8 within noise) -- the residual gap
+    to the dense-matmul rate is XLA's backward efficiency at d=2048,
+    not recompute or measurement.
 
     Runs as a SUBPROCESS (``bench.py --train-bench``) dispatched before
     the parent touches the device: full fine-tune state near-fills HBM,
@@ -176,14 +187,16 @@ def train_bench():
                 fromlist=["init"]).init(
                     jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16))))
     def measure_ga(ga: int, mode: str, mb: int = None, remat=True,
-                   suffix: str = "") -> None:
+                   attn: str = "auto", suffix: str = "") -> None:
         """mode 'all' = full fine-tune (reference train/train.py);
         'projector' = stage-1 connector pretrain (reference
         train/pretrain.py: every tower frozen, only the connector
         trains -- grads still flow through the whole text tower).
         ``mb`` overrides the micro-batch; ``remat`` is the policy
-        (True = full, "dots" = save matmul outputs); ``suffix`` tags
-        the emitted stat keys for variant legs."""
+        (True = full, "dots" = save matmul outputs); ``attn`` selects
+        the attention impl (measured: "xla" beats the Pallas flash
+        kernel by ~4% on the training shape); ``suffix`` tags the
+        emitted stat keys for variant legs."""
         mb = mb or micro
         reps_mb = -(-mb // micro)
         ids_m = np.tile(ids_t, (reps_mb, 1))[:mb]
@@ -200,7 +213,8 @@ def train_bench():
         state = init_state(params_t, optimizer)
         del params_t
         step = jax.jit(make_train_step(cfg, optimizer, grad_accum=ga,
-                                       remat=remat), donate_argnums=0)
+                                       remat=remat, attn_impl=attn),
+                       donate_argnums=0)
         batch_t = {
             "input_ids": jnp.asarray(np.tile(ids_m, (ga, 1))),
             "labels": jnp.asarray(np.tile(labels_m, (ga, 1))),
@@ -216,7 +230,11 @@ def train_bench():
         float(metrics["loss"])
         log(f"train[{mode}{suffix}] ga={ga}: compile+first step "
             f"{time.time() - t0:.1f}s")
-        reps = 3
+        # steps chain device-side (donated state); the single value fetch
+        # at the end is the barrier. The tunnel's host round-trip
+        # (~100-150 ms) amortizes over reps -- at reps=3 it inflated every
+        # step by ~35-50 ms, so scale reps down only as ga grows.
+        reps = max(3, 8 // ga)
         t0 = time.time()
         for _ in range(reps):
             state, metrics = step(state, batch_t)
@@ -247,6 +265,7 @@ def train_bench():
         dict(ga=2, mode="all"),
         dict(ga=4, mode="all"),
         dict(ga=1, mode="all", remat="dots", suffix="_dots"),
+        dict(ga=1, mode="all", attn="xla", suffix="_xla"),
         dict(ga=1, mode="all", mb=8, suffix="_micro8"),
         dict(ga=1, mode="all", mb=8, remat="dots", suffix="_micro8_dots"),
         dict(ga=1, mode="projector"),
@@ -265,6 +284,41 @@ def train_bench():
                 # retry, then move on (a genuine OOM fails both tries)
             finally:
                 gc.collect()
+
+    # Speed-of-light anchor: a pure dense bf16 4096^3 matmul chain -- the
+    # chip's ACHIEVABLE compute rate through this tunnel (measured 132-137
+    # TF/s vs the 197 TF/s v5e nominal, i.e. ~68-70%). The honest MFU
+    # denominator for "how well does the training step use this device":
+    # *_mfu_vs_peak = est_mfu * 197 / matmul_peak.
+    try:
+        n = 4096
+        a = jnp.zeros((n, n), jnp.bfloat16)
+        b = jnp.zeros((n, n), jnp.bfloat16)
+
+        @jax.jit
+        def chain(a, b):
+            x = a
+            for _ in range(32):
+                x = jnp.dot(x, b, preferred_element_type=jnp.bfloat16)
+            return x
+
+        t0 = time.time()
+        float(chain(a, b)[0, 0])
+        log(f"matmul_peak compile+first {time.time() - t0:.1f}s")
+        t0 = time.time()
+        for _ in range(3):
+            out = chain(a, b)
+        float(out[0, 0])
+        sec = (time.time() - t0) / 3
+        peak = 32 * 2 * n ** 3 / sec / 1e12
+        train_stats["matmul_peak_tflops"] = round(peak, 1)
+        log(f"matmul speed-of-light: {peak:.1f} TF/s "
+            f"({peak / 197:.0%} of v5e nominal)")
+        for k in [k for k in train_stats if "_est_mfu_" in k]:
+            train_stats[k.replace("_est_mfu_", "_mfu_vs_peak_")] = round(
+                train_stats[k] * 197.0 / peak, 3)
+    except Exception as e:
+        log(f"matmul_peak leg failed: {type(e).__name__}: {e}")
     print(json.dumps(train_stats), flush=True)
 
 
