@@ -223,6 +223,11 @@ class DetikzifyGenerator:
                       # for the rollouts/min budget; all host-side clocks)
                       "t_launch": 0.0, "t_step": 0.0, "t_resolve": 0.0,
                       "t_complete": 0.0, "t_dispatch": 0.0, "t_wait": 0.0,
+                      # terminal leaf revisits (selection landed on a state
+                      # with nothing left to decode: EOS / max_length) and
+                      # wave renders skipped because their score was
+                      # already memoized -- both near-free re-streams
+                      "terminal_revisits": 0, "score_memo_hits": 0,
                       # loop iterations where decode ran WHILE compile or
                       # score work was pending, and the peak expansions in
                       # flight across all stages: evidence the stages
@@ -801,18 +806,38 @@ class DetikzifyGenerator:
         caption-conditioned (renders never are, matching ``score()``),
         and ``ImageSim.features`` LRU-caches it per (image, text) -- so
         wave scores are identical to the per-call path while paying one
-        encoder dispatch per wave instead of per render."""
+        encoder dispatch per wave instead of per render.
+
+        The batch is ALSO memo-aware, sharing the sequential path's
+        ``self.score`` cache (reference generate.py:192 memoizes score on
+        image bytes, so terminal leaf revisits re-streaming an
+        already-generated program cost nothing): renders whose bytes are
+        already cached are skipped here -- ``_complete_expansion``'s
+        fallback ``self.score`` call hits the memo -- in-wave duplicate
+        renders encode once, and resolved values are written back into
+        the memo so steady-state revisits never re-encode."""
         if self.metric is None or not exps or not self._wave_scoring_ok:
             return None
-        imgs, keys = [], []
+        memo = getattr(self.score, "cache", None)
+        imgs, keys, img_bytes = [], [], []
+        seen: Dict[bytes, List[int]] = {}   # in-wave dedup: bytes -> exps
         for exp in exps:
             doc = exp.future.result()
             if doc.is_rasterizable and not (self.strict
                                             and doc.compiled_with_errors):
                 img = doc.rasterize()
                 if img is not None:
+                    b = img.tobytes()
+                    if memo is not None and b in memo:
+                        self.stats["score_memo_hits"] += 1
+                        continue    # completion falls back to the memo
+                    if b in seen:
+                        seen[b].append(id(exp))
+                        continue    # encoded once per distinct render
+                    seen[b] = [id(exp)]
                     imgs.append(img)
                     keys.append(id(exp))
+                    img_bytes.append(b)
         if not imgs:
             return None
         t0 = time.time()
@@ -824,17 +849,25 @@ class DetikzifyGenerator:
         else:
             dev, k = self.metric.score_against_async(imgs, self.image)
         self.stats["score_time"] += time.time() - t0
-        return dev, k, keys
+        return dev, k, keys, img_bytes, seen
 
     def _resolve_scores(self, pending) -> dict:
         """Fetch the batched wave scores dispatched by _dispatch_scores."""
         if pending is None:
             return {}
-        dev, k, keys = pending
+        dev, k, keys, img_bytes, seen = pending
         t0 = time.time()
         vals = np.asarray(dev)[:k]
         self.stats["score_time"] += time.time() - t0
-        return {key: float(v) for key, v in zip(keys, vals)}
+        memo = getattr(self.score, "cache", None)
+        out = {}
+        for key, b, v in zip(keys, img_bytes, vals):
+            v = float(v)
+            if memo is not None:
+                memo[b] = v         # future revisits hit the memo
+            for dup_key in seen[b]:
+                out[dup_key] = v    # in-wave duplicates share the value
+        return out
 
     def _simulate_parallel(self, expansions: Optional[float],
                            parallelism: int, shared: bool = False
@@ -886,8 +919,18 @@ class DetikzifyGenerator:
                     exp = self._prepare_expansion()
                     launched += 1
                     if exp.prompt is None:      # terminal state
-                        exp.future = self.compiler.submit_doc(
-                            self.decode(exp.node.token_ids))
+                        self.stats["terminal_revisits"] += 1
+                        doc = self.decode(exp.node.token_ids)
+                        if "output" in doc.__dict__:
+                            # revisit of an already-compiled program (the
+                            # decode memo returned the same document):
+                            # skip the compile-pool round trip -- with the
+                            # score memo the whole expansion is host-only
+                            fut: _cf.Future = _cf.Future()
+                            fut.set_result(doc)
+                            exp.future = fut
+                        else:
+                            exp.future = self.compiler.submit_doc(doc)
                         compiling.append(exp)
                     else:
                         wave.append(exp)
