@@ -240,3 +240,55 @@ def test_per_call_generation_overrides(pipeline, figure):
     # pipeline defaults untouched
     assert pipeline.compile_timeout == 60.0
     assert pipeline.engine.sampling.temperature == 0.8
+
+
+def test_wave_scoring_shares_score_memo_and_dedups(pipeline, figure):
+    """The batched wave scorer shares the sequential path's score memo
+    (reference generate.py:192 memoizes score on image bytes, making
+    terminal leaf revisits free): cached renders are skipped (completion
+    falls back to the memo), in-wave duplicate renders encode once, and
+    resolved values are written back so later revisits never re-encode."""
+    import concurrent.futures as cf
+
+    gen = pipeline._generator(figure, None, True, metric=pipeline.metric)
+    try:
+        class _Doc:
+            is_rasterizable = True
+            compiled_with_errors = False
+
+            def __init__(self, img):
+                self._img = img
+
+            def rasterize(self):
+                return self._img
+
+        def _exp(img):
+            e = type("_E", (), {})()
+            fut = cf.Future()
+            fut.set_result(_Doc(img))
+            e.future = fut
+            return e
+
+        red = Image.new("RGB", (64, 64), "red")
+        blue = Image.new("RGB", (64, 64), "blue")
+        exps = [_exp(red), _exp(blue), _exp(red)]   # in-wave duplicate
+        pending = gen._dispatch_scores(exps)
+        assert pending is not None
+        _dev, k, _keys, _bytes, _seen = pending
+        assert k == 2                       # red encoded once, not twice
+        out = gen._resolve_scores(pending)
+        assert len(out) == 3                # every expansion resolved
+        assert out[id(exps[0])] == out[id(exps[2])]
+        # write-back: both renders are now in the sequential memo
+        memo = gen.score.cache
+        assert red.tobytes() in memo and blue.tobytes() in memo
+        assert memo[red.tobytes()] == out[id(exps[0])]
+        # memo-aware skip: a wave of only already-scored renders
+        # dispatches NO encoder pass and counts the hits
+        hits0 = gen.stats["score_memo_hits"]
+        assert gen._dispatch_scores([_exp(red), _exp(blue)]) is None
+        assert gen.stats["score_memo_hits"] == hits0 + 2
+        # the completion fallback (self.score) serves the memoized value
+        assert gen.score(red) == out[id(exps[0])]
+    finally:
+        gen.close()
