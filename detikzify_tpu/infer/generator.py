@@ -170,7 +170,11 @@ class DetikzifyGenerator:
         out = processor(images=image if image is not None else None,
                         text=prompt_text if image is not None else
                         (prompt_text or ""),
-                        add_bos_token=prompt_text is not None)
+                        add_bos_token=prompt_text is not None,
+                        # embeds already computed (e.g. the fused serving
+                        # wave's shared vision pass): ids only, skip the
+                        # host resize+normalize the reference would redo
+                        skip_pixels=image_embeds is not None)
         root_ids = tuple(int(t) for t in out.input_ids[0])
         self.max_length = min(max_length or processor.model_max_length,
                               engine.max_len - 1)

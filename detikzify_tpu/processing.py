@@ -133,6 +133,7 @@ class DetikzifyProcessor:
         add_eos_token: bool = False,
         image_seq_len: Optional[int] = None,
         truncation: bool = False,
+        skip_pixels: bool = False,
     ) -> ProcessorOutput:
         if images is None and text is None:
             raise ValueError("either images or text required")
@@ -174,7 +175,11 @@ class DetikzifyProcessor:
             mask[i, :len(r)] = True
 
         pixel_values = None
-        if images is not None:
+        # skip_pixels: token layout AS IF images were attached, but no
+        # resize+normalize work -- for callers that already hold the
+        # encoded image embeddings (e.g. a fused serving wave's shared
+        # vision pass) and only need the ids
+        if images is not None and not skip_pixels:
             pixel_values = np.stack([
                 preprocess_image(img, self.cfg.vision.image_size,
                                  mean=self.image_mean, std=self.image_std)

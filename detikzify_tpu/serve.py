@@ -187,11 +187,23 @@ class _SampleWave:
             import jax.numpy as jnp
 
             # one vision pass for the whole wave (jobs fused by batch_key
-            # are image-only with identical preprocess flags)
-            pil = [pipeline.load(j.image, j.preprocess) for j in jobs]
-            out = pipeline.processor(images=pil)
-            embeds = pipeline.engine.encode_image(
-                jnp.asarray(out.pixel_values))
+            # are image-only with identical preprocess flags). Guarded:
+            # the jobs were already popped from the scheduler's pending
+            # queue, so an escaping error here (device OOM, transient
+            # remote-compile failure) would leave their HTTP threads
+            # waiting forever AND could kill the scheduler loop -- fail
+            # every job in the wave instead.
+            try:
+                pil = [pipeline.load(j.image, j.preprocess) for j in jobs]
+                out = pipeline.processor(images=pil)
+                embeds = pipeline.engine.encode_image(
+                    jnp.asarray(out.pixel_values))
+            except BaseException as e:  # noqa: BLE001 -- report to clients
+                for job in jobs:
+                    self.on_error(job, e)
+                if not isinstance(e, Exception):
+                    raise
+                return
         for i, job in enumerate(jobs):
             try:
                 kw = dict(job.sampling)

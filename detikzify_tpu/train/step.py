@@ -122,9 +122,9 @@ def _scale_by_adam_quant8(b1: float, b2: float, eps: float,
 
     On the 16 GB chip this is what lets the DS-1.3b FULL fine-tune
     gradient-accumulate: bf16 moments (6.8 GB) + a second grad tree for
-    the accumulation carry (3.4 GB) exceed HBM; e4m3 moments (1.7 GB)
-    leave room (bench.py train_bench ga 1/2/4). Convergence pinned by
-    tests/test_train.py::test_quant8_adam_matches_fp32_moments."""
+    the accumulation carry (3.4 GB) exceed HBM; e4m3 moments (3.4 GB
+    for m+v) free up 3.4 GB (bench.py train_bench ga 1/2/4). Convergence
+    pinned by tests/test_train.py::test_quant8_adam_matches_fp32_moments."""
     qdtype = dtype or jnp.float8_e4m3fn
     qmax = float(jnp.finfo(qdtype).max)
 
@@ -210,6 +210,13 @@ def make_optimizer(
     else:
         if (moment_dtype == "quant8"
                 or jnp.dtype(moment_dtype).itemsize == 1):
+            if (moment_dtype != "quant8"
+                    and not jnp.issubdtype(jnp.dtype(moment_dtype),
+                                           jnp.floating)):
+                raise ValueError(
+                    f"moment_dtype {moment_dtype} unsupported: 1-byte "
+                    f"moments must be a float8 dtype (block-absmax "
+                    f"scaling needs a float format), got an integer type")
             scaler = _scale_by_adam_quant8(
                 b1, b2, 1e-8,
                 None if moment_dtype == "quant8" else moment_dtype)

@@ -866,6 +866,28 @@ def test_sampling_wave_is_incremental():
     assert wave2.advance(rounds=1) is True
     wave2.close()
     assert pipe.engine.num_active == 0, "aborted wave leaked engine slots"
+
+    # a failure in the SHARED vision pass (device OOM, transient remote
+    # compile error) must fail every job in the wave -- the jobs were
+    # already popped from the scheduler's queue, so an escaping exception
+    # would leave their HTTP threads waiting forever and could kill the
+    # scheduler loop
+    orig_encode = pipe.engine.encode_image
+    pipe.engine.encode_image = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("RESOURCE_EXHAUSTED (simulated)"))
+    try:
+        done3, errors3 = [], []
+        jobs3 = [_Job(kind="sample", image=_figure(i),
+                      sampling={"temperature": 0.7, "max_new_tokens": 8})
+                 for i in range(2)]
+        wave3 = _SampleWave(pipe, jobs3,
+                            lambda j, d: done3.append((j, d)),
+                            lambda j, e: errors3.append((j, e)))
+        assert not wave3.entries            # nothing started
+        assert len(errors3) == 2 and not done3
+        assert all(isinstance(e, RuntimeError) for _, e in errors3)
+    finally:
+        pipe.engine.encode_image = orig_encode
     pipe.compiler.shutdown()
 
 
